@@ -1,0 +1,92 @@
+"""Reference (oracle) extractor: plain-Python, one conversation at a time.
+
+This is the in-repo analog of the reference fork's per-method dependency-JSON
+extractor (``semanticcpg/.../dependencyJsonGenerator/DependencyJsonGenerator.scala:83-140``)
+plus its comparison harness (``compareJson.py:10-50``): a deliberately simple,
+serial implementation of the extraction contract in
+:mod:`joern_ray.functions.rules`, used only as the correctness oracle.  The
+distributed pipeline (joern_ray.stages) implements the same contract
+independently with vectorized Arrow kernels; pytest asserts P/R >= 0.95
+between the two (BASELINE.md target).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from ..functions import rules as R
+
+
+def extract_conversation(turns: list[dict]) -> list[dict]:
+    """Extract surface triples from one conversation.
+
+    ``turns``: list of dicts with conv_id/turn_idx/role/text/tool, in any
+    order (sorted internally by turn_idx — stable turn ordering invariant).
+    Returns surface-level triple dicts.
+    """
+    turns = sorted(turns, key=lambda r: r["turn_idx"])
+    out: list[dict] = []
+    last_person: str | None = None
+    for row in turns:
+        conv_id, t = row["conv_id"], row["turn_idx"]
+        if row.get("role") == "tool" and row.get("tool"):
+            out.append(dict(conv_id=conv_id, turn_idx=t, subj=conv_id,
+                            pred=R.INVOKED_PRED, obj=row["tool"],
+                            subj_kind="conv", obj_kind="tool"))
+            continue
+        text = row.get("text") or ""
+        matched = False
+        for pred, rx, obj_kind in R.COMPILED_PRONOUN_TEMPLATES:
+            m = rx.match(text)
+            if m:
+                matched = True
+                if last_person is not None:
+                    out.append(dict(conv_id=conv_id, turn_idx=t,
+                                    subj=last_person, pred=pred,
+                                    obj=m.group("obj"), subj_kind="person",
+                                    obj_kind=obj_kind))
+                break
+        if matched:
+            continue
+        for pred, rx, sk, ok in R.COMPILED_TEMPLATES:
+            m = rx.match(text)
+            if m is None:
+                continue
+            subj, obj = m.group("subj"), m.group("obj")
+            if subj in R.PRONOUNS:
+                continue
+            out.append(dict(conv_id=conv_id, turn_idx=t, subj=subj, pred=pred,
+                            obj=obj, subj_kind=sk, obj_kind=ok))
+            # referent update: last person slot in sentence order
+            if ok == "person":
+                last_person = obj
+            elif sk == "person":
+                last_person = subj
+            break
+    return out
+
+
+def extract_all(rows: list[dict]) -> list[dict]:
+    """Serial oracle over a whole corpus given arbitrary row order."""
+    by_conv: dict[str, list[dict]] = defaultdict(list)
+    for r in rows:
+        by_conv[r["conv_id"]].append(r)
+    out: list[dict] = []
+    for conv_id in sorted(by_conv):
+        out.extend(extract_conversation(by_conv[conv_id]))
+    return out
+
+
+def triple_key(d: dict) -> tuple:
+    return (d["conv_id"], d["turn_idx"], d["subj"], d["pred"], d["obj"])
+
+
+def precision_recall(predicted: list[dict], truth: list[dict]) -> tuple[float, float]:
+    """Set-based P/R on (conv_id, turn_idx, subj, pred, obj) — the model of
+    the fork's per-function JSON diff (compareJson.py)."""
+    ps = {triple_key(d) for d in predicted}
+    ts = {triple_key(d) for d in truth}
+    if not ps or not ts:
+        return (1.0 if ps == ts else 0.0,) * 2
+    inter = len(ps & ts)
+    return inter / len(ps), inter / len(ts)

@@ -1,0 +1,148 @@
+"""Extraction rule pack: vocabulary, sentence templates, regexes, normalizers.
+
+This is the single source of truth for the transcript "grammar" — the analog
+of the reference's per-language AST grammar (c2cpg AstCreator + the fork's
+DependencyJsonGenerator relation patterns,
+``semanticcpg/.../dependencyJsonGenerator/DependencyJsonGenerator.scala:21-501``).
+Both the distributed pipeline (joern_ray.stages) and the naive oracle
+extractor (joern_ray.extract.oracle) consume these patterns; their
+*implementations* are independent so the P/R test is meaningful.
+
+All regexes are RE2-compatible (pyarrow.compute.extract_regex and DuckDB both
+use RE2) and also valid Python ``re`` patterns.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# Vocabulary (deterministic; used by the synthetic corpus generator and by
+# tests — the extractor itself is vocabulary-agnostic and purely pattern-based)
+# ---------------------------------------------------------------------------
+
+PERSONS = [
+    "Alice", "Bob", "Carol", "Dave", "Erin", "Frank", "Grace", "Heidi",
+    "Ivan", "Judy", "Karl", "Laura", "Mallory", "Nina", "Oscar", "Peggy",
+    "Quinn", "Rachel", "Steve", "Trent", "Ursula", "Victor", "Wendy",
+    "Xavier", "Yolanda", "Zach", "Aaron", "Bella", "Colin", "Daisy",
+    "Edgar", "Fiona", "George", "Hannah", "Ian", "Julia", "Kevin", "Lily",
+    "Marcus", "Nora",
+]
+
+ORG_BASES = [
+    "Acme", "Globex", "Initech", "Umbrella", "Stark", "Wayne", "Wonka",
+    "Tyrell", "Cyberdyne", "Aperture", "Hooli", "Vandelay", "Soylent",
+    "Oscorp", "Virtucon", "Zorin",
+]
+ORG_SUFFIXES = ["Corp", "Corporation", "Inc", "Labs"]
+# legal-suffix tokens stripped by the org normalizer (lowercase)
+ORG_STOP_TOKENS = {"corp", "corporation", "inc", "labs", "llc", "ltd", "the", "group"}
+
+TOOLS = [
+    "search", "browser", "calculator", "compiler", "profiler", "debugger",
+    "editor", "terminal",
+]
+
+MODULES = [
+    "auth.core", "auth.session", "net.http", "net.dns", "db.index",
+    "db.query", "ui.render", "ui.layout", "fs.cache", "fs.io",
+]
+
+FILLERS = [
+    "Thanks, that makes sense.",
+    "Let me think about this for a moment.",
+    "Could you clarify the last point?",
+    "Here is a summary of the discussion so far.",
+    "That approach sounds reasonable to me.",
+    "I will follow up with more details tomorrow.",
+    "Understood, proceeding with the plan.",
+    "The results look consistent with expectations.",
+]
+
+PRONOUNS = ("She", "He")
+
+# ---------------------------------------------------------------------------
+# Sentence templates.  Exactly one template sentence per templated turn.
+# kinds: person | org | tool | module | conv
+# ---------------------------------------------------------------------------
+
+# (pred, regex, subj_kind, obj_kind).  Group names subj/obj are mandatory.
+TEMPLATES = [
+    ("works_at",
+     r"^(?P<subj>[A-Z][a-z]+) works at (?P<obj>[A-Z][A-Za-z ]+?)\.$",
+     "person", "org"),
+    ("reported_bug",
+     r"^(?P<subj>[A-Z][a-z]+) reported a bug in (?P<obj>[a-z_]+(?:\.[a-z_]+)*)\.$",
+     "person", "module"),
+    ("uses",
+     r"^(?P<subj>[A-Z][a-z]+) uses (?P<obj>[a-z0-9_]+) daily\.$",
+     "person", "tool"),
+    ("acquired",
+     r"^(?P<subj>[A-Z][A-Za-z ]+?) acquired (?P<obj>[A-Z][A-Za-z ]+?)\.$",
+     "org", "org"),
+    ("met",
+     r"^(?P<subj>[A-Z][a-z]+) met with (?P<obj>[A-Z][a-z]+)\.$",
+     "person", "person"),
+]
+
+# Pronoun templates: subject is an unresolved pronoun; it resolves to the most
+# recently mentioned person (see resolution rule below).
+PRONOUN_TEMPLATES = [
+    ("works_at", r"^(?:She|He) works at (?P<obj>[A-Z][A-Za-z ]+?)\.$", "org"),
+    ("uses", r"^(?:She|He) uses (?P<obj>[a-z0-9_]+) daily\.$", "tool"),
+]
+
+# Pronoun resolution rule (shared contract):
+#   The referent of a pronoun in turn t is the person surface that appears
+#   LAST in sentence order among all person-kind slots of template matches in
+#   turns with turn_idx < t of the same conversation (subject before object
+#   within one sentence).  Resolved pronoun triples do not update the
+#   referent state.  Unresolvable pronouns emit no triple.
+
+COMPILED_TEMPLATES = [
+    (pred, re.compile(rx), sk, ok) for pred, rx, sk, ok in TEMPLATES
+]
+COMPILED_PRONOUN_TEMPLATES = [
+    (pred, re.compile(rx), ok) for pred, rx, ok in PRONOUN_TEMPLATES
+]
+
+# Tool-invocation fact: every role='tool' turn yields
+#   (conv:<conv_id>, invoked, tool:<tool>)
+INVOKED_PRED = "invoked"
+
+
+# ---------------------------------------------------------------------------
+# Normalizers (the FULL_NAME discipline — reference:
+# x2cpg/passes/frontend/Dereference.scala:1-35 strips type decoration before
+# index lookup; we strip case/punctuation/legal suffixes before linking)
+# ---------------------------------------------------------------------------
+
+def normalize_surface(kind: str, surface: str) -> str:
+    """Canonical-key normalization for a mention surface."""
+    s = surface.strip().lower()
+    if kind == "org":
+        toks = [t for t in s.split() if t not in ORG_STOP_TOKENS]
+        s = " ".join(toks) if toks else s
+    return s
+
+
+def char_shingles(s: str, k: int = 2) -> set[str]:
+    """Padded character k-shingles used for fuzzy org matching."""
+    p = f"^{s}$"
+    if len(p) <= k:
+        return {p}
+    return {p[i:i + k] for i in range(len(p) - k + 1)}
+
+
+def jaccard(a: set[str], b: set[str]) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+# kinds that go through fuzzy MinHash/LSH linking; all others link by exact
+# normalized key only.
+FUZZY_KINDS = {"org"}
+FUZZY_JACCARD_THRESHOLD = 0.5

@@ -1,0 +1,108 @@
+"""Arrow schemas for every table family in the engine (SURVEY.md §1.3).
+
+The reference models everything as one typed property graph with a fixed,
+code-generated schema (NodeTypes/EdgeTypes in the external
+codepropertygraph dependency; validation at Ast construction,
+``x2cpg/src/main/scala/io/joern/x2cpg/Ast.scala:55-64``).  Here the graph is
+two Parquet table families (nodes/edges) plus intermediate relation tables,
+each with an explicit ``pyarrow.Schema`` enforced at stage boundaries.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# Input transcripts (BASELINE input_hint shape)
+TRANSCRIPTS = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+])
+
+# Stage-A output: per-turn extraction events (text never leaves this stage)
+EVENTS = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("etype", pa.string()),          # 'triple' | 'pronoun'
+    ("subj", pa.string()),           # null for etype='pronoun'
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("subj_kind", pa.string()),
+    ("obj_kind", pa.string()),
+])
+
+# Surface-level triples (post pronoun resolution; surfaces not yet canonical)
+TRIPLES_SURFACE = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("subj_kind", pa.string()),
+    ("obj_kind", pa.string()),
+])
+
+# Mentions: one row per entity slot occurrence
+MENTIONS = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("kind", pa.string()),
+    ("surface", pa.string()),
+    ("norm", pa.string()),
+])
+
+# Canonical entity directory (post linking + union-find)
+ENTITIES = pa.schema([
+    ("kind", pa.string()),
+    ("norm", pa.string()),           # normalized member key
+    ("canonical", pa.string()),      # representative norm of its component
+    ("entity_id", pa.string()),      # blake2b(kind:canonical)
+])
+
+# Graph tables (analog of the reference's flatgraph node/edge layout)
+NODES = pa.schema([
+    ("node_id", pa.string()),
+    ("label", pa.string()),          # ENTITY | CONVERSATION | TURN
+    ("kind", pa.string()),           # entity kind; null otherwise
+    ("name", pa.string()),           # canonical name / conv_id / turn key
+    ("conv_id", pa.string()),        # for TURN/CONVERSATION nodes
+    ("turn_idx", pa.int32()),        # for TURN nodes
+    ("role", pa.string()),           # for TURN nodes
+    ("text", pa.string()),           # for TURN nodes (per-turn text equality)
+])
+
+EDGES = pa.schema([
+    ("src", pa.string()),
+    ("dst", pa.string()),
+    ("label", pa.string()),          # NEXT_TURN | MENTIONS | FACT | INVOKED
+    ("pred", pa.string()),           # FACT predicate; null otherwise
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+])
+
+# Canonical triples (endpoints rewritten to entity ids + canonical names)
+TRIPLES_CANONICAL = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("subj_id", pa.string()),
+    ("subj_kind", pa.string()),
+    ("subj_canonical", pa.string()),
+    ("pred", pa.string()),
+    ("obj_id", pa.string()),
+    ("obj_kind", pa.string()),
+    ("obj_canonical", pa.string()),
+])
+
+
+def empty_table(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()
+
+
+def cast_to(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Strict-mode schema enforcement at a stage boundary (ValidationMode
+    analog).  Reorders columns and casts; raises on missing columns."""
+    cols = [table.column(f.name).cast(f.type) for f in schema]
+    return pa.Table.from_arrays(cols, schema=schema)

@@ -1,0 +1,202 @@
+"""Deterministic synthetic transcript corpus (seeded; no external data).
+
+The reference's test strategy builds CPGs from inline code snippets
+(``x2cpg/src/test/.../testfixtures/Code2CpgFixture.scala:16-39``); our analog
+is a seeded conversation generator whose ground-truth triples are emitted
+alongside, so extraction/linking P/R is measurable end-to-end.
+
+Every conversation is a pure function of ``(SEED, conv_idx)`` — generation is
+embarrassingly parallel and reproducible regardless of partitioning, so the
+same corpus can be produced by a plain loop (tests) or by
+``ray.data.range(n).map_batches`` (large scale) with identical bytes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import schema as S
+from .functions import rules as R
+
+SEED = 42
+CORPUS_VERSION = "v1"
+BASE_EPOCH = 1_767_225_600  # 2026-01-01T00:00:00Z
+CORPUS_ROOT = "/tmp/joern_ray_corpus"
+
+GT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("subj_kind", pa.string()),
+    ("subj", pa.string()),           # canonical
+    ("pred", pa.string()),
+    ("obj_kind", pa.string()),
+    ("obj", pa.string()),            # canonical
+])
+
+
+def _skew_index(rng: np.random.Generator, n: int, alpha: float = 2.5) -> int:
+    """Zipf-ish skewed index in [0, n): index 0 is the hot key."""
+    return min(n - 1, int(n * (rng.random() ** alpha)))
+
+
+def _pick_person(rng) -> str:
+    return R.PERSONS[_skew_index(rng, len(R.PERSONS))]
+
+
+def _pick_org(rng) -> tuple[str, str]:
+    """Returns (surface, canonical). 15% of surfaces carry a deterministic
+    typo (doubled last letter) so fuzzy MinHash linking is exercised."""
+    base = R.ORG_BASES[_skew_index(rng, len(R.ORG_BASES))]
+    variant = base + base[-1] if rng.random() < 0.15 else base
+    suffix = R.ORG_SUFFIXES[int(rng.integers(0, len(R.ORG_SUFFIXES)))]
+    return f"{variant} {suffix}", base.lower()
+
+
+def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
+    """Pure per-conversation generator → (transcript rows, ground-truth triples)."""
+    rng = np.random.default_rng((SEED, conv_idx))
+    conv_id = f"conv{conv_idx:08d}"
+    n = int(rng.integers(6, 27))
+    rows: list[dict] = []
+    gts: list[dict] = []
+    last_person: str | None = None  # surface form
+
+    def add_row(t, role, text, tool=None):
+        rows.append(dict(
+            conv_id=conv_id, turn_idx=t, role=role, text=text, tool=tool,
+            ts=(BASE_EPOCH + conv_idx * 3600 + t * 7) * 1_000_000,
+        ))
+
+    def add_gt(t, sk, s, p, ok, o):
+        gts.append(dict(conv_id=conv_id, turn_idx=t, subj_kind=sk, subj=s,
+                        pred=p, obj_kind=ok, obj=o))
+
+    t = 0
+    while t < n:
+        role = "user" if t % 2 == 0 else "assistant"
+        r = rng.random()
+        if r < 0.12 and last_person is not None:
+            pred, _, obj_kind = R.PRONOUN_TEMPLATES[int(rng.integers(0, 2))]
+            pronoun = R.PRONOUNS[int(rng.integers(0, 2))]
+            if obj_kind == "org":
+                obj_surface, obj_canon = _pick_org(rng)
+                text = f"{pronoun} works at {obj_surface}."
+            else:
+                obj_surface = obj_canon = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
+                text = f"{pronoun} uses {obj_surface} daily."
+            add_row(t, role, text)
+            add_gt(t, "person", last_person.lower(), pred, obj_kind, obj_canon)
+        elif r < 0.45:
+            ti = int(rng.integers(0, len(R.TEMPLATES)))
+            pred, _, sk, ok = R.TEMPLATES[ti]
+            if pred == "works_at":
+                subj = _pick_person(rng)
+                obj_surface, obj_canon = _pick_org(rng)
+                text = f"{subj} works at {obj_surface}."
+                subj_canon = subj.lower()
+                last_person = subj
+            elif pred == "reported_bug":
+                subj = _pick_person(rng)
+                obj_surface = obj_canon = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
+                text = f"{subj} reported a bug in {obj_surface}."
+                subj_canon = subj.lower()
+                last_person = subj
+            elif pred == "uses":
+                subj = _pick_person(rng)
+                obj_surface = obj_canon = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
+                text = f"{subj} uses {obj_surface} daily."
+                subj_canon = subj.lower()
+                last_person = subj
+            elif pred == "acquired":
+                s_surface, subj_canon = _pick_org(rng)
+                obj_surface, obj_canon = _pick_org(rng)
+                while obj_canon == subj_canon:
+                    obj_surface, obj_canon = _pick_org(rng)
+                text = f"{s_surface} acquired {obj_surface}."
+            else:  # met
+                subj = _pick_person(rng)
+                obj_surface = _pick_person(rng)
+                while obj_surface == subj:
+                    obj_surface = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+                obj_canon = obj_surface.lower()
+                text = f"{subj} met with {obj_surface}."
+                subj_canon = subj.lower()
+                last_person = obj_surface  # object is the later person slot
+            add_row(t, role, text)
+            add_gt(t, sk, subj_canon, pred, ok, obj_canon)
+        elif r < 0.58 and t + 1 < n:
+            tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
+            add_row(t, "assistant", f"Calling {tool} now.")
+            n_items = int(rng.integers(1, 100))
+            add_row(t + 1, "tool", f"result: ok ({n_items} items)", tool=tool)
+            add_gt(t + 1, "conv", conv_id, R.INVOKED_PRED, "tool", tool)
+            t += 2
+            continue
+        else:
+            add_row(t, role, R.FILLERS[int(rng.integers(0, len(R.FILLERS)))])
+        t += 1
+    return rows, gts
+
+
+def _rows_to_table(rows: list[dict], sch: pa.Schema) -> pa.Table:
+    cols = {f.name: [r.get(f.name) for r in rows] for f in sch}
+    return pa.Table.from_pydict(cols, schema=sch)
+
+
+def n_convs_for_sf(sf: float) -> int:
+    return max(32, int(125_000 * sf))
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return float(name.replace("sf", "")) if name.startswith("sf") else 0.001
+
+
+def generate_corpus(n_convs: int) -> tuple[pa.Table, pa.Table]:
+    """Plain-loop generation (used for test scales; Ray path in sources/)."""
+    rows: list[dict] = []
+    gts: list[dict] = []
+    for i in range(n_convs):
+        r, g = gen_conversation(i)
+        rows.extend(r)
+        gts.extend(g)
+    t = _rows_to_table(rows, S.TRANSCRIPTS)
+    # deterministic row shuffle: the on-disk corpus must not rely on
+    # conversation-contiguous layout (pipelines may not assume grouped input)
+    perm = np.random.default_rng(SEED).permutation(t.num_rows)
+    return t.take(pa.array(perm)), _rows_to_table(gts, GT_SCHEMA)
+
+
+def corpus_dir(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(CORPUS_ROOT, CORPUS_VERSION, name)
+
+
+def ensure_corpus(sf_dir: str) -> str:
+    """Idempotently materialize the corpus for a testdata sf dir; returns the
+    corpus directory containing transcripts.parquet + gt_triples.parquet."""
+    d = corpus_dir(sf_dir)
+    tp = os.path.join(d, "transcripts.parquet")
+    gp = os.path.join(d, "gt_triples.parquet")
+    done = os.path.join(d, "_SUCCESS")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    transcripts, gt = generate_corpus(n_convs_for_sf(sf_from_dir(sf_dir)))
+    pq.write_table(transcripts, tp, row_group_size=64 * 1024)
+    pq.write_table(gt, gp)
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def transcripts_path(sf_dir: str) -> str:
+    return os.path.join(ensure_corpus(sf_dir), "transcripts.parquet")
+
+
+def gt_path(sf_dir: str) -> str:
+    return os.path.join(ensure_corpus(sf_dir), "gt_triples.parquet")

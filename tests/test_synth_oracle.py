@@ -1,0 +1,88 @@
+"""Corpus generator determinism + oracle extractor sanity (no Ray needed)."""
+
+import pyarrow as pa
+
+from joern_ray import synth
+from joern_ray.extract import oracle
+from joern_ray.functions import rules as R
+
+
+def test_generation_deterministic():
+    a_rows, a_gt = synth.gen_conversation(7)
+    b_rows, b_gt = synth.gen_conversation(7)
+    assert a_rows == b_rows and a_gt == b_gt
+    c_rows, _ = synth.gen_conversation(8)
+    assert c_rows != a_rows
+    assert all(r["conv_id"] == "conv00000007" for r in a_rows)
+    idxs = [r["turn_idx"] for r in a_rows]
+    assert idxs == sorted(idxs) and len(set(idxs)) == len(idxs)
+
+
+def test_corpus_table_schema():
+    t, gt = synth.generate_corpus(16)
+    assert t.schema.names == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert t.schema.field("ts").type == pa.timestamp("us")
+    assert t.num_rows > 16 * 5
+    assert gt.num_rows > 0
+    # deterministic end to end
+    t2, gt2 = synth.generate_corpus(16)
+    assert t.equals(t2) and gt.equals(gt2)
+
+
+def test_oracle_matches_ground_truth_surface_level():
+    """The oracle extractor run over generated text must recover exactly the
+    generator's ground-truth facts (at the turn/predicate level; org surfaces
+    differ from canonical until linking, so org names are compared modulo
+    normalization + the deterministic typo class)."""
+    n = 64
+    rows_all, gt_all = [], []
+    for i in range(n):
+        r, g = synth.gen_conversation(i)
+        rows_all.extend(r)
+        gt_all.extend(g)
+    pred = oracle.extract_all(rows_all)
+    assert len(pred) == len(gt_all)
+
+    org_alias = {}
+    for base in R.ORG_BASES:
+        b = base.lower()
+        org_alias[b] = b
+        org_alias[b + b[-1]] = b  # deterministic doubled-letter typo variant
+
+    def canon(kind, surface):
+        s = R.normalize_surface(kind, surface)
+        if kind == "org":
+            s = org_alias[s]
+        return s
+
+    pk = {(d["conv_id"], d["turn_idx"], canon(d["subj_kind"], d["subj"]),
+           d["pred"], canon(d["obj_kind"], d["obj"])) for d in pred}
+    tk = {(d["conv_id"], d["turn_idx"], d["subj"], d["pred"], d["obj"])
+          for d in gt_all}
+    assert pk == tk
+
+
+def test_no_template_collisions_on_fillers():
+    rows = [dict(conv_id="c", turn_idx=i, role="user", text=f, tool=None)
+            for i, f in enumerate(R.FILLERS)]
+    assert oracle.extract_all(rows) == []
+
+
+def test_pronoun_resolution_rule():
+    rows = [
+        dict(conv_id="c", turn_idx=0, role="user", text="Alice met with Bob.", tool=None),
+        dict(conv_id="c", turn_idx=1, role="assistant", text="She works at Acme Corp.", tool=None),
+        dict(conv_id="c", turn_idx=2, role="user", text="Carol uses search daily.", tool=None),
+        dict(conv_id="c", turn_idx=3, role="user", text="He uses browser daily.", tool=None),
+    ]
+    out = oracle.extract_all(rows)
+    by_turn = {d["turn_idx"]: d for d in out}
+    # turn 1: referent is Bob (object slot is later in sentence order)
+    assert by_turn[1]["subj"] == "Bob" and by_turn[1]["pred"] == "works_at"
+    assert by_turn[3]["subj"] == "Carol"
+
+
+def test_unresolvable_pronoun_emits_nothing():
+    rows = [dict(conv_id="c", turn_idx=0, role="user",
+                 text="She works at Acme Corp.", tool=None)]
+    assert oracle.extract_all(rows) == []
