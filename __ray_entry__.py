@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in joern_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``        — flagship KG pipeline on the sf0.001 synthetic corpus.
+- ``queries()``      — one entry per implemented operator/pipeline
+                       (SURVEY.md §2 + training-data ops).
+- ``oracle_sql()``   — DuckDB-equivalent SQL for the SQL-expressible subset;
+                       transcript-based oracles read the deterministic
+                       synthetic corpus parquet (generated idempotently,
+                       same bytes every run — see joern_ray/synth.py).
 """
 
 from __future__ import annotations
@@ -18,27 +17,182 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMALL = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _transcripts(sf_dir: str):
+    import ray.data
+    from joern_ray import synth
+    return ray.data.read_parquet(synth.transcripts_path(sf_dir))
+
+
+def _oracle_transcripts_path() -> str:
+    from joern_ray import synth
+    return synth.transcripts_path(SF_ORACLE)
+
+
+def _surface_triples_sql(transcripts_rel: str) -> str:
+    """Programmatically build the UNION ALL regex-extraction oracle from the
+    shared rule pack (single source of truth for patterns)."""
+    from joern_ray.functions import rules as R
+    parts = []
+    for pred, rx, _sk, _ok in R.TEMPLATES:
+        rx_sql = rx.replace("(?P<subj>", "(").replace("(?P<obj>", "(")
+        parts.append(f"""
+        SELECT conv_id, turn_idx,
+               regexp_extract(text, '{rx_sql}', 1) AS subj,
+               '{pred}' AS pred,
+               regexp_extract(text, '{rx_sql}', 2) AS obj
+        FROM {transcripts_rel}
+        WHERE regexp_matches(text, '{rx_sql}')
+          AND regexp_extract(text, '{rx_sql}', 1) NOT IN ('She', 'He')
+          AND NOT regexp_matches(text, '^(She|He) ')""")
+    parts.append(f"""
+        SELECT conv_id, turn_idx, conv_id AS subj, 'invoked' AS pred,
+               tool AS obj
+        FROM {transcripts_rel}
+        WHERE role = 'tool' AND tool IS NOT NULL""")
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: transcripts → canonical triples."""
+    from joern_ray.pipelines import kg
+    res = kg.build_graph(_transcripts(SF_SMALL))
+    return res["triples_canonical"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from joern_ray.pipelines import ann as A
+    from joern_ray.pipelines import kg
+    from joern_ray.pipelines import relational as REL
+    from joern_ray.pipelines import text as T
+    from joern_ray.stages import extract as X
+    from joern_ray.stages import multimodal as MM
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    import pyarrow.compute as pc
+
+    # -- knowledge-graph construction -----------------------------------
+    def kg_turns(sf_dir):
+        import pyarrow as pa
+        ds = _transcripts(sf_dir)
+        return ds.map_batches(
+            lambda t: t.select(["conv_id", "turn_idx", "role", "text"]),
+            batch_format="pyarrow")
+
+    def kg_triples_surface(sf_dir):
+        ds = _transcripts(sf_dir)
+        ev = ds.map_batches(X.extract_events, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        return ev.map_batches(
+            lambda t: t.filter(pc.equal(t.column("etype"), "triple"))
+                       .select(["conv_id", "turn_idx", "subj", "pred", "obj"]),
+            batch_format="pyarrow")
+
+    def kg_triples_resolved(sf_dir):
+        return X.extract_triples(_transcripts(sf_dir)).map_batches(
+            lambda t: t.select(["conv_id", "turn_idx", "subj", "pred", "obj"]),
+            batch_format="pyarrow")
+
+    def kg_next_turn_edges(sf_dir):
+        from joern_ray.stages import materialize as M
+        return _transcripts(sf_dir).map_batches(
+            M.next_turn_edges, batch_format="pyarrow").map_batches(
+            lambda t: t.select(["src", "dst", "conv_id", "turn_idx"]),
+            batch_format="pyarrow")
+
+    def kg_triples_canonical(sf_dir):
+        return kg.build_graph(_transcripts(sf_dir))["triples_canonical"]
+
+    def kg_entities(sf_dir):
+        return kg.build_graph(_transcripts(sf_dir))["entities"].map_batches(
+            lambda t: t.select(["kind", "norm", "canonical", "entity_id"])
+            if t.num_columns else t,
+            batch_format="pyarrow")
+
+    def kg_nodes(sf_dir):
+        return kg.build_graph(_transcripts(sf_dir))["nodes"]
+
+    def kg_edges(sf_dir):
+        return kg.build_graph(_transcripts(sf_dir))["edges"]
+
+    # -- multimodal (stubbed decode, real plumbing) ---------------------
+    def multimodal_features(sf_dir):
+        return MM.media_features(sf_dir)
+
+    return {
+        # KG construction (SURVEY.md §2.2/2.4/2.6)
+        "kg_turns": kg_turns,
+        "kg_triples_surface": kg_triples_surface,
+        "kg_triples_resolved": kg_triples_resolved,
+        "kg_next_turn_edges": kg_next_turn_edges,
+        "kg_triples_canonical": kg_triples_canonical,
+        "kg_entities": kg_entities,
+        "kg_nodes": kg_nodes,
+        "kg_edges": kg_edges,
+        # relational layer (SURVEY.md §2.4/2.5/2.7/2.8)
+        "rel_q1_pricing": REL.q1_pricing,
+        "rel_topk_orders": REL.topk_orders,
+        "rel_orders_by_segment": REL.orders_by_segment,
+        "rel_customers_without_orders": REL.customers_without_orders,
+        "rel_suppliers_with_shipments": REL.suppliers_with_shipments,
+        "rel_distinct_part_types": REL.distinct_part_types,
+        "rel_revenue_by_nation": REL.revenue_by_nation,
+        "rel_events_by_user": REL.events_by_user,
+        "rel_filter_project_parts": REL.filter_project_parts,
+        # text analysis + dedup (training-data ops)
+        "text_stats": T.text_stats,
+        "text_lang_id": T.lang_id,
+        "text_fingerprint": T.doc_fingerprint,
+        "dedup_exact": T.dedup_exact,
+        "dedup_minhash": T.dedup_minhash,
+        "dedup_simhash": T.dedup_simhash,
+        # similarity search
+        "ann_topk": A.ann_bruteforce,
+        "ann_lsh": A.ann_lsh,
+        "embedding_neardup": A.embedding_neardup,
+        # multimodal plumbing
+        "multimodal_features": multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from joern_ray.pipelines import ann as A
+    from joern_ray.pipelines import relational as REL
+    from joern_ray.pipelines import text as T
+
+    tp = _oracle_transcripts_path()  # idempotent deterministic generation
+    tr = f"read_parquet('{tp}')"
+
+    return {
+        "kg_turns": f"SELECT conv_id, turn_idx, role, text FROM {tr}",
+        "kg_triples_surface": _surface_triples_sql(tr),
+        "kg_next_turn_edges": f"""
+            SELECT conv_id || '#' || CAST(turn_idx - 1 AS VARCHAR) AS src,
+                   conv_id || '#' || CAST(turn_idx AS VARCHAR) AS dst,
+                   conv_id, turn_idx
+            FROM {tr} WHERE turn_idx > 0""",
+        "rel_q1_pricing": REL.q1_pricing_sql(),
+        "rel_topk_orders": REL.topk_orders_sql(),
+        "rel_orders_by_segment": REL.orders_by_segment_sql(),
+        "rel_customers_without_orders": REL.customers_without_orders_sql(),
+        "rel_suppliers_with_shipments": REL.suppliers_with_shipments_sql(),
+        "rel_distinct_part_types": REL.distinct_part_types_sql(),
+        "rel_revenue_by_nation": REL.revenue_by_nation_sql(),
+        "rel_events_by_user": REL.events_by_user_sql(),
+        "rel_filter_project_parts": REL.filter_project_parts_sql(),
+        "text_stats": T.text_stats_sql(),
+        "text_lang_id": T.lang_id_sql(),
+        "text_fingerprint": T.doc_fingerprint_sql(),
+        "dedup_exact": T.dedup_exact_sql(),
+        "ann_topk": A.ann_bruteforce_sql(),
+    }

@@ -1,0 +1,182 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul against a
+broadcast query matrix (`ray.put` once, zero-copy numpy view per batch).
+Scale path: LSH-bucketed variant (random-hyperplane signs) that prunes the
+candidate set before exact scoring.  Embedding near-dup detection reuses the
+same kernel with a similarity threshold.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+TOP_K = 10
+N_QUERIES = 5
+
+
+def _p(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "embeddings.parquet")
+
+
+def _matrix(t: pa.Table) -> np.ndarray:
+    col = t.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    t = pq.read_table(_p(sf_dir), columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t.column("vec_id"), N_QUERIES))
+    t = t.sort_by("vec_id")
+    return (t.column("vec_id").to_numpy(), _norm_rows(_matrix(t)))
+
+
+def ann_bruteforce(sf_dir: str):
+    """(query_id, rank, vec_id) exact cosine top-k per query vector.
+
+    Per-batch scores stream through a per-query groupby that keeps only the
+    local top-k per batch first (combiner) so the global exchange carries
+    k·n_batches rows, not the full score matrix.
+    """
+    qids, qmat = _query_matrix(sf_dir)
+    qref = ray.put((qids, qmat))
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        qids_, qmat_ = ray.get(qref)
+        vecs = _norm_rows(_matrix(t))
+        sims = vecs @ qmat_.T  # (n, q)
+        vec_ids = t.column("vec_id").to_numpy()
+        out_q, out_v, out_s = [], [], []
+        k = min(TOP_K, len(vec_ids))
+        for qi in range(len(qids_)):
+            s = sims[:, qi]
+            # local top-k combiner (argpartition, then exact order later)
+            idx = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            out_q.extend([int(qids_[qi])] * len(idx))
+            out_v.extend(vec_ids[idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    def topk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("sim", "descending"), ("vec_id", "ascending")])
+        g = g.slice(0, TOP_K)
+        n = g.num_rows
+        return pa.table({"query_id": g.column("query_id"),
+                         "rank": pa.array(range(1, n + 1), pa.int64()),
+                         "vec_id": g.column("vec_id")})
+
+    scores = ds.map_batches(score, batch_format="pyarrow")
+    return scores.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
+def ann_bruteforce_sql() -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES})
+    SELECT query_id, rank, vec_id FROM (
+      SELECT q.qid AS query_id, e.vec_id,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                        e.vec_id) AS rank
+      FROM q CROSS JOIN embeddings e) t
+    WHERE rank <= {TOP_K}
+    """
+
+
+N_PLANES = 8
+_planes_rng = np.random.default_rng(77)
+
+
+def ann_lsh(sf_dir: str, *, dim: int = 64):
+    """LSH-bucketed ANN (scale path): random-hyperplane sign buckets prune
+    candidates; exact cosine only within the query's bucket ring."""
+    planes = _planes_rng.standard_normal((dim, N_PLANES))
+    qids, qmat = _query_matrix(sf_dir)
+    qsig = (qmat @ planes) > 0
+    qbuckets = {int(q): int(sig.dot(1 << np.arange(N_PLANES)))
+                for q, sig in zip(qids, qsig)}
+    qref = ray.put((qids, qmat, qbuckets))
+    pref = ray.put(planes)
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        qids_, qmat_, qb = ray.get(qref)
+        planes_ = ray.get(pref)
+        vecs = _norm_rows(_matrix(t))
+        sig = ((vecs @ planes_) > 0).dot(1 << np.arange(N_PLANES)).astype(int)
+        vec_ids = t.column("vec_id").to_numpy()
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            qbucket = qb[int(qids_[qi])]
+            # ring: same bucket or hamming distance 1 (probe neighbors)
+            ham = np.array([bin(int(s) ^ qbucket).count("1") for s in sig])
+            cand = np.nonzero(ham <= 1)[0]
+            if len(cand) == 0:
+                continue
+            s = vecs[cand] @ qmat_[qi]
+            out_q.extend([int(qids_[qi])] * len(cand))
+            out_v.extend(vec_ids[cand].tolist())
+            out_s.extend(s.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    def topk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("sim", "descending"), ("vec_id", "ascending")])
+        g = g.slice(0, TOP_K)
+        return pa.table({"query_id": g.column("query_id"),
+                         "rank": pa.array(range(1, g.num_rows + 1), pa.int64()),
+                         "vec_id": g.column("vec_id")})
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .groupby("query_id").map_groups(topk, batch_format="pyarrow"))
+
+
+def embedding_neardup(sf_dir: str, *, threshold: float = 0.95):
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking."""
+    planes = _planes_rng.standard_normal((64, N_PLANES))
+    pref = ray.put(planes)
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        planes_ = ray.get(pref)
+        vecs = _norm_rows(_matrix(t))
+        sig = ((vecs @ planes_) > 0).dot(1 << np.arange(N_PLANES)).astype(np.int64)
+        return pa.table({"bucket": pa.array(sig, pa.int64()),
+                         "vec_id": t.column("vec_id"),
+                         "embedding": t.column("embedding")})
+
+    def pairs(group: pa.Table) -> pa.Table:
+        g = group.sort_by("vec_id")
+        if g.num_rows > 256:
+            g = g.slice(0, 256)  # bucket cap (bail-out guard)
+        vecs = _norm_rows(_matrix(g))
+        ids = g.column("vec_id").to_numpy()
+        sims = vecs @ vecs.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pa.table({"a": pa.array(ids[ii], pa.int64()),
+                         "b": pa.array(ids[jj], pa.int64()),
+                         "sim": pa.array(sims[ii, jj], pa.float64())})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(pairs, batch_format="pyarrow"))

@@ -1,0 +1,110 @@
+"""Flagship pipeline: transcripts → knowledge graph (nodes/edges Parquet).
+
+Stage graph (each stage = Dataset→Dataset; shuffle boundaries marked):
+
+  transcripts ──map_batches──► events ──groupby(conv_id)*──► triples_surface
+  triples_surface ──map_batches──► mentions ──groupby(kind,norm)*──► vocab
+  vocab ──LSH groupby* + union-find*──► entities  (small table)
+  triples_surface ──map_batches + broadcast(entities)──► triples_canonical
+  transcripts ──map_batches──► turn/conv nodes     (no shuffle)
+  entities ──groupby*──► entity nodes              (small)
+  transcripts + triples_canonical ──map_batches──► edges (no extra shuffle)
+
+(*) = all-to-all exchange.  Only extraction-event/vocab-sized rows are ever
+shuffled; the wide ``text`` column moves exclusively through narrow
+map_batches stages (SURVEY.md §7 hard part 5).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .. import schema as S
+from ..stages import extract as X
+from ..stages import link as L
+from ..stages import materialize as M
+from ..state.manifest import Manifest
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool"]
+
+
+def read_transcripts(path: str) -> "ray.data.Dataset":
+    """Column-pruned read: `ts` is never needed by the KG build."""
+    return ray.data.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+
+
+def conversation_nodes(transcripts_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """One CONVERSATION node per conv, derived shuffle-free from the turn-0
+    row every conversation has (instead of a distinct over all rows)."""
+    def fn(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t.column("turn_idx"), 0))
+        n = sub.num_rows
+        conv = sub.column("conv_id").cast(pa.string())
+        return pa.Table.from_arrays(
+            [conv, pa.array(["CONVERSATION"] * n, pa.string()),
+             pa.array(["conv"] * n, pa.string()), conv, conv,
+             pa.nulls(n, pa.int32()), pa.nulls(n, pa.string()),
+             pa.nulls(n, pa.string())],
+            schema=S.NODES)
+    return transcripts_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def build_graph(transcripts_ds: "ray.data.Dataset") -> dict:
+    """In-memory (lazy) build; returns the dict of result Datasets."""
+    triples = X.extract_triples(transcripts_ds).materialize()
+    mentions = triples.map_batches(L.mentions_from_triples,
+                                   batch_format="pyarrow")
+    vocab = L.vocab_from_mentions(mentions)
+    entities = L.build_entities(vocab).materialize()
+    lookup = M.entity_lookup_ref(entities)
+    canon = M.canonical_triples(triples, lookup)
+    nodes = (transcripts_ds.map_batches(M.turn_nodes, batch_format="pyarrow")
+             .union(conversation_nodes(transcripts_ds))
+             .union(M.entity_nodes(entities)))
+    edges = (transcripts_ds.map_batches(M.next_turn_edges,
+                                        batch_format="pyarrow")
+             .union(M.fact_and_mention_edges(canon)))
+    return dict(triples_surface=triples, entities=entities,
+                triples_canonical=canon, nodes=nodes, edges=edges)
+
+
+def build_checkpointed(input_path: str, out_dir: str) -> Manifest:
+    """Checkpointed build with resume: completed stages are skipped and
+    re-read from their Parquet outputs (overlays-ledger discipline)."""
+    man = Manifest(out_dir)
+    transcripts = read_transcripts(input_path)
+
+    triples = man.run_stage(
+        "triples_surface",
+        lambda: X.extract_triples(transcripts),
+        deps=["input"], fingerprint=True)
+
+    entities = man.run_stage(
+        "entities",
+        lambda: L.build_entities(L.vocab_from_mentions(
+            triples.map_batches(L.mentions_from_triples,
+                                batch_format="pyarrow"))),
+        deps=["triples_surface"], fingerprint=True)
+
+    canon = man.run_stage(
+        "triples_canonical",
+        lambda: M.canonical_triples(triples, M.entity_lookup_ref(entities)),
+        deps=["triples_surface", "entities"], fingerprint=True)
+
+    man.run_stage(
+        "nodes",
+        lambda: (transcripts.map_batches(M.turn_nodes, batch_format="pyarrow")
+                 .union(conversation_nodes(transcripts))
+                 .union(M.entity_nodes(entities))),
+        deps=["input", "entities"], fingerprint=True)
+
+    man.run_stage(
+        "edges",
+        lambda: (transcripts.map_batches(M.next_turn_edges,
+                                         batch_format="pyarrow")
+                 .union(M.fact_and_mention_edges(canon))),
+        deps=["input", "triples_canonical"], fingerprint=True)
+    return man

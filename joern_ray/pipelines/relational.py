@@ -1,0 +1,255 @@
+"""Relational operator pack over the TPC-H-ish testdata tables.
+
+These exercise the engine's generic relational layer — the Ray Data
+re-expression of the reference's linking/aggregation/set-op vocabulary
+(SURVEY.md §2.4/§2.5/§2.8): broadcast hash joins for dimension tables,
+partial-then-global aggregation, anti/semi joins for the stub-creation
+patterns, sort+limit, distinct.
+
+Numeric discipline for oracle parity: monetary sums are computed in integer
+cents (`round half-away-from-zero`, matching DuckDB) so results are exact
+and independent of float summation order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.joins import broadcast_join, table_of
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _cents(col) -> pa.ChunkedArray:
+    # 'half_towards_infinity' == round half away from zero == DuckDB round()
+    return pc.round(pc.multiply(col, 100.0), 0,
+                    round_mode="half_towards_infinity").cast(pa.int64())
+
+
+def _repartition_tidy(ds):
+    # hash aggregates emit schemaless empty blocks; merge them away so
+    # downstream consumers (and the driver's conversion) see a clean schema
+    return ds.repartition(4)
+
+
+def q1_pricing(sf_dir: str):
+    """TPC-H Q1 analog: per (returnflag, linestatus) pricing summary."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": t.column("l_quantity").cast(pa.int64()),
+            "base_cents": _cents(t.column("l_extendedprice")),
+            "disc_cents": _cents(pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(1.0, t.column("l_discount")))),
+        })
+
+    return _repartition_tidy(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum(on="qty", alias_name="sum_qty"),
+                   Sum(on="base_cents", alias_name="sum_base_cents"),
+                   Sum(on="disc_cents", alias_name="sum_disc_cents"),
+                   Count(alias_name="count_order")))
+
+
+def q1_pricing_sql() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+           count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def topk_orders(sf_dir: str):
+    """Global top-20 by total price, deterministic key tie-break."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort([("o_totalprice"), ("o_orderkey")],
+                   descending=[True, False]).limit(20)
+
+
+def topk_orders_sql() -> str:
+    return """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """
+
+
+def orders_by_segment(sf_dir: str):
+    """Broadcast dim join (orders ⋈ customer) + aggregate by segment."""
+    cust = table_of(_p(sf_dir, "customer"),
+                    columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, keys=["o_custkey"],
+                            right_keys=["c_custkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                         "total_cents": _cents(t.column("o_totalprice"))})
+
+    return _repartition_tidy(
+        joined.map_batches(prep, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum(on="total_cents", alias_name="total_cents")))
+
+
+def orders_by_segment_sql() -> str:
+    return """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """
+
+
+BIG_ORDER = 300_000.0
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti-join (the whereNot/stub-creation set-difference pattern):
+    customers that never placed a high-value order."""
+    orders = table_of(_p(sf_dir, "orders"),
+                      columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(pc.greater(orders.column("o_totalprice"), BIG_ORDER))
+    cust = ray.data.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    return broadcast_join(cust, big.select(["o_custkey"]),
+                          keys=["c_custkey"], right_keys=["o_custkey"],
+                          join_type="left anti")
+
+
+def customers_without_orders_sql() -> str:
+    return f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM orders WHERE o_totalprice > {BIG_ORDER})
+    """
+
+
+def suppliers_with_shipments(sf_dir: str):
+    """Semi-join."""
+    li = table_of(_p(sf_dir, "lineitem"), columns=["l_suppkey"])
+    li = li.group_by("l_suppkey").aggregate([])  # local distinct first
+    sup = ray.data.read_parquet(
+        _p(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    return broadcast_join(sup, li, keys=["s_suppkey"],
+                          right_keys=["l_suppkey"], join_type="left semi")
+
+
+def suppliers_with_shipments_sql() -> str:
+    return """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+    """
+
+
+def distinct_part_types(sf_dir: str):
+    """Global distinct with per-batch combiner (TypeNodePass set-union)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "part"), columns=["p_type"])
+    return _repartition_tidy(
+        ds.map_batches(lambda t: t.group_by("p_type").aggregate([]),
+                       batch_format="pyarrow")
+        .groupby("p_type").aggregate(Count(alias_name="nb"))
+        .map_batches(lambda t: (t.select(["p_type"]) if t.num_columns
+                                else pa.schema([("p_type", pa.string())]).empty_table()),
+                     batch_format="pyarrow"))
+
+
+def distinct_part_types_sql() -> str:
+    return "SELECT DISTINCT p_type FROM part"
+
+
+def revenue_by_nation(sf_dir: str):
+    """Multi-hop dim join: orders ⋈ customer ⋈ nation → revenue per nation."""
+    cust = table_of(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = table_of(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    # compose the two small dims driver-side (they stay tiny), broadcast once
+    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"])
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim.select(["c_custkey", "n_name"]),
+                            keys=["o_custkey"], right_keys=["c_custkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"n_name": t.column("n_name"),
+                         "revenue_cents": _cents(t.column("o_totalprice"))})
+
+    return _repartition_tidy(
+        joined.map_batches(prep, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum(on="revenue_cents", alias_name="revenue_cents")))
+
+
+def revenue_by_nation_sql() -> str:
+    return """
+    SELECT n_name, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """
+
+
+def events_by_user(sf_dir: str):
+    """Stream-table aggregate: per-user activity summary."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "value_cents": _cents(t.column("value"))})
+
+    return _repartition_tidy(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"),
+                   Min(on="ts", alias_name="first_ts"),
+                   Max(on="ts", alias_name="last_ts"),
+                   Sum(on="value_cents", alias_name="value_cents")))
+
+
+def events_by_user_sql() -> str:
+    return """
+    SELECT user_id, count(*) AS n_events, min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY user_id
+    """
+
+
+def filter_project_parts(sf_dir: str):
+    """Predicate pushdown + projection at the read."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "part"),
+        columns=["p_partkey", "p_name", "p_type", "p_size"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("p_size"), 30)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def filter_project_parts_sql() -> str:
+    return "SELECT p_partkey, p_name, p_type, p_size FROM part WHERE p_size > 30"

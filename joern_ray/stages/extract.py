@@ -1,0 +1,130 @@
+"""Turn-level extraction stages (the per-unit parse of SURVEY.md §3.1).
+
+Stage A (``extract_events``) is a pure vectorized ``map_batches`` over raw
+transcript batches: all template regexes run as RE2 kernels
+(``pyarrow.compute.extract_regex``) — no Python loop over rows, no shuffle,
+and the wide ``text`` column never leaves this stage (SURVEY.md §7 hard part
+5: shuffle keys, not payloads).  Reference analog: the per-file
+AstCreationPass (``c2cpg/passes/AstCreationPass.scala:20-77``).
+
+Stage B (``resolve_triples``) shuffles only the *small* event rows with
+``groupby(conv_id).map_groups`` and resolves pronoun references under stable
+``turn_idx`` ordering — the conversation-local enrichment analog of the
+CFG/REACHING_DEF passes (conversation == method: group-local state, no
+distributed fixpoint; SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import schema as S
+from ..functions import rules as R
+
+_PRONOUN_SET = pa.array(list(R.PRONOUNS))
+
+
+def _events_table(n: int, conv, turn_idx, etype, subj, pred, obj, sk, ok) -> pa.Table:
+    def col(v, typ):
+        if isinstance(v, (pa.Array, pa.ChunkedArray)):
+            return v.cast(typ) if v.type != typ else v
+        return pa.array([v] * n, type=typ)
+    return pa.Table.from_arrays(
+        [col(conv, pa.string()), col(turn_idx, pa.int32()),
+         col(etype, pa.string()), col(subj, pa.string()),
+         col(pred, pa.string()), col(obj, pa.string()),
+         col(sk, pa.string()), col(ok, pa.string())],
+        schema=S.EVENTS)
+
+
+def extract_events(batch: pa.Table) -> pa.Table:
+    """Stage A: transcript batch → extraction-event rows (vectorized)."""
+    batch = batch.combine_chunks()
+    text = batch.column("text")
+    conv = batch.column("conv_id")
+    tidx = batch.column("turn_idx")
+    outs: list[pa.Table] = []
+
+    # tool-invocation facts come from metadata columns, not text
+    tool_mask = pc.and_kleene(pc.equal(batch.column("role"), "tool"),
+                              pc.is_valid(batch.column("tool")))
+    tool_mask = pc.fill_null(tool_mask, False)
+    if pc.any(tool_mask).as_py():
+        sub = batch.filter(tool_mask)
+        outs.append(_events_table(
+            sub.num_rows, sub.column("conv_id"), sub.column("turn_idx"),
+            "triple", sub.column("conv_id"), R.INVOKED_PRED,
+            sub.column("tool"), "conv", "tool"))
+
+    # pronoun templates first (their sentences also match the person-subject
+    # shape; the oracle applies the same precedence)
+    pronoun_matched = pa.array([False] * batch.num_rows, pa.bool_())
+    for pred, rx, ok in R.PRONOUN_TEMPLATES:
+        ex = pc.extract_regex(text, rx)
+        mask = pc.is_valid(ex)
+        pronoun_matched = pc.or_(pronoun_matched, mask)
+        if not pc.any(mask).as_py():
+            continue
+        idx = pc.indices_nonzero(mask)
+        outs.append(_events_table(
+            len(idx), conv.take(idx), tidx.take(idx), "pronoun",
+            pa.array([None] * len(idx), pa.string()), pred,
+            pc.struct_field(ex, "obj").take(idx), "person", ok))
+
+    for pred, rx, sk, ok in R.TEMPLATES:
+        ex = pc.extract_regex(text, rx)
+        mask = pc.is_valid(ex)
+        if not pc.any(mask).as_py():
+            continue
+        subj = pc.struct_field(ex, "subj")
+        not_pron = pc.invert(pc.fill_null(
+            pc.is_in(subj, value_set=_PRONOUN_SET), False))
+        mask = pc.and_(pc.and_(mask, not_pron), pc.invert(pronoun_matched))
+        if not pc.any(mask).as_py():
+            continue
+        idx = pc.indices_nonzero(mask)
+        outs.append(_events_table(
+            len(idx), conv.take(idx), tidx.take(idx), "triple",
+            subj.take(idx), pred, pc.struct_field(ex, "obj").take(idx),
+            sk, ok))
+
+    if not outs:
+        return S.EVENTS.empty_table()
+    return pa.concat_tables(outs)
+
+
+def _resolve_group(group: pa.Table) -> pa.Table:
+    """Stage B group fn: one conversation's events, any order in, surface
+    triples out (pronouns resolved under stable turn ordering)."""
+    group = group.sort_by([("turn_idx", "ascending")])
+    etypes = group.column("etype")
+    has_pronoun = pc.any(pc.equal(etypes, "pronoun")).as_py()
+    if not has_pronoun:
+        return group.drop_columns(["etype"])
+    rows = group.to_pylist()
+    keep: list[dict] = []
+    last_person: str | None = None
+    for r in rows:
+        if r["etype"] == "pronoun":
+            if last_person is not None:
+                r = dict(r, subj=last_person)
+                keep.append(r)
+            continue
+        keep.append(r)
+        if r["obj_kind"] == "person":
+            last_person = r["obj"]
+        elif r["subj_kind"] == "person":
+            last_person = r["subj"]
+    if not keep:
+        return S.TRIPLES_SURFACE.empty_table()
+    t = pa.Table.from_pylist(keep, schema=S.EVENTS)
+    return t.drop_columns(["etype"])
+
+
+def extract_triples(transcripts_ds, *, num_partitions: int | None = None):
+    """Full extraction: transcripts Dataset → surface-triples Dataset."""
+    events = transcripts_ds.map_batches(
+        extract_events, batch_format="pyarrow", zero_copy_batch=True)
+    return events.groupby("conv_id").map_groups(
+        _resolve_group, batch_format="pyarrow")

@@ -1,0 +1,166 @@
+"""Entity linking: mentions → normalized keys → MinHash/LSH candidate
+blocking → verified coreference edges → union-find → canonical entities.
+
+Reference analogs (SURVEY.md §2.4/§2.6):
+- normalization before lookup          ↔ ``Dereference.dereferenceTypeFullName``
+- candidate-set generation by blocking ↔ ``DynamicCallLinker`` SAFEDISPATCH
+  candidate sets (``DynamicCallLinker.scala:25-224``)
+- exact get-or-create on canonical key ↔ ``TypeDeclStubCreator`` /
+  ``FileCreationPass`` anti-join + groupby.first
+- set-union + sort for determinism     ↔ ``TypeNodePass.scala:44-58``
+
+Skew handling (SURVEY.md §4): mention→vocab dedup is two-phase (per-batch
+local distinct combiner, then the global groupby) so hot entities (Zipfian
+mentions) never funnel raw mention rows into one reducer; LSH buckets are
+size-capped.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count
+
+from .. import schema as S
+from ..functions import hashing as H
+from ..functions import rules as R
+from .cc import connected_components
+
+_ORG_STOP_RE = r"\b(corp|corporation|inc|labs|llc|ltd|the|group)\b"
+LSH_BUCKET_CAP = 64
+
+
+def normalize_arrays(kind: pa.ChunkedArray, surface) -> pa.Array:
+    """Vectorized mirror of rules.normalize_surface (must stay in lockstep)."""
+    low = pc.utf8_trim_whitespace(pc.utf8_lower(surface))
+    stripped = pc.replace_substring_regex(low, _ORG_STOP_RE, "")
+    squeezed = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(stripped, r"\s+", " "))
+    # empty-after-strip falls back to the lowercased surface (rules.py parity)
+    org_norm = pc.if_else(pc.equal(squeezed, ""), low, squeezed)
+    out = pc.if_else(pc.equal(kind, "org"), org_norm, low)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def mentions_from_triples(batch: pa.Table) -> pa.Table:
+    """Surface triples batch → mention rows (subject + object slots)."""
+    parts = []
+    for side, kind_col in (("subj", "subj_kind"), ("obj", "obj_kind")):
+        surf = batch.column(side)
+        kind = batch.column(kind_col)
+        parts.append(pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "kind": kind,
+            "surface": surf,
+            "norm": normalize_arrays(kind, surf),
+        }))
+    return S.MENTIONS.empty_table() if not parts else pa.concat_tables(parts)
+
+
+def _local_distinct(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: collapse duplicate (kind, norm) before the global
+    shuffle — the partial-aggregation pattern for hot-key skew."""
+    if batch.num_rows == 0 or batch.num_columns == 0:
+        return pa.schema([("kind", pa.string()), ("norm", pa.string())]).empty_table()
+    return batch.select(["kind", "norm"]).group_by(["kind", "norm"]).aggregate([])
+
+
+def vocab_from_mentions(mentions_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distinct (kind, norm) vocabulary — the entity directory to link."""
+    return (mentions_ds
+            .map_batches(_local_distinct, batch_format="pyarrow")
+            .groupby(["kind", "norm"])
+            .aggregate(Count(alias_name="n_parts"))
+            .repartition(8))
+
+
+def _lsh_keys_batch(batch: pa.Table) -> pa.Table:
+    """Fuzzy-kind vocab rows → (bucket, kind, norm) LSH band rows."""
+    kinds = batch.column("kind").to_pylist()
+    norms = batch.column("norm").to_pylist()
+    out_bucket, out_kind, out_norm = [], [], []
+    for kind, norm in zip(kinds, norms):
+        sig = H.minhash_signature(R.char_shingles(norm))
+        for bk in H.band_keys(sig):
+            out_bucket.append(f"{kind}|{bk}")
+            out_kind.append(kind)
+            out_norm.append(norm)
+    return pa.table({"bucket": pa.array(out_bucket, pa.string()),
+                     "kind": pa.array(out_kind, pa.string()),
+                     "norm": pa.array(out_norm, pa.string())})
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """One LSH bucket → verified coreference edges (Jaccard >= threshold).
+
+    Buckets are capped at LSH_BUCKET_CAP members (sorted, deterministic) —
+    the bail-out analog of the reference's 4000-defs dataflow cap
+    (``ReachingDefPass.scala:40-52``)."""
+    norms = sorted(set(group.column("norm").to_pylist()))
+    if len(norms) > LSH_BUCKET_CAP:
+        norms = norms[:LSH_BUCKET_CAP]
+    kind = group.column("kind")[0].as_py()
+    a_out, b_out = [], []
+    shingles = {n: R.char_shingles(n) for n in norms}
+    for i in range(len(norms)):
+        for j in range(i + 1, len(norms)):
+            if R.jaccard(shingles[norms[i]], shingles[norms[j]]) >= R.FUZZY_JACCARD_THRESHOLD:
+                a_out.append(f"{kind}\x00{norms[i]}")
+                b_out.append(f"{kind}\x00{norms[j]}")
+    return pa.table({"a": pa.array(a_out, pa.string()),
+                     "b": pa.array(b_out, pa.string())})
+
+
+def coref_edges(vocab_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """LSH blocking over fuzzy-kind vocabulary → deduped coreference edges."""
+    fuzzy_kinds = pa.array(sorted(R.FUZZY_KINDS))
+    fuzzy = vocab_ds.map_batches(
+        lambda t: (t.filter(pc.is_in(t.column("kind"), value_set=fuzzy_kinds))
+                   if t.num_columns else t),
+        batch_format="pyarrow")
+    keyed = fuzzy.map_batches(_lsh_keys_batch, batch_format="pyarrow")
+    pairs = keyed.groupby("bucket").map_groups(
+        _bucket_pairs, batch_format="pyarrow")
+    # same pair surfaces from multiple bands → exact dedup
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="nb")) \
+        .map_batches(lambda t: (t.select(["a", "b"]) if t.num_columns else
+                                pa.schema([("a", pa.string()), ("b", pa.string())]).empty_table()),
+                     batch_format="pyarrow") \
+        .repartition(8)
+
+
+def build_entities(vocab_ds: "ray.data.Dataset", *, max_iters: int = 12
+                   ) -> "ray.data.Dataset":
+    """Vocabulary → canonical entity table (schema S.ENTITIES).
+
+    Non-fuzzy kinds canonicalize to their own norm; fuzzy kinds go through
+    LSH + union-find and canonicalize to the component's min norm.
+    """
+    vocab = vocab_ds.materialize()
+    edges = coref_edges(vocab)
+    nodes = vocab.map_batches(
+        lambda t: pa.table({"node": pc.binary_join_element_wise(
+            t.column("kind").cast(pa.string()),
+            t.column("norm").cast(pa.string()), "\x00")}),
+        batch_format="pyarrow")
+    labels = connected_components(edges, nodes, max_iters=max_iters)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return S.ENTITIES.empty_table()
+        nodes_split = pc.split_pattern(t.column("node"), "\x00")
+        labels_split = pc.split_pattern(t.column("label"), "\x00")
+        kind = pc.list_element(nodes_split, 0)
+        norm = pc.list_element(nodes_split, 1)
+        canonical = pc.list_element(labels_split, 1)
+        ids = pa.array(
+            [e if k == "conv" else H.blake2_id(f"{k}:{e}")
+             for k, e in zip(kind.to_pylist(), canonical.to_pylist())],
+            pa.string())
+        return pa.table({"kind": kind, "norm": norm,
+                         "canonical": canonical, "entity_id": ids})
+
+    return labels.map_batches(finish, batch_format="pyarrow")

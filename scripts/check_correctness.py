@@ -1,0 +1,111 @@
+"""Local mimic of the round driver's correctness gate.
+
+Runs every __ray_entry__.queries() callable at sf0.01 and compares against
+oracle_sql() via DuckDB (row count + schema + order-insensitive values).
+
+Usage: python scripts/check_correctness.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def main() -> int:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    only = set(sys.argv[1:])
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            got = to_pandas(fn(SF))
+        except Exception as ex:
+            print(f"[FAIL-run ] {name}: {type(ex).__name__}: {ex}")
+            failures.append(name)
+            continue
+        dt = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(got)} rows, "
+                  f"{len(got.columns)} cols ({dt:.1f}s)")
+            if len(got) == 0 and name != "embedding_neardup":
+                print(f"           WARNING: zero rows")
+            continue
+        try:
+            want = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            print(f"[FAIL-sql ] {name}: {type(ex).__name__}: {ex}")
+            failures.append(name)
+            continue
+        g, w = normalize(got), normalize(want)
+        ok_rows = len(g) == len(w)
+        ok_cols = list(g.columns) == list(w.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                              check_exact=True)
+                ok_vals = True
+            except AssertionError as ex:
+                ok_vals = False
+                detail = str(ex).splitlines()[:6]
+        if ok_rows and ok_cols and ok_vals:
+            print(f"[OK       ] {name}: {len(g)} rows match ({dt:.1f}s)")
+        else:
+            print(f"[MISMATCH ] {name}: rows {len(g)} vs {len(w)}, "
+                  f"cols {list(g.columns)} vs {list(w.columns)}")
+            if ok_rows and ok_cols:
+                print("            " + " / ".join(detail))
+            failures.append(name)
+    print("\nFAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    code = main()
+    import ray
+    ray.shutdown()
+    sys.exit(code)

@@ -1,0 +1,57 @@
+"""Distributed extraction vs the serial oracle (P/R >= 0.95 gate)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from joern_ray import synth
+from joern_ray.extract import oracle
+from joern_ray.stages import extract as X
+
+
+def _table_triples(t: pa.Table) -> set:
+    return {(r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+            for r in t.to_pylist()}
+
+
+def test_extract_events_vectorized_matches_oracle_without_pronouns():
+    t, _ = synth.generate_corpus(48)
+    ev = X.extract_events(t)
+    # non-pronoun events must match oracle's non-pronoun triples exactly
+    got = {(r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+           for r in ev.to_pylist() if r["etype"] == "triple"}
+    ora = oracle.extract_all(t.to_pylist())
+    # drop oracle triples that came from pronoun turns: identified by re-run
+    # on events — easier: pronoun-derived triples have subj resolved; rebuild
+    # expected from gen: any oracle triple whose turn text starts with She/He
+    text_by = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.to_pylist()}
+    want = {(d["conv_id"], d["turn_idx"], d["subj"], d["pred"], d["obj"])
+            for d in ora
+            if not (text_by[(d["conv_id"], d["turn_idx"])] or "").startswith(("She ", "He "))}
+    assert got == want
+
+
+def test_full_extraction_pr_vs_oracle(ray_session, sf_small):
+    import ray
+    path = synth.transcripts_path(sf_small)
+    ds = ray.data.read_parquet(path)
+    triples = X.extract_triples(ds)
+    got = _table_triples(pa.concat_tables(
+        [b for b in triples.iter_batches(batch_format="pyarrow")]))
+
+    rows = pq.read_table(path).to_pylist()
+    want = {(d["conv_id"], d["turn_idx"], d["subj"], d["pred"], d["obj"])
+            for d in oracle.extract_all(rows)}
+    inter = len(got & want)
+    precision = inter / max(1, len(got))
+    recall = inter / max(1, len(want))
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    # with a shared contract the two implementations should agree exactly
+    assert got == want
+
+
+def test_extraction_count_matches_ground_truth(ray_session, sf_small):
+    import ray
+    ds = ray.data.read_parquet(synth.transcripts_path(sf_small))
+    n = X.extract_triples(ds).count()
+    gt = pq.read_table(synth.gt_path(sf_small)).num_rows
+    assert n == gt
