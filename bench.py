@@ -1,0 +1,147 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N}
+
+``bench.py --scaling`` runs the headline KG pipeline twice in FRESH
+processes (num_cpus=8 then num_cpus=32) on identical input and reports
+throughput at both plus scaling efficiency  tp(32) / (4 * tp(8))  — the
+sandbox proxy for the N→4N-node criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+
+
+def _consume(res) -> int:
+    """Fully execute a Dataset / frame; return its row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
+def headline(sf_dir: str) -> dict:
+    """Flagship KG build: transcripts → triples/entities/nodes/edges,
+    consumed by a partitioned parquet write (the real sink)."""
+    import shutil
+
+    from joern_ray import synth
+    from joern_ray.pipelines import kg
+
+    tp = synth.transcripts_path(sf_dir)
+    import pyarrow.parquet as pq
+    n_turns = pq.read_metadata(tp).num_rows
+
+    out = "/tmp/joern_ray_bench_out"
+    shutil.rmtree(out, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    res = kg.build_graph(kg.read_transcripts(tp))
+    n_triples = res["triples_canonical"].count()
+    res["nodes"].write_parquet(os.path.join(out, "nodes"))
+    res["edges"].write_parquet(os.path.join(out, "edges"))
+    dt = time.perf_counter() - t0
+    return dict(sec=dt, turns=n_turns, triples=n_triples,
+                turns_per_sec=n_turns / dt)
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Per-pipeline wall time for the representative operator set."""
+    import __ray_entry__ as E
+    qs = E.queries()
+    picks = [
+        "kg_triples_surface", "kg_triples_canonical", "kg_nodes", "kg_edges",
+        "rel_q1_pricing", "rel_revenue_by_nation", "rel_topk_orders",
+        "text_stats", "text_lang_id", "dedup_exact", "dedup_minhash",
+        "dedup_simhash", "ann_topk", "ann_lsh", "multimodal_features",
+    ]
+    out: dict[str, float] = {}
+    for name in picks:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        _consume(qs[name](sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_single(num_cpus: int, headline_only: bool) -> dict:
+    _init_ray(num_cpus)
+    h = headline(SF_DIR)
+    queries = {} if headline_only else run_queries(SF_DIR)
+    total = h["sec"] + sum(queries.values())
+    rec = {
+        "metric": "kg-build+operator-suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"kg_build_headline": round(h["sec"], 3), **queries},
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "headline_turns": h["turns"],
+        "headline_triples": h["triples"],
+        "headline_turns_per_sec": round(h["turns_per_sec"], 1),
+    }
+    return rec
+
+
+def main_scaling() -> dict:
+    """Two fresh processes at 8 and 32 CPUs on identical input."""
+    runs = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one"],
+            env=env, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        runs[cpus] = json.loads(line)
+    tp8 = runs[8]["headline_turns_per_sec"]
+    tp32 = runs[32]["headline_turns_per_sec"]
+    eff = tp32 / (4 * tp8)
+    return {
+        "metric": "kg-build scaling efficiency (8 vs 32 cpus, fresh sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {"turns_per_sec_8cpu": tp8, "turns_per_sec_32cpu": tp32,
+                    "sec_8cpu": runs[8]["queries"]["kg_build_headline"],
+                    "sec_32cpu": runs[32]["queries"]["kg_build_headline"]},
+        "sf": SF_DIR,
+        "num_cpus": 32,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        rec = main_scaling()
+    elif "--one" in sys.argv:
+        rec = main_single(NUM_CPUS, headline_only=True)
+    else:
+        rec = main_single(NUM_CPUS, headline_only=False)
+    print(json.dumps(rec))
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
