@@ -73,6 +73,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from joern_ray.pipelines import ann as A
+    from joern_ray.pipelines import events as EV
     from joern_ray.pipelines import kg
     from joern_ray.pipelines import relational as REL
     from joern_ray.pipelines import text as T
@@ -156,6 +157,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
         "dedup_simhash": T.dedup_simhash,
+        # event-stream ops (sessionize / window / as-of)
+        "events_sessionize": EV.sessionize,
+        "events_window_counts": EV.window_counts,
+        "events_asof_prior_view": EV.asof_prior_view,
         # similarity search
         "ann_topk": A.ann_bruteforce,
         "ann_lsh": A.ann_lsh,
@@ -167,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from joern_ray.pipelines import ann as A
+    from joern_ray.pipelines import events as EV
     from joern_ray.pipelines import relational as REL
     from joern_ray.pipelines import text as T
 
@@ -194,5 +200,8 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": T.lang_id_sql(),
         "text_fingerprint": T.doc_fingerprint_sql(),
         "dedup_exact": T.dedup_exact_sql(),
+        "events_sessionize": EV.sessionize_sql(),
+        "events_window_counts": EV.window_counts_sql(),
+        "events_asof_prior_view": EV.asof_prior_view_sql(),
         "ann_topk": A.ann_bruteforce_sql(),
     }

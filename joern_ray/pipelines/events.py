@@ -1,0 +1,173 @@
+"""Event-stream operators over the ``events`` table (ts is data, not a
+watermark — SURVEY.md §2.11): sessionization, tumbling-window aggregation,
+and an as-of join.
+
+These are the "custom operators Ray Data lacks" (windowed aggregate /
+as-of join) built per SURVEY.md guidance as compositions of
+``map_batches`` + ``groupby().map_groups``: the per-user history fits one
+group, so ordering-sensitive logic runs conversation-local (the same
+partitioning assumption the KG enrichment passes rely on — per-key state,
+never global order).
+
+Skew note: group key is ``user_id`` (150 users/sf0.01 → millions at scale,
+each with bounded history); windowed aggregation pre-aggregates per batch
+before the global groupby so hot windows never funnel raw rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+SESSION_GAP_S = 1800
+
+
+def _p(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# sessionization (per-user gap-based)
+# ---------------------------------------------------------------------------
+
+def sessionize(sf_dir: str):
+    """event_id → session_id ("<user_id>:<n>"); a new session starts when the
+    gap to the user's previous event exceeds SESSION_GAP_S."""
+    ds = ray.data.read_parquet(_p(sf_dir),
+                               columns=["event_id", "user_id", "ts"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").cast(pa.int64()).to_numpy()  # microseconds
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[0] = np.iinfo(np.int64).max
+        gap[1:] = ts[1:] - ts[:-1]
+        new = (gap > SESSION_GAP_S * 1_000_000).astype(np.int64)
+        sess_n = np.cumsum(new)
+        uid = g.column("user_id")[0].as_py()
+        sid = pa.array([f"{uid}:{n}" for n in sess_n], pa.string())
+        return pa.table({"event_id": g.column("event_id"),
+                         "user_id": g.column("user_id"),
+                         "session_id": sid})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def sessionize_sql() -> str:
+    return f"""
+    SELECT event_id, user_id,
+           CAST(user_id AS VARCHAR) || ':' || CAST(
+             sum(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+             AS session_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    OR date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id),
+                                 ts) > {SESSION_GAP_S} * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events)
+    """
+
+
+# ---------------------------------------------------------------------------
+# tumbling-window aggregation (1h windows per event_type)
+# ---------------------------------------------------------------------------
+
+def window_counts(sf_dir: str):
+    """(event_type, hour window) → event count + value sum in integer cents
+    (integer sum: deterministic under any reduction order, unlike float)."""
+    ds = ray.data.read_parquet(_p(sf_dir),
+                               columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t.column("ts"), unit="hour")
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64())
+        local = pa.table({"event_type": t.column("event_type"),
+                          "window_start": win, "cents": cents}) \
+            .group_by(["event_type", "window_start"]) \
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        return local.rename_columns(
+            ["event_type", "window_start", "cents", "n"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "window_start"])
+            .aggregate(Sum(on="cents", alias_name="sum_cents"),
+                       Sum(on="n", alias_name="n_events"))
+            .map_batches(
+                lambda t: t.select(["event_type", "window_start",
+                                    "n_events", "sum_cents"])
+                if t.num_columns else pa.schema(
+                    [("event_type", pa.string()),
+                     ("window_start", pa.timestamp("us")),
+                     ("n_events", pa.int64()),
+                     ("sum_cents", pa.int64())]).empty_table(),
+                batch_format="pyarrow"))
+
+
+def window_counts_sql() -> str:
+    return """
+    SELECT event_type, date_trunc('hour', ts) AS window_start,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+    FROM events GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# as-of join (per purchase: the user's most recent strictly-prior view)
+# ---------------------------------------------------------------------------
+
+def asof_prior_view(sf_dir: str):
+    """purchase events annotated with the ts of the same user's latest view
+    event strictly before them (NULL if none)."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir), columns=["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        is_view = pc.equal(g.column("event_type"), "view").to_numpy(
+            zero_copy_only=False)
+        # running max of view timestamps over strictly-prior rows
+        view_ts = np.where(is_view, ts, np.int64(-1))
+        prior = np.empty(len(ts), dtype=np.int64)
+        prior[0] = -1
+        np.maximum.accumulate(view_ts[:-1], out=view_ts[:-1])
+        prior[1:] = view_ts[:-1]
+        mask = pc.equal(g.column("event_type"), "purchase")
+        out = pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "ts": g.column("ts"),
+            "prev_view_ts": pa.Array.from_pandas(
+                np.where(prior >= 0, prior, None)).cast(pa.timestamp("us")),
+        }).filter(mask)
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def asof_prior_view_sql() -> str:
+    return """
+    SELECT event_id, user_id, ts, prev_view_ts FROM (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_view_ts
+      FROM events) t
+    WHERE event_type = 'purchase'
+    """
