@@ -44,6 +44,11 @@ def _consume(res) -> int:
     return 0
 
 
+def _count_rows(path: str) -> int:
+    import pyarrow.dataset as pads
+    return pads.dataset(path, format="parquet").count_rows()
+
+
 def headline(sf_dir: str) -> dict:
     """Flagship KG build: transcripts → triples/entities/nodes/edges,
     consumed by a partitioned parquet write (the real sink)."""
@@ -52,9 +57,9 @@ def headline(sf_dir: str) -> dict:
     from joern_ray import synth
     from joern_ray.pipelines import kg
 
-    tp = synth.transcripts_path(sf_dir)
-    import pyarrow.parquet as pq
-    n_turns = pq.read_metadata(tp).num_rows
+    tp = os.environ.get("GRAFT_BENCH_TRANSCRIPTS") \
+        or synth.transcripts_path(sf_dir)
+    n_turns = _count_rows(tp)
 
     out = "/tmp/joern_ray_bench_out"
     shutil.rmtree(out, ignore_errors=True)
@@ -109,10 +114,23 @@ def main_single(num_cpus: int, headline_only: bool) -> dict:
 
 
 def main_scaling() -> dict:
-    """Two fresh processes at 8 and 32 CPUs on identical input."""
+    """Two fresh processes at 8 and 32 CPUs on identical input.
+
+    The input is a bench-scale corpus (default 60k conversations, ~1M
+    turns) so the run is compute-bound — at sf0.1 size the headline is
+    dominated by fixed stage latency and measures nothing about scaling.
+    Generated Ray-parallel once (cached), then both sub-runs read it."""
+    n_convs = int(os.environ.get("GRAFT_SCALING_CONVS", "60000"))
+    _init_ray(NUM_CPUS)
+    from joern_ray import synth
+    tdir = synth.ensure_corpus_parallel(n_convs, f"scaling{n_convs}")
+    import ray
+    ray.shutdown()
+
     runs = {}
     for cpus in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_BENCH_TRANSCRIPTS=tdir)
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one"],
             env=env, capture_output=True, text=True,
@@ -131,6 +149,7 @@ def main_scaling() -> dict:
                     "sec_32cpu": runs[32]["queries"]["kg_build_headline"]},
         "sf": SF_DIR,
         "num_cpus": 32,
+        "headline_turns": runs[32]["headline_turns"],
     }
 
 

@@ -60,7 +60,9 @@ def build_graph(transcripts_ds: "ray.data.Dataset") -> dict:
     vocab = L.vocab_from_mentions(mentions)
     entities = L.build_entities(vocab).materialize()
     lookup = M.entity_lookup_ref(entities)
-    canon = M.canonical_triples(triples, lookup)
+    # materialized: consumed by both the returned result and the edge build
+    # (lazy here would re-run resolution once per consumer)
+    canon = M.canonical_triples(triples, lookup).materialize()
     nodes = (transcripts_ds.map_batches(M.turn_nodes, batch_format="pyarrow")
              .union(conversation_nodes(transcripts_ds))
              .union(M.entity_nodes(entities)))

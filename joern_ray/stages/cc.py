@@ -46,6 +46,12 @@ _MSG_IN = pa.schema([("node", pa.string()), ("b", pa.string()),
                      ("label", pa.string())])
 
 BROADCAST_MAX_LABELS = 2_000_000
+# below this node count the component computation runs driver-side in one
+# pass (the reference precedent: DynamicCallLinker's in-memory closure
+# caches / "driver loop over small types table", SURVEY.md §2.10) — the
+# distributed round loop only pays off once the label table is too big to
+# hold in one process.
+DRIVER_MAX_NODES = 200_000
 
 
 def _checksum_batch(t: pa.Table) -> pa.Table:
@@ -116,6 +122,45 @@ def _msgs_cogroup(sym: "ray.data.Dataset", labels: "ray.data.Dataset"):
     return tagged.groupby("node").map_groups(emit, batch_format="pyarrow")
 
 
+def _cc_driver(edges_ds: "ray.data.Dataset", labels: "ray.data.Dataset"
+               ) -> "ray.data.Dataset":
+    """Single-process union-find over a small node/edge set.
+
+    Path compression + union-by-min-label; the final label is the
+    lexicographic minimum of each component — identical, by construction,
+    to the fixpoint of distributed min-label propagation."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        if b.num_columns:
+            for n in b.column("node").to_pylist():
+                parent[n] = n
+    for b in edges_ds.iter_batches(batch_format="pyarrow"):
+        if b.num_columns == 0:
+            continue
+        for a, c in zip(b.column("a").to_pylist(), b.column("b").to_pylist()):
+            if a not in parent:
+                parent[a] = a
+            if c not in parent:
+                parent[c] = c
+            ra, rc = find(a), find(c)
+            if ra != rc:
+                lo, hi = (ra, rc) if ra < rc else (rc, ra)
+                parent[hi] = lo
+    nodes = sorted(parent)
+    out = pa.table({"node": pa.array(nodes, pa.string()),
+                    "label": pa.array([find(n) for n in nodes], pa.string())})
+    return ray.data.from_arrow(out)
+
+
 def connected_components(
     edges_ds: "ray.data.Dataset",
     nodes_ds: "ray.data.Dataset",
@@ -129,23 +174,32 @@ def connected_components(
     Returns a Dataset (node, label): label = lexicographically smallest node
     key in the component.  ``max_iters`` bounds rounds (needs >= component
     diameter for full convergence; alias clusters here are tiny).
+
+    strategy: 'auto' | 'driver' | 'broadcast' | 'cogroup'.  'auto' picks
+    'driver' for small label tables (one-pass union-find, no per-round
+    barriers) and escalates to the distributed round loop beyond
+    DRIVER_MAX_NODES / BROADCAST_MAX_LABELS.
     """
     def swap(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
             [batch.column("b"), batch.column("a")], names=["a", "b"])
 
-    sym = edges_ds.union(
-        edges_ds.map_batches(swap, batch_format="pyarrow")).materialize()
-
     labels = nodes_ds.map_batches(
         lambda b: pa.Table.from_arrays(
             [b.column("node"), b.column("node")], names=["node", "label"]),
         batch_format="pyarrow").materialize()
-    prev = _labels_checksum(labels)
 
     if strategy == "auto":
-        strategy = ("broadcast" if prev[1] <= BROADCAST_MAX_LABELS
+        n_nodes = labels.count()
+        strategy = ("driver" if n_nodes <= DRIVER_MAX_NODES
+                    else "broadcast" if n_nodes <= BROADCAST_MAX_LABELS
                     else "cogroup")
+    if strategy == "driver":
+        return _cc_driver(edges_ds, labels)
+
+    sym = edges_ds.union(
+        edges_ds.map_batches(swap, batch_format="pyarrow")).materialize()
+    prev = _labels_checksum(labels)
     msgs_fn = _msgs_broadcast if strategy == "broadcast" else _msgs_cogroup
 
     for _ in range(max_iters):

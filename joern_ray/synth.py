@@ -194,6 +194,37 @@ def ensure_corpus(sf_dir: str) -> str:
     return d
 
 
+def ensure_corpus_parallel(n_convs: int, name: str) -> str:
+    """Ray-parallel corpus generation for bench-scale inputs (same pure
+    per-conversation generator, so the row SET is identical to the plain
+    loop; caller must not assume row order).  Cached under CORPUS_ROOT;
+    returns the transcripts parquet directory."""
+    import ray
+    import ray.data
+
+    d = os.path.join(CORPUS_ROOT, CORPUS_VERSION, name)
+    tdir = os.path.join(d, "transcripts")
+    done = os.path.join(d, "_SUCCESS")
+    if os.path.exists(done):
+        return tdir
+    os.makedirs(tdir, exist_ok=True)
+
+    def gen_batch(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for i in batch.column("id").to_pylist():
+            r, _ = gen_conversation(int(i))
+            rows.extend(r)
+        return _rows_to_table(rows, S.TRANSCRIPTS)
+
+    blocks = max(32, n_convs // 2000)
+    (ray.data.range(n_convs, override_num_blocks=blocks)
+     .map_batches(gen_batch, batch_format="pyarrow")
+     .write_parquet(tdir))
+    with open(done, "w") as f:
+        f.write("ok")
+    return tdir
+
+
 def transcripts_path(sf_dir: str) -> str:
     return os.path.join(ensure_corpus(sf_dir), "transcripts.parquet")
 
