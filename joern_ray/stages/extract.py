@@ -125,10 +125,11 @@ def _resolve_group(group: pa.Table) -> pa.Table:
 def _resolve_bucket(group: pa.Table) -> pa.Table:
     """Vectorized resolver for a BUCKET of whole conversations: sort by
     (conv_id, turn_idx), forward-fill each conversation's last person
-    mention, substitute into pronoun rows.  Semantics identical to
-    ``_resolve_group`` (the per-conversation reference implementation, kept
-    for tests) but amortizes per-group overhead across ~thousands of
-    conversations per Ray group."""
+    mention, substitute into pronoun rows.  Emits ONLY the resolved pronoun
+    triples — non-pronoun triples take the shuffle-free passthrough in
+    ``extract_triples``.  Semantics match ``_resolve_group`` (the
+    per-conversation reference implementation, kept for tests) with the
+    per-group overhead amortized across ~thousands of conversations."""
     import numpy as np
     import pandas as pd
 
@@ -144,14 +145,14 @@ def _resolve_bucket(group: pa.Table) -> pa.Table:
                                df["subj"].to_numpy(object), None))
     person[is_pron] = None
     s = pd.Series(person, dtype=object)
-    g = s.groupby(df["conv_id"].to_numpy(), sort=False)
-    prev = g.shift(1)
-    prev = prev.groupby(df["conv_id"].to_numpy(), sort=False).ffill()
+    conv = df["conv_id"].to_numpy()
+    prev = s.groupby(conv, sort=False).shift(1)
+    prev = prev.groupby(conv, sort=False).ffill()
     resolved = prev.to_numpy(object)
     subj = df["subj"].to_numpy(object).copy()
     subj[is_pron] = resolved[is_pron]
     df["subj"] = subj
-    df = df[~(is_pron & pd.isna(subj))]
+    df = df[is_pron & ~pd.isna(subj)]
     out = df.drop(columns=["etype"])
     return pa.Table.from_pandas(out, schema=S.TRIPLES_SURFACE,
                                 preserve_index=False)
@@ -173,19 +174,40 @@ def _with_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
         "bucket", pa.array((h % n_buckets).astype("int64")))
 
 
+def _passthrough_triples(t: pa.Table) -> pa.Table:
+    """Non-pronoun events are already final surface triples."""
+    return t.filter(pc.equal(t.column("etype"), "triple")) \
+            .drop_columns(["etype"])
+
+
+def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
+    """Rows the resolver actually needs: pronoun events (to resolve) plus
+    person-carrying triples (the referent state).  Everything else skips
+    the shuffle entirely."""
+    mask = pc.or_(pc.equal(t.column("etype"), "pronoun"),
+                  pc.or_(pc.equal(t.column("obj_kind"), "person"),
+                         pc.equal(t.column("subj_kind"), "person")))
+    return _with_bucket(t.filter(mask), n_buckets)
+
+
 def extract_triples(transcripts_ds, *, num_partitions: int | None = None,
                     resolve_buckets: int | None = DEFAULT_RESOLVE_BUCKETS):
     """Full extraction: transcripts Dataset → surface-triples Dataset.
 
     resolve_buckets=None groups per conversation (reference semantics,
-    higher per-group overhead); an int groups conversations into that many
-    hash buckets and resolves each bucket vectorized."""
+    higher per-group overhead; all events shuffled); an int routes only the
+    pronoun-relevant subset through that many hash buckets, resolves each
+    bucket vectorized, and unions with the shuffle-free passthrough."""
     events = transcripts_ds.map_batches(
         extract_events, batch_format="pyarrow", zero_copy_batch=True)
     if resolve_buckets is None:
         return events.groupby("conv_id").map_groups(
             _resolve_group, batch_format="pyarrow")
-    return events.map_batches(
-        lambda t: _with_bucket(t, resolve_buckets),
+    events = events.materialize()  # consumed by both branches
+    passthrough = events.map_batches(_passthrough_triples,
+                                     batch_format="pyarrow")
+    resolved = events.map_batches(
+        lambda t: _resolve_subset(t, resolve_buckets),
         batch_format="pyarrow").groupby("bucket").map_groups(
         _resolve_bucket, batch_format="pyarrow")
+    return passthrough.union(resolved)

@@ -132,14 +132,78 @@ def coref_edges(vocab_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         .repartition(8)
 
 
-def build_entities(vocab_ds: "ray.data.Dataset", *, max_iters: int = 12
-                   ) -> "ray.data.Dataset":
+# vocabulary sizes below this take the driver-side linking fast path: the
+# whole LSH + verify + union-find chain is vocabulary-sized (≪ corpus), and
+# the distributed version pays 3 shuffles of fixed latency.  Same results by
+# construction (identical bucket/cap/threshold semantics).
+DRIVER_MAX_VOCAB = 100_000
+
+
+def _entities_driver(vocab: "ray.data.Dataset") -> "ray.data.Dataset":
+    """In-process mirror of the distributed linking chain for small vocabs
+    (reference precedent: DynamicCallLinker's in-memory candidate caches)."""
+    rows: list[tuple[str, str]] = []
+    for b in vocab.iter_batches(batch_format="pyarrow"):
+        if b.num_columns:
+            rows.extend(zip(b.column("kind").to_pylist(),
+                            b.column("norm").to_pylist()))
+    rows = sorted(set(rows))
+    buckets: dict[str, set[str]] = {}
+    for kind, norm in rows:
+        if kind not in R.FUZZY_KINDS:
+            continue
+        sig = H.minhash_signature(R.char_shingles(norm))
+        for bk in H.band_keys(sig):
+            buckets.setdefault(f"{kind}|{bk}", set()).add(norm)
+    parent: dict[tuple[str, str], tuple[str, str]] = {r: r for r in rows}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for bkey, norms in buckets.items():
+        kind = bkey.split("|", 1)[0]
+        members = sorted(norms)[:LSH_BUCKET_CAP]
+        shingles = {n: R.char_shingles(n) for n in members}
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if R.jaccard(shingles[members[i]],
+                             shingles[members[j]]) >= R.FUZZY_JACCARD_THRESHOLD:
+                    a, b = (kind, members[i]), (kind, members[j])
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                        parent[hi] = lo
+    kinds, norms, canons, ids = [], [], [], []
+    for kind, norm in rows:
+        canon = find((kind, norm))[1]
+        kinds.append(kind)
+        norms.append(norm)
+        canons.append(canon)
+        ids.append(canon if kind == "conv" else H.blake2_id(f"{kind}:{canon}"))
+    return ray.data.from_arrow(pa.table(
+        {"kind": pa.array(kinds, pa.string()),
+         "norm": pa.array(norms, pa.string()),
+         "canonical": pa.array(canons, pa.string()),
+         "entity_id": pa.array(ids, pa.string())}).cast(S.ENTITIES))
+
+
+def build_entities(vocab_ds: "ray.data.Dataset", *, max_iters: int = 12,
+                   distributed: bool | None = None) -> "ray.data.Dataset":
     """Vocabulary → canonical entity table (schema S.ENTITIES).
 
     Non-fuzzy kinds canonicalize to their own norm; fuzzy kinds go through
     LSH + union-find and canonicalize to the component's min norm.
     """
     vocab = vocab_ds.materialize()
+    if distributed is None:
+        distributed = vocab.count() > DRIVER_MAX_VOCAB
+    if not distributed:
+        return _entities_driver(vocab)
     edges = coref_edges(vocab)
     nodes = vocab.map_batches(
         lambda t: pa.table({"node": pc.binary_join_element_wise(

@@ -27,37 +27,61 @@ BROADCAST_MAX_ENTITIES = 5_000_000
 
 
 def entity_lookup_ref(entities_ds: "ray.data.Dataset"):
-    """Build the broadcast side-table: {(kind, norm): (entity_id, canonical)}.
+    """Build the broadcast side-table: two pandas Series mapping
+    "kind\\0norm" → entity_id / canonical (vectorized .map at lookup time).
 
     The reference holds its FULL_NAME index in memory
     (``LinkingUtil.scala:35-36``); here the directory is `ray.put` ONCE and
     read zero-copy-ish from the local object store by every map task — never
     re-shipped per batch.  Raises if the directory exceeds the broadcast
     bound (the scale path then needs the cogroup rewrite)."""
-    lookup: dict[tuple[str, str], tuple[str, str]] = {}
+    import pandas as pd
+
+    keys: list[str] = []
+    ids: list[str] = []
+    canons: list[str] = []
     for b in entities_ds.iter_batches(batch_format="pyarrow"):
         if b.num_columns == 0:
             continue
-        for k, n, i, c in zip(b.column("kind").to_pylist(),
-                              b.column("norm").to_pylist(),
-                              b.column("entity_id").to_pylist(),
-                              b.column("canonical").to_pylist()):
-            lookup[(k, n)] = (i, c)
-        if len(lookup) > BROADCAST_MAX_ENTITIES:
+        key = pc.binary_join_element_wise(
+            b.column("kind").cast(pa.string()),
+            b.column("norm").cast(pa.string()), "\x00")
+        keys.extend(key.to_pylist())
+        ids.extend(b.column("entity_id").to_pylist())
+        canons.extend(b.column("canonical").to_pylist())
+        if len(keys) > BROADCAST_MAX_ENTITIES:
             raise ValueError("entity directory exceeds broadcast bound; "
                              "use the cogroup rewrite path")
-    return ray.put(lookup)
+    idx = pd.Index(keys)
+    return ray.put((pd.Series(ids, index=idx, dtype=object),
+                    pd.Series(canons, index=idx, dtype=object)))
 
 
-def _resolve_side(kind_list, norm_list, lookup):
-    ids, canon = [], []
-    for k, n in zip(kind_list, norm_list):
-        e = lookup.get((k, n))
-        if e is None:  # unlinked mention → stub entity on its own norm
-            e = (n if k == "conv" else f"stub:{k}:{n}", n)
-        ids.append(e[0])
-        canon.append(e[1])
-    return pa.array(ids, pa.string()), pa.array(canon, pa.string())
+def _resolve_side(kind, norm, id_map, canon_map):
+    """Vectorized directory lookup for one triple slot; unlinked mentions
+    fall back to a deterministic stub id on their own norm (stub-creation
+    discipline, ``TypeDeclStubCreator``)."""
+    import numpy as np
+    import pandas as pd
+
+    key = pc.binary_join_element_wise(
+        kind.cast(pa.string()), norm.cast(pa.string()), "\x00")
+    ks = pd.Series(key.to_pylist(), dtype=object)
+    ids = ks.map(id_map)
+    canon = ks.map(canon_map)
+    missing = ids.isna().to_numpy()
+    if missing.any():
+        idv = ids.to_numpy(object)
+        cv = canon.to_numpy(object)
+        k_np = kind.to_pylist()
+        n_np = norm.to_pylist()
+        for i in np.nonzero(missing)[0]:
+            k, n = k_np[i], n_np[i]
+            idv[i] = n if k == "conv" else f"stub:{k}:{n}"
+            cv[i] = n
+        return pa.array(idv, pa.string()), pa.array(cv, pa.string())
+    return (pa.array(ids.to_numpy(object), pa.string()),
+            pa.array(canon.to_numpy(object), pa.string()))
 
 
 def canonical_triples(triples_ds: "ray.data.Dataset", lookup_ref
@@ -66,13 +90,13 @@ def canonical_triples(triples_ds: "ray.data.Dataset", lookup_ref
     def fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
             return S.TRIPLES_CANONICAL.empty_table()
-        lookup = ray.get(lookup_ref)
-        sk = t.column("subj_kind").to_pylist()
-        ok = t.column("obj_kind").to_pylist()
-        sn = normalize_arrays(t.column("subj_kind"), t.column("subj")).to_pylist()
-        on = normalize_arrays(t.column("obj_kind"), t.column("obj")).to_pylist()
-        sid, scan = _resolve_side(sk, sn, lookup)
-        oid, ocan = _resolve_side(ok, on, lookup)
+        id_map, canon_map = ray.get(lookup_ref)
+        sn = normalize_arrays(t.column("subj_kind"), t.column("subj"))
+        on = normalize_arrays(t.column("obj_kind"), t.column("obj"))
+        sid, scan = _resolve_side(t.column("subj_kind"), sn,
+                                  id_map, canon_map)
+        oid, ocan = _resolve_side(t.column("obj_kind"), on,
+                                  id_map, canon_map)
         return pa.Table.from_arrays(
             [t.column("conv_id"), t.column("turn_idx").cast(pa.int32()),
              sid, t.column("subj_kind"), scan,
@@ -105,23 +129,40 @@ def turn_nodes(batch: pa.Table) -> pa.Table:
         schema=S.NODES)
 
 
-def entity_nodes(entities_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def entity_nodes(entities_ds: "ray.data.Dataset", *,
+                 distributed: bool | None = None) -> "ray.data.Dataset":
     """Canonical entity directory → one ENTITY node per entity_id
     (members collapse via groupby-min — the TypeNodePass set-union +
-    deterministic-order discipline)."""
-    from ray.data.aggregate import Min
+    deterministic-order discipline).
 
+    The entity directory is vocabulary-sized (orders of magnitude below the
+    corpus), so the dedup defaults to a local Arrow group_by on coalesced
+    blocks; the distributed groupby is the escape hatch for directories
+    beyond the broadcast bound."""
     def prep(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:
             return pa.schema([("entity_id", pa.string()), ("kind", pa.string()),
                               ("canonical", pa.string())]).empty_table()
         return t.select(["entity_id", "kind", "canonical"])
 
-    uniq = (entities_ds.map_batches(prep, batch_format="pyarrow")
-            .groupby("entity_id")
-            .aggregate(Min(on="kind", alias_name="kind"),
-                       Min(on="canonical", alias_name="canonical"))
-            .repartition(8))
+    prepped = entities_ds.map_batches(prep, batch_format="pyarrow")
+    if distributed is None:
+        distributed = entities_ds.count() > BROADCAST_MAX_ENTITIES
+    if distributed:
+        from ray.data.aggregate import Min
+        uniq = (prepped.groupby("entity_id")
+                .aggregate(Min(on="kind", alias_name="kind"),
+                           Min(on="canonical", alias_name="canonical"))
+                .repartition(8))
+    else:
+        def local_min(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            return (t.group_by("entity_id")
+                    .aggregate([("kind", "min"), ("canonical", "min")])
+                    .rename_columns(["entity_id", "kind", "canonical"]))
+        uniq = prepped.repartition(1).map_batches(
+            local_min, batch_format="pyarrow")
 
     def fn(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:

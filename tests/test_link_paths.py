@@ -1,0 +1,46 @@
+"""Driver fast paths must equal the distributed paths exactly."""
+
+import pyarrow as pa
+
+from joern_ray import synth
+from joern_ray.pipelines import kg
+from joern_ray.stages import extract as X
+from joern_ray.stages import link as L
+from joern_ray.stages import materialize as M
+
+
+def _sorted_rows(ds):
+    t = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")
+         if b.num_columns])
+    return sorted(map(tuple, zip(*[c.to_pylist() for c in t.columns])))
+
+
+def test_entities_driver_equals_distributed(ray_session, sf_small):
+    ds = kg.read_transcripts(synth.transcripts_path(sf_small))
+    triples = X.extract_triples(ds).materialize()
+    mentions = triples.map_batches(L.mentions_from_triples,
+                                   batch_format="pyarrow")
+    vocab = L.vocab_from_mentions(mentions).materialize()
+    fast = L.build_entities(vocab, distributed=False)
+    slow = L.build_entities(vocab, distributed=True)
+    assert _sorted_rows(fast) == _sorted_rows(slow)
+
+
+def test_entity_nodes_local_equals_distributed(ray_session, sf_small):
+    ds = kg.read_transcripts(synth.transcripts_path(sf_small))
+    triples = X.extract_triples(ds).materialize()
+    mentions = triples.map_batches(L.mentions_from_triples,
+                                   batch_format="pyarrow")
+    entities = L.build_entities(
+        L.vocab_from_mentions(mentions)).materialize()
+    fast = M.entity_nodes(entities, distributed=False)
+    slow = M.entity_nodes(entities, distributed=True)
+    assert _sorted_rows(fast) == _sorted_rows(slow)
+
+
+def test_extract_bucketed_equals_per_conversation(ray_session, sf_small):
+    ds = kg.read_transcripts(synth.transcripts_path(sf_small))
+    bucketed = X.extract_triples(ds)
+    per_conv = X.extract_triples(ds, resolve_buckets=None)
+    assert _sorted_rows(bucketed) == _sorted_rows(per_conv)
