@@ -74,6 +74,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from joern_ray.pipelines import ann as A
     from joern_ray.pipelines import events as EV
+    from joern_ray.pipelines import findings as FND
     from joern_ray.pipelines import kg
     from joern_ray.pipelines import relational as REL
     from joern_ray.pipelines import text as T
@@ -140,6 +141,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": kg_entities,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
+        # scan battery + snippet retrieval + mention aggregation
+        "kg_findings": FND.findings,
+        "kg_snippets": FND.snippets,
+        "kg_mention_counts": FND.entity_mention_counts,
         # relational layer (SURVEY.md §2.4/2.5/2.7/2.8)
         "rel_q1_pricing": REL.q1_pricing,
         "rel_topk_orders": REL.topk_orders,
@@ -173,8 +178,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from joern_ray.pipelines import ann as A
     from joern_ray.pipelines import events as EV
+    from joern_ray.pipelines import findings as FND
     from joern_ray.pipelines import relational as REL
     from joern_ray.pipelines import text as T
+
+    from joern_ray.extract import sqlgen as G
 
     tp = _oracle_transcripts_path()  # idempotent deterministic generation
     tr = f"read_parquet('{tp}')"
@@ -182,6 +190,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_turns": f"SELECT conv_id, turn_idx, role, text FROM {tr}",
         "kg_triples_surface": _surface_triples_sql(tr),
+        "kg_triples_resolved": ("SELECT conv_id, turn_idx, subj, pred, obj "
+                                f"FROM ({G.resolved_triples_sql(tr)})"),
+        "kg_findings": FND.findings_sql(tr),
+        "kg_snippets": FND.snippets_sql(tr),
+        "kg_mention_counts": G.mention_counts_sql(tr),
         "kg_next_turn_edges": f"""
             SELECT conv_id || '#' || CAST(turn_idx - 1 AS VARCHAR) AS src,
                    conv_id || '#' || CAST(turn_idx AS VARCHAR) AS dst,

@@ -33,7 +33,7 @@ FINDINGS = pa.schema([
     ("evidence", pa.string()),
 ])
 
-_ITEMS_RE = r"^result: ok \(([0-9]+) items\)$"
+_ITEMS_RE = r"^result: ok \((?P<n>[0-9]+) items\)$"
 LARGE_RESULT_MIN = 90
 LONG_TURN_TOKENS = 12
 REPEAT_CALLER_MIN = 4
@@ -51,7 +51,7 @@ def _table(rule, severity, conv, tidx, evidence, n) -> pa.Table:
 
 def _rule_large_tool_result(batch: pa.Table) -> pa.Table:
     ex = pc.extract_regex(batch.column("text"), _ITEMS_RE)
-    items = pc.cast(pc.struct_field(ex, 0), pa.int64())
+    items = pc.cast(pc.struct_field(ex, "n"), pa.int64())
     mask = pc.fill_null(pc.and_(
         pc.equal(batch.column("role"), "tool"),
         pc.greater(items, LARGE_RESULT_MIN)), False)

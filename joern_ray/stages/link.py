@@ -68,13 +68,29 @@ def _local_distinct(batch: pa.Table) -> pa.Table:
     return batch.select(["kind", "norm"]).group_by(["kind", "norm"]).aggregate([])
 
 
-def vocab_from_mentions(mentions_ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Distinct (kind, norm) vocabulary — the entity directory to link."""
-    return (mentions_ds
-            .map_batches(_local_distinct, batch_format="pyarrow")
-            .groupby(["kind", "norm"])
-            .aggregate(Count(alias_name="n_parts"))
-            .repartition(8))
+def vocab_from_mentions(mentions_ds: "ray.data.Dataset", *,
+                        distributed: bool | None = None
+                        ) -> "ray.data.Dataset":
+    """Distinct (kind, norm) vocabulary — the entity directory to link.
+
+    Per-batch local distinct always runs first (the combiner), so the
+    global dedup sees at most |vocab| × n_blocks rows.  When that combined
+    set is small it coalesces to one block and dedups locally (no shuffle);
+    the groupby path covers directory-scale vocabularies."""
+    combined = mentions_ds.map_batches(
+        _local_distinct, batch_format="pyarrow").materialize()
+    if distributed is None:
+        distributed = combined.count() > 4 * DRIVER_MAX_VOCAB
+    if distributed:
+        return (combined
+                .groupby(["kind", "norm"])
+                .aggregate(Count(alias_name="n_parts"))
+                .map_batches(lambda t: (t.select(["kind", "norm"])
+                                        if t.num_columns else t),
+                             batch_format="pyarrow")
+                .repartition(8))
+    return combined.repartition(1).map_batches(
+        _local_distinct, batch_format="pyarrow")
 
 
 def _lsh_keys_batch(batch: pa.Table) -> pa.Table:
