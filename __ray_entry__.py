@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": T.text_stats,
         "text_lang_id": T.lang_id,
         "text_fingerprint": T.doc_fingerprint,
+        "text_token_counts": T.token_counts,
+        "text_quality": T.text_quality,
+        "text_vectors_hashed": T.hashed_vectors,
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
         "dedup_simhash": T.dedup_simhash,
@@ -212,6 +215,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": T.text_stats_sql(),
         "text_lang_id": T.lang_id_sql(),
         "text_fingerprint": T.doc_fingerprint_sql(),
+        "text_token_counts": T.token_counts_sql(),
+        "text_quality": T.text_quality_sql(),
         "dedup_exact": T.dedup_exact_sql(),
         "events_sessionize": EV.sessionize_sql(),
         "events_window_counts": EV.window_counts_sql(),

@@ -146,3 +146,9 @@ def jaccard(a: set[str], b: set[str]) -> float:
 # normalized key only.
 FUZZY_KINDS = {"org"}
 FUZZY_JACCARD_THRESHOLD = 0.5
+
+# kinds that are natural keys, never linked/canonicalized: their mentions
+# resolve to themselves (the FILE-node get-or-create discipline,
+# ``FileCreationPass.scala:16-58``) and must not enter the entity vocabulary
+# — at scale they are corpus-sized, not vocabulary-sized.
+NONLINK_KINDS = {"conv"}

@@ -94,6 +94,128 @@ def lang_id_sql() -> str:
     """
 
 
+def token_counts(sf_dir: str):
+    """(doc_id, token, n) — exploded token counts, fully vectorized:
+    split_pattern → list lengths → parent indices → flatten, then a local
+    Arrow group_by per batch (no Python loop over rows)."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        mask = pc.not_equal(trimmed, "")
+        sub = t.filter(mask)
+        trimmed = pc.utf8_trim_whitespace(sub.column("text"))
+        toks = pc.split_pattern_regex(trimmed, _WS_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parents = np.repeat(sub.column("doc_id").to_numpy(), lengths)
+        flat = pc.list_flatten(toks)
+        return (pa.table({"doc_id": pa.array(parents, pa.int64()),
+                          "token": flat})
+                .group_by(["doc_id", "token"])
+                .aggregate([("token", "count")])
+                .rename_columns(["doc_id", "token", "n"]))
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_counts_sql() -> str:
+    return r"""
+    SELECT doc_id, token, count(*) AS n FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> '')
+    GROUP BY 1, 2
+    """
+
+
+def text_quality(sf_dir: str):
+    """Composite quality signals in integer permille (deterministic under
+    any execution order, unlike float ratios): digit density, stopword
+    density, plus a 0-3 rule score."""
+    stats = text_stats(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_tok = t.column("n_tokens")
+        n_chars = t.column("n_chars")
+        digit_pm = pc.if_else(
+            pc.equal(n_chars, 0), 0,
+            pc.divide(pc.multiply(t.column("digit_chars"), 1000), n_chars))
+        stop_pm = pc.if_else(
+            pc.equal(n_tok, 0), 0,
+            pc.divide(pc.multiply(t.column("stop_hits"), 1000), n_tok))
+        score = pc.add(
+            pc.add(
+                pc.cast(pc.and_(pc.greater_equal(n_tok, 5),
+                                pc.less_equal(n_tok, 1000)), pa.int64()),
+                pc.cast(pc.less(digit_pm, 300), pa.int64())),
+            pc.cast(pc.greater(stop_pm, 50), pa.int64()))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "digit_pm": pc.cast(digit_pm, pa.int64()),
+                         "stop_pm": pc.cast(stop_pm, pa.int64()),
+                         "quality": score})
+    return stats.map_batches(fn, batch_format="pyarrow")
+
+
+def text_quality_sql() -> str:
+    return r"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS stop_hits,
+             len(regexp_extract_all(text, '[0-9]')) AS digit_chars
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN n_chars = 0 THEN 0
+                ELSE digit_chars * 1000 // n_chars END AS digit_pm,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE stop_hits * 1000 // n_tokens END AS stop_pm,
+           (CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN 1 ELSE 0 END
+            + CASE WHEN (CASE WHEN n_chars = 0 THEN 0
+                         ELSE digit_chars * 1000 // n_chars END) < 300
+                   THEN 1 ELSE 0 END
+            + CASE WHEN (CASE WHEN n_tokens = 0 THEN 0
+                         ELSE stop_hits * 1000 // n_tokens END) > 50
+                   THEN 1 ELSE 0 END) AS quality
+    FROM s
+    """
+
+
+HASH_DIM = 256
+
+
+def hashed_vectors(sf_dir: str, *, dim: int = HASH_DIM):
+    """Feature-hashed bag-of-words counts per document — the
+    EmbeddingGenerator analog (``joern-cli/.../JoernVectors.scala:98-120``:
+    substructure counts keyed by MurmurHash), emitted sparse as
+    (doc_id, bucket, n).  Hashing = deterministic pandas hash_array
+    (vectorized), bucket = hash % dim."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        sub = t.filter(pc.not_equal(trimmed, ""))
+        trimmed = pc.utf8_trim_whitespace(sub.column("text"))
+        toks = pc.split_pattern_regex(trimmed, _WS_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parents = np.repeat(sub.column("doc_id").to_numpy(), lengths)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        buckets = (pd.util.hash_array(flat) % dim).astype("int64")
+        return (pa.table({"doc_id": pa.array(parents, pa.int64()),
+                          "bucket": pa.array(buckets, pa.int64())})
+                .group_by(["doc_id", "bucket"])
+                .aggregate([("bucket", "count")])
+                .rename_columns(["doc_id", "bucket", "n"]))
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def doc_fingerprint(sf_dir: str):
     """Content fingerprint (md5 — matches DuckDB's md5() for the oracle)."""
     ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])

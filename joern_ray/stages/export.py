@@ -1,0 +1,74 @@
+"""Graph export sinks — the JoernExport analog
+(``joern-cli/.../JoernExport.scala:26-131``: dot / Neo4j CSV / graphson /
+JSON reprs; per-method subgraph split at ``JoernExport.scala:186-200``).
+
+Canonical storage stays Parquet; these are small formatter stages:
+ - ``write_jsonl``      — newline-delimited JSON (write_json sink)
+ - ``write_neo4j_csv``  — nodes/edges with Neo4j bulk-import headers
+ - ``dot_per_conversation`` — one dot digraph per conversation subgraph
+   (the splitByMethod analog: partition key = conv_id, induced edges only)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def write_jsonl(ds: "ray.data.Dataset", out_dir: str) -> None:
+    ds.write_json(out_dir)
+
+
+def write_neo4j_csv(nodes_ds: "ray.data.Dataset", edges_ds: "ray.data.Dataset",
+                    out_dir: str) -> None:
+    """Neo4j admin-import layout: nodes with :ID/:LABEL, edges with
+    :START_ID/:END_ID/:TYPE (column-rename formatters, parallel CSV)."""
+    def node_fmt(t: pa.Table) -> pa.Table:
+        cols = {":ID": t.column("node_id"), ":LABEL": t.column("label")}
+        for name in t.schema.names:
+            if name not in ("node_id", "label"):
+                cols[name] = t.column(name)
+        return pa.table(cols)
+
+    def edge_fmt(t: pa.Table) -> pa.Table:
+        cols = {":START_ID": t.column("src"), ":END_ID": t.column("dst"),
+                ":TYPE": t.column("label")}
+        for name in t.schema.names:
+            if name not in ("src", "dst", "label"):
+                cols[name] = t.column(name)
+        return pa.table(cols)
+
+    nodes_ds.map_batches(node_fmt, batch_format="pyarrow") \
+        .write_csv(f"{out_dir}/nodes")
+    edges_ds.map_batches(edge_fmt, batch_format="pyarrow") \
+        .write_csv(f"{out_dir}/edges")
+
+
+def _quote(s: str) -> str:
+    return '"' + str(s).replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def dot_per_conversation(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Edges (src, dst, label, conv_id, ...) → (conv_id, dot) — one
+    deterministic digraph per conversation (sorted edge order)."""
+    def fmt(group: pa.Table) -> pa.Table:
+        conv = group.column("conv_id")[0].as_py()
+        g = group.sort_by([("src", "ascending"), ("dst", "ascending"),
+                           ("label", "ascending")])
+        lines = [f"digraph {_quote(conv)} {{"]
+        for src, dst, lab in zip(g.column("src").to_pylist(),
+                                 g.column("dst").to_pylist(),
+                                 g.column("label").to_pylist()):
+            lines.append(f"  {_quote(src)} -> {_quote(dst)} "
+                         f"[label={_quote(lab)}];")
+        lines.append("}")
+        return pa.table({"conv_id": pa.array([conv], pa.string()),
+                         "dot": pa.array(["\n".join(lines)], pa.string())})
+
+    with_conv = edges_ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("conv_id"))),
+        batch_format="pyarrow")
+    return with_conv.groupby("conv_id").map_groups(
+        fmt, batch_format="pyarrow")

@@ -60,12 +60,19 @@ def mentions_from_triples(batch: pa.Table) -> pa.Table:
     return S.MENTIONS.empty_table() if not parts else pa.concat_tables(parts)
 
 
+_NONLINK = pa.array(sorted(R.NONLINK_KINDS))
+
+
 def _local_distinct(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: collapse duplicate (kind, norm) before the global
-    shuffle — the partial-aggregation pattern for hot-key skew."""
+    shuffle — the partial-aggregation pattern for hot-key skew.  Natural-key
+    kinds never enter the vocabulary (they resolve to themselves)."""
     if batch.num_rows == 0 or batch.num_columns == 0:
         return pa.schema([("kind", pa.string()), ("norm", pa.string())]).empty_table()
-    return batch.select(["kind", "norm"]).group_by(["kind", "norm"]).aggregate([])
+    keep = pc.invert(pc.fill_null(
+        pc.is_in(batch.column("kind"), value_set=_NONLINK), False))
+    return (batch.filter(keep).select(["kind", "norm"])
+            .group_by(["kind", "norm"]).aggregate([]))
 
 
 def vocab_from_mentions(mentions_ds: "ray.data.Dataset", *,

@@ -21,87 +21,78 @@ import ray
 import ray.data
 
 from .. import schema as S
+from ..functions import rules as R
 from .link import normalize_arrays
+
+_NONLINK_ARR = pa.array(sorted(R.NONLINK_KINDS))
 
 BROADCAST_MAX_ENTITIES = 5_000_000
 
 
 def entity_lookup_ref(entities_ds: "ray.data.Dataset"):
-    """Build the broadcast side-table: two pandas Series mapping
-    "kind\\0norm" → entity_id / canonical (vectorized .map at lookup time).
+    """Build the broadcast side-table: one Arrow table
+    (kind, norm, entity_id, canonical) for zero-copy Acero hash joins.
 
     The reference holds its FULL_NAME index in memory
     (``LinkingUtil.scala:35-36``); here the directory is `ray.put` ONCE and
     read zero-copy-ish from the local object store by every map task — never
     re-shipped per batch.  Raises if the directory exceeds the broadcast
     bound (the scale path then needs the cogroup rewrite)."""
-    import pandas as pd
-
-    keys: list[str] = []
-    ids: list[str] = []
-    canons: list[str] = []
-    for b in entities_ds.iter_batches(batch_format="pyarrow"):
-        if b.num_columns == 0:
-            continue
-        key = pc.binary_join_element_wise(
-            b.column("kind").cast(pa.string()),
-            b.column("norm").cast(pa.string()), "\x00")
-        keys.extend(key.to_pylist())
-        ids.extend(b.column("entity_id").to_pylist())
-        canons.extend(b.column("canonical").to_pylist())
-        if len(keys) > BROADCAST_MAX_ENTITIES:
-            raise ValueError("entity directory exceeds broadcast bound; "
-                             "use the cogroup rewrite path")
-    idx = pd.Index(keys)
-    return ray.put((pd.Series(ids, index=idx, dtype=object),
-                    pd.Series(canons, index=idx, dtype=object)))
+    parts = [b for b in entities_ds.iter_batches(batch_format="pyarrow")
+             if b.num_columns]
+    table = (pa.concat_tables(parts).combine_chunks() if parts
+             else S.ENTITIES.empty_table())
+    if table.num_rows > BROADCAST_MAX_ENTITIES:
+        raise ValueError("entity directory exceeds broadcast bound; "
+                         "use the cogroup rewrite path")
+    return ray.put(table.select(["kind", "norm", "entity_id", "canonical"]))
 
 
-def _resolve_side(kind, norm, id_map, canon_map):
-    """Vectorized directory lookup for one triple slot; unlinked mentions
-    fall back to a deterministic stub id on their own norm (stub-creation
-    discipline, ``TypeDeclStubCreator``)."""
-    import numpy as np
-    import pandas as pd
-
-    key = pc.binary_join_element_wise(
-        kind.cast(pa.string()), norm.cast(pa.string()), "\x00")
-    ks = pd.Series(key.to_pylist(), dtype=object)
-    ids = ks.map(id_map)
-    canon = ks.map(canon_map)
-    missing = ids.isna().to_numpy()
-    if missing.any():
-        idv = ids.to_numpy(object)
-        cv = canon.to_numpy(object)
-        k_np = kind.to_pylist()
-        n_np = norm.to_pylist()
-        for i in np.nonzero(missing)[0]:
-            k, n = k_np[i], n_np[i]
-            idv[i] = n if k == "conv" else f"stub:{k}:{n}"
-            cv[i] = n
-        return pa.array(idv, pa.string()), pa.array(cv, pa.string())
-    return (pa.array(ids.to_numpy(object), pa.string()),
-            pa.array(canon.to_numpy(object), pa.string()))
+def _resolve_slot(t: pa.Table, side: str, ents: pa.Table) -> pa.Table:
+    """Acero left-outer hash join of one triple slot against the broadcast
+    directory; unlinked mentions fall back to deterministic stubs on their
+    own norm (stub-creation discipline, ``TypeDeclStubCreator``).  Joins on
+    (kind, norm) — never on the wide surface strings."""
+    kind_col = f"{side}_kind"
+    norm = normalize_arrays(t.column(kind_col), t.column(side))
+    t = t.append_column(f"{side}_norm", norm)
+    right = ents.rename_columns(
+        ["kind", "norm", f"{side}_id", f"{side}_canonical"])
+    joined = t.join(right, keys=[kind_col, f"{side}_norm"],
+                    right_keys=["kind", "norm"], join_type="left outer")
+    ids = joined.column(f"{side}_id")
+    canon = joined.column(f"{side}_canonical")
+    kind = joined.column(kind_col)
+    jnorm = joined.column(f"{side}_norm")
+    stub = pc.if_else(
+        pc.is_in(kind, value_set=_NONLINK_ARR), jnorm,
+        pc.binary_join_element_wise("stub", kind.cast(pa.string()),
+                                    jnorm.cast(pa.string()), ":"))
+    ids = pc.coalesce(ids, stub)
+    canon = pc.coalesce(canon, jnorm)
+    joined = joined.drop_columns([f"{side}_id", f"{side}_canonical"])
+    joined = joined.append_column(f"{side}_id", ids)
+    return joined.append_column(f"{side}_canonical", canon)
 
 
 def canonical_triples(triples_ds: "ray.data.Dataset", lookup_ref
                       ) -> "ray.data.Dataset":
-    """Surface triples → canonical triples via the broadcast directory."""
+    """Surface triples → canonical triples via broadcast-table hash joins
+    (the LinkingUtil.linkToSingle analog: src rows carry a normalized FK,
+    resolve against the directory, stub on miss)."""
     def fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
             return S.TRIPLES_CANONICAL.empty_table()
-        id_map, canon_map = ray.get(lookup_ref)
-        sn = normalize_arrays(t.column("subj_kind"), t.column("subj"))
-        on = normalize_arrays(t.column("obj_kind"), t.column("obj"))
-        sid, scan = _resolve_side(t.column("subj_kind"), sn,
-                                  id_map, canon_map)
-        oid, ocan = _resolve_side(t.column("obj_kind"), on,
-                                  id_map, canon_map)
+        ents = ray.get(lookup_ref)
+        t = _resolve_slot(t, "subj", ents)
+        t = _resolve_slot(t, "obj", ents)
         return pa.Table.from_arrays(
             [t.column("conv_id"), t.column("turn_idx").cast(pa.int32()),
-             sid, t.column("subj_kind"), scan,
+             t.column("subj_id").cast(pa.string()), t.column("subj_kind"),
+             t.column("subj_canonical").cast(pa.string()),
              t.column("pred"),
-             oid, t.column("obj_kind"), ocan],
+             t.column("obj_id").cast(pa.string()), t.column("obj_kind"),
+             t.column("obj_canonical").cast(pa.string())],
             schema=S.TRIPLES_CANONICAL)
     return triples_ds.map_batches(fn, batch_format="pyarrow")
 

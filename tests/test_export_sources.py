@@ -1,0 +1,77 @@
+"""Export sinks (JoernExport analog) + alternative sources round-trip."""
+
+import glob
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from joern_ray import synth
+from joern_ray.sources.jsonl import (read_transcripts_jsonl,
+                                     read_transcripts_parquet)
+from joern_ray.stages.export import (dot_per_conversation, write_jsonl,
+                                     write_neo4j_csv)
+
+
+def test_jsonl_roundtrip_matches_parquet(ray_session, sf_small, tmp_path):
+    tp = synth.transcripts_path(sf_small)
+    ds = ray.data.read_parquet(tp)
+    out = str(tmp_path / "jsonl")
+    write_jsonl(ds.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("ts"),
+                               "ts", t.column("ts").cast(pa.int64())),
+        batch_format="pyarrow"), out)
+    back = read_transcripts_jsonl(out)
+    a = back.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                     ignore_index=True)
+    b = pq.read_table(tp).to_pandas().sort_values(["conv_id", "turn_idx"],
+                                                  ignore_index=True)
+    assert a[["conv_id", "turn_idx", "role", "text"]].equals(
+        b[["conv_id", "turn_idx", "role", "text"]])
+    assert (a["ts"] == b["ts"]).all()
+
+
+def test_parquet_source_prefix_filter(ray_session, sf_small):
+    tp = synth.transcripts_path(sf_small)
+    ds = read_transcripts_parquet(tp, conv_prefix="conv0000000")
+    convs = set(r["conv_id"] for r in ds.take_all())
+    assert convs and all(c.startswith("conv0000000") for c in convs)
+
+
+def test_neo4j_csv_export(ray_session, tmp_path):
+    nodes = ray.data.from_arrow(pa.table(
+        {"node_id": ["a", "b"], "label": ["TURN", "TURN"],
+         "text": ["x", "y"]}))
+    edges = ray.data.from_arrow(pa.table(
+        {"src": ["a"], "dst": ["b"], "label": ["NEXT_TURN"],
+         "conv_id": ["c1"]}))
+    out = str(tmp_path / "neo")
+    write_neo4j_csv(nodes, edges, out)
+    ncsv = sorted(glob.glob(f"{out}/nodes/*"))
+    ecsv = sorted(glob.glob(f"{out}/edges/*"))
+    assert ncsv and ecsv
+    header = open(ncsv[0]).readline().strip()
+    assert header.split(",")[:2] == ['":ID"', '":LABEL"'] or \
+        header.split(",")[:2] == [":ID", ":LABEL"]
+    eheader = open(ecsv[0]).readline().strip().replace('"', "")
+    assert eheader.split(",")[:3] == [":START_ID", ":END_ID", ":TYPE"]
+
+
+def test_dot_per_conversation_deterministic(ray_session):
+    edges = ray.data.from_arrow(pa.table({
+        "src": ["t1", "t0", "t0"], "dst": ["t2", "t1", "t1"],
+        "label": ["NEXT_TURN", "NEXT_TURN", "MENTIONS"],
+        "conv_id": ["c1", "c1", "c1"]}))
+    rows = dot_per_conversation(edges).take_all()
+    assert len(rows) == 1
+    dot = rows[0]["dot"]
+    assert dot.splitlines()[0] == 'digraph "c1" {'
+    # sorted edge order: (t0,t1,MENTIONS) < (t0,t1,NEXT_TURN) < (t1,t2,..)
+    body = dot.splitlines()[1:-1]
+    assert body == [
+        '  "t0" -> "t1" [label="MENTIONS"];',
+        '  "t0" -> "t1" [label="NEXT_TURN"];',
+        '  "t1" -> "t2" [label="NEXT_TURN"];',
+    ]
