@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from joern_ray.pipelines import kg
     from joern_ray.pipelines import relational as REL
     from joern_ray.pipelines import text as T
+    from joern_ray.stages import chains as CH
     from joern_ray.stages import extract as X
     from joern_ray.stages import multimodal as MM
 
@@ -141,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": kg_entities,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
+        # conversation-local enrichment (use-chain analog)
+        "kg_mention_chains": CH.mention_chains_query,
         # scan battery + snippet retrieval + mention aggregation
         "kg_findings": FND.findings,
         "kg_snippets": FND.snippets,
@@ -184,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
     from joern_ray.pipelines import findings as FND
     from joern_ray.pipelines import relational as REL
     from joern_ray.pipelines import text as T
+    from joern_ray.stages import chains as CH
 
     from joern_ray.extract import sqlgen as G
 
@@ -198,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_findings": FND.findings_sql(tr),
         "kg_snippets": FND.snippets_sql(tr),
         "kg_mention_counts": G.mention_counts_sql(tr),
+        "kg_mention_chains": CH.mention_chains_sql(tr),
         "kg_next_turn_edges": f"""
             SELECT conv_id || '#' || CAST(turn_idx - 1 AS VARCHAR) AS src,
                    conv_id || '#' || CAST(turn_idx AS VARCHAR) AS dst,
