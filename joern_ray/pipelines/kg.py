@@ -54,15 +54,17 @@ def conversation_nodes(transcripts_ds: "ray.data.Dataset") -> "ray.data.Dataset"
 
 def build_graph(transcripts_ds: "ray.data.Dataset") -> dict:
     """In-memory (lazy) build; returns the dict of result Datasets."""
-    triples = X.extract_triples(transcripts_ds).materialize()
+    # events (inside extract_triples) + the small resolved branch are
+    # materialized; triples stays lazy — re-consumers only replay the
+    # cheap passthrough map over stored events, never the shuffle
+    triples = X.extract_triples(transcripts_ds)
     mentions = triples.map_batches(L.mentions_from_triples,
                                    batch_format="pyarrow")
     vocab = L.vocab_from_mentions(mentions)
     entities = L.build_entities(vocab).materialize()
     lookup = M.entity_lookup_ref(entities)
-    # materialized: consumed by both the returned result and the edge build
-    # (lazy here would re-run resolution once per consumer)
-    canon = M.canonical_triples(triples, lookup).materialize()
+    # lazy: re-consumers replay only cheap maps over materialized events
+    canon = M.canonical_triples(triples, lookup)
     nodes = (transcripts_ds.map_batches(M.turn_nodes, batch_format="pyarrow")
              .union(conversation_nodes(transcripts_ds))
              .union(M.entity_nodes(entities)))

@@ -24,6 +24,17 @@ from ..functions import rules as R
 
 _PRONOUN_SET = pa.array(list(R.PRONOUNS))
 
+# cheap literal prefilters (memchr scan) run before each RE2 kernel so the
+# regex engine only sees candidate rows — "prune at the read" applied to
+# the hot extraction loop.  Literal must be implied by the template regex.
+_TEMPLATE_LITERALS = {
+    "works_at": " works at ",
+    "reported_bug": " reported a bug in ",
+    "uses": " uses ",
+    "acquired": " acquired ",
+    "met": " met with ",
+}
+
 
 def _events_table(n: int, conv, turn_idx, etype, subj, pred, obj, sk, ok) -> pa.Table:
     def col(v, typ):
@@ -57,37 +68,50 @@ def extract_events(batch: pa.Table) -> pa.Table:
             "triple", sub.column("conv_id"), R.INVOKED_PRED,
             sub.column("tool"), "conv", "tool"))
 
+    import numpy as np
+
     # pronoun templates first (their sentences also match the person-subject
     # shape; the oracle applies the same precedence)
-    pronoun_matched = pa.array([False] * batch.num_rows, pa.bool_())
+    pron_pre = pc.or_(pc.starts_with(text, "She "),
+                      pc.starts_with(text, "He "))
+    pron_idx = pc.indices_nonzero(pc.fill_null(pron_pre, False))
+    pron_text = text.take(pron_idx)
+    pron_matched_np = np.zeros(batch.num_rows, dtype=bool)
     for pred, rx, ok in R.PRONOUN_TEMPLATES:
-        ex = pc.extract_regex(text, rx)
+        ex = pc.extract_regex(pron_text, rx)
         mask = pc.is_valid(ex)
-        pronoun_matched = pc.or_(pronoun_matched, mask)
         if not pc.any(mask).as_py():
             continue
-        idx = pc.indices_nonzero(mask)
+        local = pc.indices_nonzero(mask)
+        idx = pron_idx.take(local)
+        pron_matched_np[idx.to_numpy(zero_copy_only=False)] = True
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx), "pronoun",
             pa.array([None] * len(idx), pa.string()), pred,
-            pc.struct_field(ex, "obj").take(idx), "person", ok))
+            pc.struct_field(ex, "obj").take(local), "person", ok))
 
     for pred, rx, sk, ok in R.TEMPLATES:
-        ex = pc.extract_regex(text, rx)
-        mask = pc.is_valid(ex)
-        if not pc.any(mask).as_py():
+        pre = pc.match_substring(text, _TEMPLATE_LITERALS[pred])
+        idx0 = pc.indices_nonzero(pc.fill_null(pre, False))
+        if len(idx0) == 0:
             continue
+        sub = text.take(idx0)
+        ex = pc.extract_regex(sub, rx)
+        mask = pc.is_valid(ex)
         subj = pc.struct_field(ex, "subj")
         not_pron = pc.invert(pc.fill_null(
             pc.is_in(subj, value_set=_PRONOUN_SET), False))
-        mask = pc.and_(pc.and_(mask, not_pron), pc.invert(pronoun_matched))
+        not_pm = pc.invert(pa.array(
+            pron_matched_np[idx0.to_numpy(zero_copy_only=False)]))
+        mask = pc.and_(pc.and_(mask, not_pron), not_pm)
         if not pc.any(mask).as_py():
             continue
-        idx = pc.indices_nonzero(mask)
+        local = pc.indices_nonzero(mask)
+        idx = idx0.take(local)
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx), "triple",
-            subj.take(idx), pred, pc.struct_field(ex, "obj").take(idx),
-            sk, ok))
+            subj.take(local), pred,
+            pc.struct_field(ex, "obj").take(local), sk, ok))
 
     if not outs:
         return S.EVENTS.empty_table()
@@ -191,23 +215,33 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
 
 
 def extract_triples(transcripts_ds, *, num_partitions: int | None = None,
-                    resolve_buckets: int | None = DEFAULT_RESOLVE_BUCKETS):
+                    resolve_buckets: int | None = DEFAULT_RESOLVE_BUCKETS,
+                    materialize_events: bool = True):
     """Full extraction: transcripts Dataset → surface-triples Dataset.
 
     resolve_buckets=None groups per conversation (reference semantics,
     higher per-group overhead; all events shuffled); an int routes only the
     pronoun-relevant subset through that many hash buckets, resolves each
-    bucket vectorized, and unions with the shuffle-free passthrough."""
+    bucket vectorized, and unions with the shuffle-free passthrough.
+
+    With materialize_events (default), events land in the object store once
+    and BOTH branches read them; the resolved branch (small) is also
+    materialized, so the returned triples Dataset is cheap to re-consume —
+    callers should NOT materialize it again (the passthrough bulk would
+    just be copied through the object store a second time)."""
     events = transcripts_ds.map_batches(
         extract_events, batch_format="pyarrow", zero_copy_batch=True)
     if resolve_buckets is None:
         return events.groupby("conv_id").map_groups(
             _resolve_group, batch_format="pyarrow")
-    events = events.materialize()  # consumed by both branches
+    if materialize_events:
+        events = events.materialize()  # consumed by both branches
     passthrough = events.map_batches(_passthrough_triples,
                                      batch_format="pyarrow")
     resolved = events.map_batches(
         lambda t: _resolve_subset(t, resolve_buckets),
         batch_format="pyarrow").groupby("bucket").map_groups(
         _resolve_bucket, batch_format="pyarrow")
+    if materialize_events:
+        resolved = resolved.materialize()
     return passthrough.union(resolved)
