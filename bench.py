@@ -65,7 +65,7 @@ def headline(sf_dir: str) -> dict:
     shutil.rmtree(out, ignore_errors=True)
 
     t0 = time.perf_counter()
-    res = kg.build_graph(kg.read_transcripts(tp))
+    res = kg.build_from_path(tp)
     n_triples = res["triples_canonical"].count()
     # zstd: ~3x smaller than snappy on text-heavy tables — the write is
     # disk-bandwidth-bound, compression CPU parallelizes across workers

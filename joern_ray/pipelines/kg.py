@@ -36,6 +36,18 @@ def read_transcripts(path: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
 
 
+def read_turn_keys(path: str) -> "ray.data.Dataset":
+    """(conv_id, turn_idx) only — feeds every stage that never looks at
+    text (conversation nodes, next-turn edges): the wide text column is
+    decoded exactly once per sink that actually needs it."""
+    return ray.data.read_parquet(path, columns=["conv_id", "turn_idx"])
+
+
+def read_turn_text(path: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        path, columns=["conv_id", "turn_idx", "role", "text"])
+
+
 def conversation_nodes(transcripts_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """One CONVERSATION node per conv, derived shuffle-free from the turn-0
     row every conversation has (instead of a distinct over all rows)."""
@@ -52,8 +64,18 @@ def conversation_nodes(transcripts_ds: "ray.data.Dataset") -> "ray.data.Dataset"
     return transcripts_ds.map_batches(fn, batch_format="pyarrow")
 
 
-def build_graph(transcripts_ds: "ray.data.Dataset") -> dict:
-    """In-memory (lazy) build; returns the dict of result Datasets."""
+def build_graph(transcripts_ds: "ray.data.Dataset", *,
+                turn_keys_ds: "ray.data.Dataset | None" = None,
+                turn_text_ds: "ray.data.Dataset | None" = None) -> dict:
+    """In-memory (lazy) build; returns the dict of result Datasets.
+
+    turn_keys_ds / turn_text_ds: optional column-pruned reads of the same
+    table (see read_turn_keys/read_turn_text) so text is decoded once per
+    text-consuming sink; both default to the full Dataset."""
+    if turn_keys_ds is None:
+        turn_keys_ds = transcripts_ds
+    if turn_text_ds is None:
+        turn_text_ds = transcripts_ds
     # events (inside extract_triples) + the small resolved branch are
     # materialized; triples stays lazy — re-consumers only replay the
     # cheap passthrough map over stored events, never the shuffle
@@ -63,16 +85,24 @@ def build_graph(transcripts_ds: "ray.data.Dataset") -> dict:
     vocab = L.vocab_from_mentions(mentions)
     entities = L.build_entities(vocab).materialize()
     lookup = M.entity_lookup_ref(entities)
-    # lazy: re-consumers replay only cheap maps over materialized events
-    canon = M.canonical_triples(triples, lookup)
-    nodes = (transcripts_ds.map_batches(M.turn_nodes, batch_format="pyarrow")
-             .union(conversation_nodes(transcripts_ds))
+    # canonical triples are narrow (ids + kinds, no text): one store copy
+    # here saves a full chain replay for each of its two consumers
+    canon = M.canonical_triples(triples, lookup).materialize()
+    nodes = (turn_text_ds.map_batches(M.turn_nodes, batch_format="pyarrow")
+             .union(conversation_nodes(turn_keys_ds))
              .union(M.entity_nodes(entities)))
-    edges = (transcripts_ds.map_batches(M.next_turn_edges,
-                                        batch_format="pyarrow")
+    edges = (turn_keys_ds.map_batches(M.next_turn_edges,
+                                      batch_format="pyarrow")
              .union(M.fact_and_mention_edges(canon)))
     return dict(triples_surface=triples, entities=entities,
                 triples_canonical=canon, nodes=nodes, edges=edges)
+
+
+def build_from_path(path: str) -> dict:
+    """Column-pruned wiring of build_graph for a parquet path."""
+    return build_graph(read_transcripts(path),
+                       turn_keys_ds=read_turn_keys(path),
+                       turn_text_ds=read_turn_text(path))
 
 
 def build_checkpointed(input_path: str, out_dir: str) -> Manifest:
