@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from joern_ray.stages import chains as CH
     from joern_ray.stages import extract as X
     from joern_ray.stages import multimodal as MM
+    from joern_ray.stages import reach as RCH
 
     import pyarrow.compute as pc
 
@@ -144,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": kg_edges,
         # conversation-local enrichment (use-chain analog)
         "kg_mention_chains": CH.mention_chains_query,
+        # frontier-BFS reachability (reachableBy analog)
+        "kg_reachable": RCH.reachable_query,
         # scan battery + snippet retrieval + mention aggregation
         "kg_findings": FND.findings,
         "kg_snippets": FND.snippets,
@@ -172,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": EV.sessionize,
         "events_window_counts": EV.window_counts,
         "events_asof_prior_view": EV.asof_prior_view,
+        "events_props_k_stats": EV.props_k_stats,
         # similarity search
         "ann_topk": A.ann_bruteforce,
         "ann_lsh": A.ann_lsh,
@@ -188,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
     from joern_ray.pipelines import relational as REL
     from joern_ray.pipelines import text as T
     from joern_ray.stages import chains as CH
+    from joern_ray.stages import reach as RCH
 
     from joern_ray.extract import sqlgen as G
 
@@ -203,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_snippets": FND.snippets_sql(tr),
         "kg_mention_counts": G.mention_counts_sql(tr),
         "kg_mention_chains": CH.mention_chains_sql(tr),
+        "kg_reachable": RCH.reachable_sql(tr),
         "kg_next_turn_edges": f"""
             SELECT conv_id || '#' || CAST(turn_idx - 1 AS VARCHAR) AS src,
                    conv_id || '#' || CAST(turn_idx AS VARCHAR) AS dst,
@@ -226,5 +232,6 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": EV.sessionize_sql(),
         "events_window_counts": EV.window_counts_sql(),
         "events_asof_prior_view": EV.asof_prior_view_sql(),
+        "events_props_k_stats": EV.props_k_stats_sql(),
         "ann_topk": A.ann_bruteforce_sql(),
     }

@@ -171,3 +171,47 @@ def asof_prior_view_sql() -> str:
       FROM events) t
     WHERE event_type = 'purchase'
     """
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (the json-assembly/parse scalar layer, SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+def props_k_stats(sf_dir: str):
+    """Parse the JSON ``props`` column, extract integer field "k", aggregate
+    per event_type (vectorized regex field pull — props are flat JSON, no
+    Python json.loads per row — then two-phase sum/count)."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("props"),
+                              r'"k":\s*(?P<k>-?[0-9]+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        local = (pa.table({"event_type": t.column("event_type"), "k": k})
+                 .filter(pc.is_valid(k))
+                 .group_by("event_type")
+                 .aggregate([("k", "sum"), ("k", "count")]))
+        return local.rename_columns(["event_type", "sum_k", "n"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(Sum(on="sum_k", alias_name="sum_k"),
+                       Sum(on="n", alias_name="n_with_k"))
+            .map_batches(
+                lambda t: t.select(["event_type", "sum_k", "n_with_k"])
+                if t.num_columns else pa.schema(
+                    [("event_type", pa.string()), ("sum_k", pa.int64()),
+                     ("n_with_k", pa.int64())]).empty_table(),
+                batch_format="pyarrow"))
+
+
+def props_k_stats_sql() -> str:
+    return """
+    SELECT event_type,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           count(json_extract(props, '$.k')) AS n_with_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """

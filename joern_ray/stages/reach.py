@@ -1,0 +1,116 @@
+"""Bounded multi-hop reachability over the fact graph — the interprocedural
+``reachableBy`` analog (SURVEY.md §2.10; reference:
+``dataflowengineoss/.../queryengine/Engine.scala:23-150``: task-parallel
+frontier expansion, memoized by fingerprint, call-depth capped at
+``JoernScan.scala:101-103``).
+
+Expressed as the frontier-BFS Dataset pattern: a driver-controlled loop of
+per-batch hash-join expansions against a broadcast frontier, an anti-join
+against the seen-set as the memo, and a hop cap as the depth bound.  The
+frontier/seen sets here are entity-vocabulary-sized (≪ corpus), so they
+broadcast; a corpus-sized frontier would switch the expansion to a
+distributed groupby cogroup — same loop shape.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .extract import extract_triples
+from .link import normalize_arrays
+
+REACH = pa.schema([
+    ("kind", pa.string()),
+    ("norm", pa.string()),
+    ("depth", pa.int32()),
+])
+
+
+def _norm_edges(triples_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Triples → undirected (kind, norm) adjacency rows (narrow)."""
+    def fn(t: pa.Table) -> pa.Table:
+        sk, ok = t.column("subj_kind"), t.column("obj_kind")
+        sn = normalize_arrays(sk, t.column("subj"))
+        on = normalize_arrays(ok, t.column("obj"))
+        fwd = pa.table({"a_kind": sk, "a_norm": sn,
+                        "b_kind": ok, "b_norm": on})
+        rev = pa.table({"a_kind": ok, "a_norm": on,
+                        "b_kind": sk, "b_norm": sn})
+        both = pa.concat_tables([fwd, rev])
+        return both.group_by(list(both.schema.names)).aggregate([])
+    return triples_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def reachable(triples_ds: "ray.data.Dataset", seeds: list[tuple[str, str]],
+              *, max_depth: int = 3) -> "ray.data.Dataset":
+    """BFS from seed (kind, norm) pairs; returns (kind, norm, depth) with
+    the minimum hop distance ≤ max_depth (seeds at depth 0)."""
+    edges = _norm_edges(triples_ds).materialize()
+    seen: dict[tuple[str, str], int] = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for depth in range(1, max_depth + 1):
+        fref = ray.put(frontier)
+
+        def expand(t: pa.Table) -> pa.Table:
+            fr = ray.get(fref)
+            if t.num_rows == 0 or t.num_columns == 0:
+                return pa.table({"kind": pa.array([], pa.string()),
+                                 "norm": pa.array([], pa.string())})
+            keys = list(zip(t.column("a_kind").to_pylist(),
+                            t.column("a_norm").to_pylist()))
+            mask = pa.array([k in fr for k in keys], pa.bool_())
+            sub = t.filter(mask)
+            out = sub.select(["b_kind", "b_norm"]).rename_columns(
+                ["kind", "norm"])
+            return out.group_by(["kind", "norm"]).aggregate([])
+
+        nxt_rows = (edges.map_batches(expand, batch_format="pyarrow")
+                    .take_all())
+        nxt = {(r["kind"], r["norm"]) for r in nxt_rows}
+        frontier = nxt - seen.keys()          # anti-join memo
+        if not frontier:
+            break
+        for k in frontier:
+            seen[k] = depth
+    out = sorted(seen.items())
+    return ray.data.from_arrow(pa.table({
+        "kind": pa.array([k for (k, _), _d in out], pa.string()),
+        "norm": pa.array([n for (_, n), _d in out], pa.string()),
+        "depth": pa.array([d for _kn, d in out], pa.int32()),
+    }).cast(REACH))
+
+
+def reachable_query(sf_dir: str, *, seed_kind: str = "person",
+                    seed_norm: str = "alice", max_depth: int = 2):
+    from .. import synth
+    tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
+    return reachable(extract_triples(tds), [(seed_kind, seed_norm)],
+                     max_depth=max_depth)
+
+
+def reachable_sql(rel: str, *, seed_kind: str = "person",
+                  seed_norm: str = "alice", max_depth: int = 2) -> str:
+    from ..extract import sqlgen as G
+    ne = G._norm_expr
+    return f"""
+    WITH RECURSIVE resolved AS ({G.resolved_triples_sql(rel)}),
+    e0 AS (
+      SELECT subj_kind AS a_kind, {ne('subj', 'subj_kind')} AS a_norm,
+             obj_kind AS b_kind, {ne('obj', 'obj_kind')} AS b_norm
+      FROM resolved),
+    edges AS (SELECT * FROM e0
+              UNION SELECT b_kind, b_norm, a_kind, a_norm FROM e0),
+    walk(kind, norm, depth) AS (
+      SELECT '{seed_kind}', '{seed_norm}', 0
+      UNION ALL
+      SELECT e.b_kind, e.b_norm, w.depth + 1
+      FROM walk w JOIN edges e
+        ON e.a_kind = w.kind AND e.a_norm = w.norm
+      WHERE w.depth < {max_depth})
+    SELECT kind, norm, CAST(min(depth) AS INTEGER) AS depth
+    FROM walk GROUP BY 1, 2
+    """

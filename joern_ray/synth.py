@@ -216,7 +216,10 @@ def ensure_corpus_parallel(n_convs: int, name: str) -> str:
             rows.extend(r)
         return _rows_to_table(rows, S.TRANSCRIPTS)
 
-    blocks = max(32, n_convs // 2000)
+    # ~25k convs (~400k rows, ~5MB compressed) per output file: enough
+    # files for read parallelism, big enough that per-task scheduling
+    # overhead (serial on the driver) stays negligible
+    blocks = max(32, n_convs // 25000)
     (ray.data.range(n_convs, override_num_blocks=blocks)
      .map_batches(gen_batch, batch_format="pyarrow")
      .write_parquet(tdir))
