@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_findings": FND.findings,
         "kg_snippets": FND.snippets,
         "kg_mention_counts": FND.entity_mention_counts,
+        "kg_conv_tools": FND.conv_tools,
         # relational layer (SURVEY.md §2.4/2.5/2.7/2.8)
         "rel_q1_pricing": REL.q1_pricing,
         "rel_topk_orders": REL.topk_orders,
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_counts": G.mention_counts_sql(tr),
         "kg_mention_chains": CH.mention_chains_sql(tr),
         "kg_reachable": RCH.reachable_sql(tr),
+        "kg_conv_tools": FND.conv_tools_sql(tr),
         "kg_next_turn_edges": f"""
             SELECT conv_id || '#' || CAST(turn_idx - 1 AS VARCHAR) AS src,
                    conv_id || '#' || CAST(turn_idx AS VARCHAR) AS dst,

@@ -207,6 +207,53 @@ def snippets_sql(transcripts_rel: str, *, context: int = 1) -> str:
 # entity mention counts (scan-report / NamespaceCreator-style aggregation)
 # ---------------------------------------------------------------------------
 
+def conv_tools(sf_dir: str, *, n_buckets: int = 1024):
+    """conv_id → sorted distinct tools invoked, comma-joined — the
+    multi-valued-property aggregation (``linkToMultiple`` /
+    ``inheritsFromTypeFullName`` list-column analog, flattened to a string
+    so the DuckDB oracle compares exactly).  Two-phase: per-batch distinct
+    pairs, then conversation-bucket groupby with a vectorized pandas
+    string-agg (buckets, not per-conv groups — same partitioning contract
+    as pronoun resolution)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(synth.transcripts_path(sf_dir),
+                               columns=["conv_id", "role", "tool"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.and_(pc.equal(t.column("role"), "tool"),
+                                    pc.is_valid(t.column("tool"))), False)
+        sub = t.filter(mask).select(["conv_id", "tool"])
+        sub = sub.group_by(["conv_id", "tool"]).aggregate([])
+        h = pd.util.hash_array(sub.column("conv_id").to_numpy(
+            zero_copy_only=False))
+        return sub.append_column(
+            "bucket", pa.array((h % n_buckets).astype("int64")))
+
+    def agg(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.schema([("conv_id", pa.string()),
+                              ("tools", pa.string())]).empty_table()
+        df = group.to_pandas().drop_duplicates(["conv_id", "tool"])
+        df = df.sort_values(["conv_id", "tool"], kind="mergesort")
+        out = df.groupby("conv_id", sort=True)["tool"] \
+                .agg(",".join).reset_index()
+        return pa.table({"conv_id": pa.array(out["conv_id"], pa.string()),
+                         "tools": pa.array(out["tool"], pa.string())})
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("bucket").map_groups(agg, batch_format="pyarrow"))
+
+
+def conv_tools_sql(transcripts_rel: str) -> str:
+    return f"""
+    SELECT conv_id, string_agg(tool, ',' ORDER BY tool) AS tools
+    FROM (SELECT DISTINCT conv_id, tool FROM {transcripts_rel}
+          WHERE role = 'tool' AND tool IS NOT NULL)
+    GROUP BY conv_id
+    """
+
+
 def entity_mention_counts(sf_dir: str):
     """(kind, norm) → mention count over both triple slots, with a per-batch
     partial count before the global groupby (hot-entity skew guard)."""
