@@ -33,15 +33,28 @@ def shingle_hash(s: str) -> int:
         hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
-def minhash_signature(shingles: set[str]) -> np.ndarray:
-    """N_PERMS MinHash values for a shingle set (uint64)."""
-    if not shingles:
+def hash_strings(strings) -> np.ndarray:
+    """Vectorized deterministic 64-bit hashes (pandas siphash, fixed key —
+    identical across workers/processes)."""
+    import pandas as pd
+    arr = np.asarray(list(strings), dtype=object)
+    if arr.size == 0:
+        return np.array([], dtype=np.uint64)
+    return pd.util.hash_array(arr)
+
+
+def minhash_from_hashes(hs: np.ndarray) -> np.ndarray:
+    """N_PERMS MinHash values from pre-hashed shingles (uint64)."""
+    if hs.size == 0:
         return np.zeros(N_PERMS, dtype=np.uint64)
-    hs = np.fromiter((shingle_hash(s) for s in shingles),
-                     dtype=np.uint64, count=len(shingles))
     # (a*h + b) mod p, all perms at once: (n_shingles, n_perms)
     vals = (hs[:, None] * _A[None, :] + _B[None, :]) % np.uint64(MERSENNE_P)
     return vals.min(axis=0)
+
+
+def minhash_signature(shingles: set[str]) -> np.ndarray:
+    """N_PERMS MinHash values for a shingle set (uint64)."""
+    return minhash_from_hashes(hash_strings(shingles))
 
 
 def band_keys(sig: np.ndarray) -> list[str]:

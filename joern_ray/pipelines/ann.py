@@ -178,5 +178,10 @@ def embedding_neardup(sf_dir: str, *, threshold: float = 0.95):
                          "b": pa.array(ids[jj], pa.int64()),
                          "sim": pa.array(sims[ii, jj], pa.float64())})
 
-    return (ds.map_batches(bucket, batch_format="pyarrow")
-            .groupby("bucket").map_groups(pairs, batch_format="pyarrow"))
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("sim", pa.float64())])
+    result = (ds.map_batches(bucket, batch_format="pyarrow")
+              .groupby("bucket").map_groups(pairs, batch_format="pyarrow"))
+    # union a typed empty block so a no-near-dup corpus still yields a
+    # stable schema downstream
+    return result.union(ray.data.from_arrow(out_schema.empty_table()))

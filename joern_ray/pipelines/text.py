@@ -264,71 +264,67 @@ def _word_shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
+LSH_DOC_BUCKET_CAP = 64
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    """Sorted unique 64-bit hashes of the word shingles — Jaccard on these
+    equals Jaccard on the shingles (collisions negligible), and the narrow
+    int arrays travel with the shuffle instead of the full text."""
+    return np.unique(H.hash_strings(_word_shingles(text)))
+
+
 def minhash_clusters(docs_ds: "ray.data.Dataset", *, threshold: float = 0.8):
     """MinHash+LSH near-duplicate clusters over (doc_id, text).
 
-    shingle → minhash → band → bucket-groupby → verified pairs → min-doc-id
-    cluster labels via the same union-find used for entity canonicalization.
-    """
+    shingle → minhash → band → bucket-groupby → in-bucket exact-Jaccard
+    verification (bucket rows carry the doc's shingle-hash array, so no
+    text ever enters the shuffle and no driver-side side table exists) →
+    min-doc-id cluster labels via the engine's union-find."""
     from ..stages.cc import connected_components
 
     def keys(t: pa.Table) -> pa.Table:
-        ids, buckets = [], []
+        ids, buckets, hashes = [], [], []
         for did, text in zip(t.column("doc_id").to_pylist(),
                              t.column("text").to_pylist()):
-            sig = H.minhash_signature(_word_shingles(text))
+            hs = _shingle_hashes(text)
+            sig = H.minhash_from_hashes(hs)
+            hl = hs.astype(np.int64).tolist()
             for bk in H.band_keys(sig):
                 ids.append(did)
                 buckets.append(bk)
+                hashes.append(hl)
         return pa.table({"bucket": pa.array(buckets, pa.string()),
-                         "doc_id": pa.array(ids, pa.int64())})
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "hashes": pa.array(hashes,
+                                            pa.list_(pa.int64()))})
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))[:64]
+        df = group.to_pandas().drop_duplicates("doc_id") \
+            .sort_values("doc_id").head(LSH_DOC_BUCKET_CAP)
+        ids = df["doc_id"].tolist()
+        hs = [np.asarray(h, dtype=np.int64) for h in df["hashes"]]
         a, b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                a.append(str(ids[i]))
-                b.append(str(ids[j]))
+                inter = np.intersect1d(hs[i], hs[j],
+                                       assume_unique=True).size
+                denom = hs[i].size + hs[j].size - inter
+                if denom and inter / denom >= threshold:
+                    a.append(str(ids[i]))
+                    b.append(str(ids[j]))
         return pa.table({"a": pa.array(a, pa.string()),
                          "b": pa.array(b, pa.string())})
 
-    cand = (docs_ds.map_batches(keys, batch_format="pyarrow")
-            .groupby("bucket").map_groups(pairs, batch_format="pyarrow"))
-    # verify candidates by true Jaccard: need texts — broadcast is wrong at
-    # scale for full texts, so verify inside a cogroup on doc_id instead;
-    # here candidate sets are tiny, so fetch via a driver-side dictionary
-    # only when small (bail-out guard).
-    import ray as _ray
-    texts = {}
-    for bt in docs_ds.iter_batches(batch_format="pyarrow"):
-        texts.update(zip(bt.column("doc_id").to_pylist(),
-                         bt.column("text").to_pylist()))
-    tref = _ray.put(texts)
-
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or t.num_columns == 0:
-            return pa.schema([("a", pa.string()), ("b", pa.string())]).empty_table()
-        tx = _ray.get(tref)
-        keep_a, keep_b = [], []
-        for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
-            sa = _word_shingles(tx[int(a)])
-            sb = _word_shingles(tx[int(b)])
-            inter = len(sa & sb)
-            denom = len(sa) + len(sb) - inter
-            if denom and inter / denom >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-        return pa.table({"a": pa.array(keep_a, pa.string()),
-                         "b": pa.array(keep_b, pa.string())})
-
-    edges = (cand.groupby(["a", "b"]).aggregate(Count(alias_name="nb"))
-             .repartition(4)
+    # same verified pair can surface from several bands → exact dedup
+    edges = (docs_ds.map_batches(keys, batch_format="pyarrow")
+             .groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="nb"))
              .map_batches(lambda t: (t.select(["a", "b"]) if t.num_columns
                                      else pa.schema([("a", pa.string()),
                                                      ("b", pa.string())]).empty_table()),
                           batch_format="pyarrow")
-             .map_batches(verify, batch_format="pyarrow"))
+             .repartition(4))
     nodes = docs_ds.map_batches(
         lambda t: pa.table({"node": pc.cast(t.column("doc_id"), pa.string())}),
         batch_format="pyarrow")
