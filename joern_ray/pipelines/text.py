@@ -299,7 +299,14 @@ def minhash_clusters(docs_ds: "ray.data.Dataset", *, threshold: float = 0.8):
                          "hashes": pa.array(hashes,
                                             pa.list_(pa.int64()))})
 
+    _EMPTY_PAIRS = pa.schema([("a", pa.string()),
+                              ("b", pa.string())]).empty_table()
+
     def pairs(group: pa.Table) -> pa.Table:
+        # fast path: almost every bucket is a singleton — skip pandas
+        if group.num_rows < 2 or \
+                pc.count_distinct(group.column("doc_id")).as_py() < 2:
+            return _EMPTY_PAIRS
         df = group.to_pandas().drop_duplicates("doc_id") \
             .sort_values("doc_id").head(LSH_DOC_BUCKET_CAP)
         ids = df["doc_id"].tolist()
