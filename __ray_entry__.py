@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": A.embedding_neardup,
         # multimodal plumbing
         "multimodal_features": multimodal_features,
+        "multimodal_resized_features": MM.resized_features,
+        "multimodal_sampled_frames": MM.sampled_frames,
     }
 
 

@@ -79,6 +79,89 @@ class MediaFeatureExtractor:
         })
 
 
+class MediaResizer:
+    """Actor-pool resize stage: decode → scale → re-encode.
+
+    The decode/encode kernels are STUBBED (no PIL/libav here): "decode"
+    is the deterministic byte-histogram, "resize" is a histogram rebin to
+    the target resolution's bucket count, "encode" is the raw rebinned
+    bytes.  The Ray plumbing — actor signature, small batches for big
+    payloads, metadata update — is the real contract."""
+
+    def __init__(self, *, target: tuple[int, int] = (32, 32)):
+        self.target = target
+        self.bins = max(16, min(256, target[0] * target[1] // 4))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads = []
+        for payload in batch.column("payload").to_pylist():
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            hist = np.bincount(arr, minlength=256).astype(np.float64)
+            rebin = hist.reshape(self.bins, -1).sum(axis=1)
+            scaled = (255 * rebin / max(rebin.max(), 1)).astype(np.uint8)
+            out_payloads.append(scaled.tobytes())
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [batch.column("media_id"), batch.column("media_type"),
+             pa.array(out_payloads, pa.binary()),
+             pa.array([self.target[0]] * n, pa.int32()),
+             pa.array([self.target[1]] * n, pa.int32())],
+            schema=MEDIA_SCHEMA)
+
+
+FRAME_BYTES = 64
+
+
+class FrameSampler:
+    """Actor-pool frame sampling for "video" payloads: emit every k-th
+    frame as its own row (a flat_map — output rows ≥ input rows).  Frames
+    are fixed-size payload chunks (the container-parsing stub)."""
+
+    def __init__(self, *, every_k: int = 4):
+        self.every_k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, frames = [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            n_frames = max(1, len(payload) // FRAME_BYTES)
+            for f in range(0, n_frames, self.every_k):
+                ids.append(mid)
+                frame_idx.append(f)
+                frames.append(payload[f * FRAME_BYTES:(f + 1) * FRAME_BYTES])
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(frame_idx, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+
+def resized_features(sf_dir: str):
+    """documents → media → resize (actor pool) → features (actor pool):
+    two chained stateful stages, small batches for binary payloads."""
+    import os
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    media = synthesize_media(docs)
+    # chained actor pools: min pool size 1 so the two stages + upstream
+    # read tasks co-schedule even on small CPU budgets
+    resized = media.map_batches(MediaResizer, concurrency=(1, 4),
+                                batch_size=64, num_cpus=1,
+                                batch_format="pyarrow")
+    return resized.map_batches(MediaFeatureExtractor, concurrency=(1, 4),
+                               batch_size=64, num_cpus=1,
+                               batch_format="pyarrow")
+
+
+def sampled_frames(sf_dir: str):
+    import os
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    media = synthesize_media(docs)
+    return media.map_batches(FrameSampler, concurrency=2, batch_size=64,
+                             num_cpus=1, batch_format="pyarrow")
+
+
 def synthesize_media(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Deterministic binary payloads derived from document text (the test
     stand-in for real image bytes)."""
