@@ -129,6 +129,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_edges(sf_dir):
         return kg.build_graph(_transcripts(sf_dir))["edges"]
 
+    def kg_export_dot(sf_dir):
+        from joern_ray.stages.export import dot_per_conversation
+        return dot_per_conversation(kg.build_graph(_transcripts(sf_dir))["edges"])
+
     # -- multimodal (stubbed decode, real plumbing) ---------------------
     def multimodal_features(sf_dir):
         return MM.media_features(sf_dir)
@@ -143,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": kg_entities,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
+        "kg_export_dot": kg_export_dot,
         # conversation-local enrichment (use-chain analog)
         "kg_mention_chains": CH.mention_chains_query,
         # frontier-BFS reachability (reachableBy analog)
@@ -162,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_revenue_by_nation": REL.revenue_by_nation,
         "rel_events_by_user": REL.events_by_user,
         "rel_filter_project_parts": REL.filter_project_parts,
+        "rel_running_order_total": REL.running_order_total,
         # text analysis + dedup (training-data ops)
         "text_stats": T.text_stats,
         "text_lang_id": T.lang_id,
@@ -227,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_revenue_by_nation": REL.revenue_by_nation_sql(),
         "rel_events_by_user": REL.events_by_user_sql(),
         "rel_filter_project_parts": REL.filter_project_parts_sql(),
+        "rel_running_order_total": REL.running_order_total_sql(),
         "text_stats": T.text_stats_sql(),
         "text_lang_id": T.lang_id_sql(),
         "text_fingerprint": T.doc_fingerprint_sql(),

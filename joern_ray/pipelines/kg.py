@@ -114,7 +114,7 @@ def build_checkpointed(input_path: str, out_dir: str) -> Manifest:
     triples = man.run_stage(
         "triples_surface",
         lambda: X.extract_triples(transcripts),
-        deps=["input"], fingerprint=True)
+        deps=["input"], fingerprint=True, shard_by="conv_id")
 
     entities = man.run_stage(
         "entities",
@@ -126,19 +126,21 @@ def build_checkpointed(input_path: str, out_dir: str) -> Manifest:
     canon = man.run_stage(
         "triples_canonical",
         lambda: M.canonical_triples(triples, M.entity_lookup_ref(entities)),
-        deps=["triples_surface", "entities"], fingerprint=True)
+        deps=["triples_surface", "entities"], fingerprint=True,
+        shard_by="conv_id")
 
     man.run_stage(
         "nodes",
         lambda: (transcripts.map_batches(M.turn_nodes, batch_format="pyarrow")
                  .union(conversation_nodes(transcripts))
                  .union(M.entity_nodes(entities))),
-        deps=["input", "entities"], fingerprint=True)
+        deps=["input", "entities"], fingerprint=True, shard_by="node_id")
 
     man.run_stage(
         "edges",
         lambda: (transcripts.map_batches(M.next_turn_edges,
                                          batch_format="pyarrow")
                  .union(M.fact_and_mention_edges(canon))),
-        deps=["input", "triples_canonical"], fingerprint=True)
+        deps=["input", "triples_canonical"], fingerprint=True,
+        shard_by="src")
     return man

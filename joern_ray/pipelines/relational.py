@@ -253,3 +253,51 @@ def filter_project_parts(sf_dir: str):
 
 def filter_project_parts_sql() -> str:
     return "SELECT p_partkey, p_name, p_type, p_size FROM part WHERE p_size > 30"
+
+
+def running_order_total(sf_dir: str, *, n_buckets: int = 1024):
+    """Per-customer running total of order value (cents) in order-date
+    order — the distributed window-function pattern: customers grouped
+    into hash buckets (whole customer history per bucket), cumulative sums
+    vectorized per bucket."""
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def key(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice"))
+        h = pd.util.hash_array(t.column("o_custkey").to_numpy())
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "o_orderdate": t.column("o_orderdate"),
+            "cents": cents,
+            "bucket": pa.array((h % n_buckets).astype("int64")),
+        })
+
+    def window(group: pa.Table) -> pa.Table:
+        df = group.drop_columns(["bucket"]).to_pandas().sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort",
+            ignore_index=True)
+        run = df.groupby("o_custkey", sort=False)["cents"].cumsum()
+        return pa.table({
+            "o_orderkey": pa.array(df["o_orderkey"], pa.int64()),
+            "o_custkey": pa.array(df["o_custkey"], pa.int64()),
+            "running_cents": pa.array(run.to_numpy(np.int64), pa.int64()),
+        })
+
+    return (ds.map_batches(key, batch_format="pyarrow")
+            .groupby("bucket").map_groups(window, batch_format="pyarrow"))
+
+
+def running_order_total_sql() -> str:
+    return """
+    SELECT o_orderkey, o_custkey,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS running_cents
+    FROM orders
+    """

@@ -74,19 +74,45 @@ class Manifest:
         *,
         deps: list[str] | None = None,
         fingerprint: bool = False,
+        shard_by: str | None = None,
+        n_shards: int = 64,
     ) -> "ray.data.Dataset":
         """Build-or-skip one stage.  On skip, the stage output is re-read
         from its Parquet checkpoint (lineage cut — downstream work never
-        recomputes upstream stages)."""
+        recomputes upstream stages).
+
+        shard_by: hash-shard the output on this column into
+        ``shard=0..n_shards-1`` partition directories (resumable-output
+        layout: a downstream consumer or a re-export can skip finished
+        shard directories; never one giant file)."""
         sdir = self.stage_dir(name)
+
+        def read_back():
+            out = ray.data.read_parquet(sdir)
+            if shard_by is not None:
+                out = out.map_batches(
+                    lambda t: t.drop_columns(["shard"])
+                    if "shard" in t.schema.names else t,
+                    batch_format="pyarrow")
+            return out
+
         if self.is_done(name):
-            return ray.data.read_parquet(sdir)
+            return read_back()
         if os.path.exists(sdir):  # partial output from a crashed run
             shutil.rmtree(sdir)
         t0 = time.perf_counter()
         ds = build()
-        ds.write_parquet(sdir)
-        out = ray.data.read_parquet(sdir)
+        if shard_by is not None:
+            def add_shard(t: pa.Table) -> pa.Table:
+                h = pd.util.hash_array(
+                    t.column(shard_by).to_numpy(zero_copy_only=False))
+                return t.append_column(
+                    "shard", pa.array((h % n_shards).astype("int64")))
+            ds = ds.map_batches(add_shard, batch_format="pyarrow")
+            ds.write_parquet(sdir, partition_cols=["shard"])
+        else:
+            ds.write_parquet(sdir)
+        out = read_back()
         meta = {
             "stage": name,
             "deps": deps or [],
