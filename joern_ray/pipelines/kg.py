@@ -84,10 +84,14 @@ def build_graph(transcripts_ds: "ray.data.Dataset", *,
                                    batch_format="pyarrow")
     vocab = L.vocab_from_mentions(mentions)
     entities = L.build_entities(vocab).materialize()
-    lookup = M.entity_lookup_ref(entities)
     # canonical triples are narrow (ids + kinds, no text): one store copy
     # here saves a full chain replay for each of its two consumers
-    canon = M.canonical_triples(triples, lookup).materialize()
+    if entities.count() > M.BROADCAST_MAX_ENTITIES:
+        # directory too big to broadcast → fully distributed cogroup path
+        canon = M.canonical_triples_cogroup(triples, entities).materialize()
+    else:
+        canon = M.canonical_triples(
+            triples, M.entity_lookup_ref(entities)).materialize()
     nodes = (turn_text_ds.map_batches(M.turn_nodes, batch_format="pyarrow")
              .union(conversation_nodes(turn_keys_ds))
              .union(M.entity_nodes(entities)))

@@ -75,6 +75,156 @@ def _resolve_slot(t: pa.Table, side: str, ents: pa.Table) -> pa.Table:
     return joined.append_column(f"{side}_canonical", canon)
 
 
+def canonical_triples_cogroup(triples_ds: "ray.data.Dataset",
+                              entities_ds: "ray.data.Dataset",
+                              *, n_buckets: int = 1024
+                              ) -> "ray.data.Dataset":
+    """Fully distributed canonicalization — the scale path for entity
+    directories beyond the broadcast bound (no driver-side collection at
+    any point).
+
+    Three keyed exchanges, all on narrow rows:
+      1. slot rows (kind, norm, conv_id, turn_idx, slot) ∪ tagged directory
+         rows, groupby(kind, norm) → resolved slot rows (misses → stubs);
+      2+3. resolved slot rows ∪ original triples, groupby(conv-hash
+         bucket) → pandas merge back onto the triple rows.
+    (conv_id, turn_idx) is the triple uid — one extraction event per turn.
+    """
+    import pandas as pd
+
+    def slot_rows(t: pa.Table) -> pa.Table:
+        parts = []
+        for slot, side, kcol in (("s", "subj", "subj_kind"),
+                                 ("o", "obj", "obj_kind")):
+            parts.append(pa.table({
+                "kind": t.column(kcol),
+                "norm": normalize_arrays(t.column(kcol), t.column(side)),
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx").cast(pa.int32()),
+                "slot": pa.array([slot] * t.num_rows, pa.string()),
+                "entity_id": pa.nulls(t.num_rows, pa.string()),
+                "canonical": pa.nulls(t.num_rows, pa.string()),
+            }))
+        return pa.concat_tables(parts)
+
+    def dir_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema([
+                ("kind", pa.string()), ("norm", pa.string()),
+                ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                ("slot", pa.string()), ("entity_id", pa.string()),
+                ("canonical", pa.string())]).empty_table()
+        n = t.num_rows
+        return pa.table({
+            "kind": t.column("kind"), "norm": t.column("norm"),
+            "conv_id": pa.nulls(n, pa.string()),
+            "turn_idx": pa.nulls(n, pa.int32()),
+            "slot": pa.nulls(n, pa.string()),
+            "entity_id": t.column("entity_id"),
+            "canonical": t.column("canonical"),
+        })
+
+    def resolve_group(g: pa.Table) -> pa.Table:
+        mask_dir = pc.is_null(g.column("slot"))
+        dirs = g.filter(mask_dir)
+        ments = g.filter(pc.invert(mask_dir))
+        if ments.num_rows == 0:
+            return pa.schema([
+                ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                ("slot", pa.string()), ("entity_id", pa.string()),
+                ("canonical", pa.string())]).empty_table()
+        kind = g.column("kind")[0].as_py()
+        norm = g.column("norm")[0].as_py()
+        if dirs.num_rows:
+            eid = dirs.column("entity_id")[0].as_py()
+            canon = dirs.column("canonical")[0].as_py()
+        else:  # stub (get-or-create discipline)
+            eid = norm if kind in R.NONLINK_KINDS else f"stub:{kind}:{norm}"
+            canon = norm
+        n = ments.num_rows
+        return pa.table({
+            "conv_id": ments.column("conv_id"),
+            "turn_idx": ments.column("turn_idx"),
+            "slot": ments.column("slot"),
+            "entity_id": pa.array([eid] * n, pa.string()),
+            "canonical": pa.array([canon] * n, pa.string()),
+        })
+
+    resolved = (triples_ds.map_batches(slot_rows, batch_format="pyarrow")
+                .union(entities_ds.map_batches(dir_rows,
+                                               batch_format="pyarrow"))
+                .groupby(["kind", "norm"])
+                .map_groups(resolve_group, batch_format="pyarrow"))
+
+    def bucketed(name_fn, ds):
+        def fn(t: pa.Table) -> pa.Table:
+            t = name_fn(t)
+            h = pd.util.hash_array(t.column("conv_id").to_numpy(
+                zero_copy_only=False))
+            return t.append_column(
+                "bucket", pa.array((h % n_buckets).astype("int64")))
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    def tag_triple(t: pa.Table) -> pa.Table:
+        return t.append_column("slot", pa.nulls(t.num_rows, pa.string()))
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["bucket"]).to_pandas()
+        trip = df[df["pred"].notna()]
+        res = df[df["pred"].isna()]
+        s = res[res["slot"] == "s"][["conv_id", "turn_idx", "entity_id",
+                                     "canonical"]] \
+            .rename(columns={"entity_id": "subj_id",
+                             "canonical": "subj_canonical"})
+        o = res[res["slot"] == "o"][["conv_id", "turn_idx", "entity_id",
+                                     "canonical"]] \
+            .rename(columns={"entity_id": "obj_id",
+                             "canonical": "obj_canonical"})
+        out = trip.merge(s, on=["conv_id", "turn_idx"], how="left") \
+                  .merge(o, on=["conv_id", "turn_idx"], how="left")
+        cols = [f.name for f in S.TRIPLES_CANONICAL]
+        return pa.Table.from_pandas(out[cols], schema=S.TRIPLES_CANONICAL,
+                                    preserve_index=False)
+
+    def widen_triple(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx").cast(pa.int32()),
+            "slot": pa.nulls(n, pa.string()),
+            "entity_id": pa.nulls(n, pa.string()),
+            "canonical": pa.nulls(n, pa.string()),
+            "subj_kind": t.column("subj_kind"),
+            "obj_kind": t.column("obj_kind"),
+            "pred": t.column("pred"),
+        })
+
+    def widen_resolved(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema([
+                ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                ("slot", pa.string()), ("entity_id", pa.string()),
+                ("canonical", pa.string()), ("subj_kind", pa.string()),
+                ("obj_kind", pa.string()), ("pred", pa.string()),
+            ]).empty_table()
+        n = t.num_rows
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "slot": t.column("slot"),
+            "entity_id": t.column("entity_id"),
+            "canonical": t.column("canonical"),
+            "subj_kind": pa.nulls(n, pa.string()),
+            "obj_kind": pa.nulls(n, pa.string()),
+            "pred": pa.nulls(n, pa.string()),
+        })
+
+    tagged = bucketed(widen_triple, triples_ds).union(
+        bucketed(widen_resolved, resolved))
+    return tagged.groupby("bucket").map_groups(
+        merge_group, batch_format="pyarrow")
+
+
 def canonical_triples(triples_ds: "ray.data.Dataset", lookup_ref
                       ) -> "ray.data.Dataset":
     """Surface triples → canonical triples via broadcast-table hash joins

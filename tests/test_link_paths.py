@@ -44,3 +44,14 @@ def test_extract_bucketed_equals_per_conversation(ray_session, sf_small):
     bucketed = X.extract_triples(ds)
     per_conv = X.extract_triples(ds, resolve_buckets=None)
     assert _sorted_rows(bucketed) == _sorted_rows(per_conv)
+
+
+def test_canonical_cogroup_equals_broadcast(ray_session, sf_small):
+    ds = kg.read_transcripts(synth.transcripts_path(sf_small))
+    triples = X.extract_triples(ds).materialize()
+    entities = L.build_entities(L.vocab_from_mentions(
+        triples.map_batches(L.mentions_from_triples,
+                            batch_format="pyarrow"))).materialize()
+    bcast = M.canonical_triples(triples, M.entity_lookup_ref(entities))
+    cogrp = M.canonical_triples_cogroup(triples, entities)
+    assert _sorted_rows(bcast) == _sorted_rows(cogrp)
