@@ -151,9 +151,11 @@ def _resolve_bucket(group: pa.Table) -> pa.Table:
     (conv_id, turn_idx), forward-fill each conversation's last person
     mention, substitute into pronoun rows.  Emits ONLY the resolved pronoun
     triples — non-pronoun triples take the shuffle-free passthrough in
-    ``extract_triples``.  Semantics match ``_resolve_group`` (the
-    per-conversation reference implementation, kept for tests) with the
-    per-group overhead amortized across ~thousands of conversations."""
+    ``extract_triples``.  Input is the narrow ``_resolve_subset`` schema
+    (state rows carry just the person value; pronoun rows carry the triple
+    payload).  Semantics match ``_resolve_group`` (the per-conversation
+    reference implementation, kept for tests) with the per-group overhead
+    amortized across ~thousands of conversations."""
     import numpy as np
     import pandas as pd
 
@@ -162,24 +164,24 @@ def _resolve_bucket(group: pa.Table) -> pa.Table:
     df = group.drop_columns(["bucket"]).to_pandas()
     df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort",
                         ignore_index=True)
-    is_pron = (df["etype"] == "pronoun").to_numpy()
-    person = np.where(df["obj_kind"].to_numpy() == "person",
-                      df["obj"].to_numpy(object),
-                      np.where(df["subj_kind"].to_numpy() == "person",
-                               df["subj"].to_numpy(object), None))
-    person[is_pron] = None
-    s = pd.Series(person, dtype=object)
+    is_pron = df["pred"].notna().to_numpy()
     conv = df["conv_id"].to_numpy()
+    s = pd.Series(df["person"].to_numpy(object), dtype=object)
     prev = s.groupby(conv, sort=False).shift(1)
     prev = prev.groupby(conv, sort=False).ffill()
     resolved = prev.to_numpy(object)
-    subj = df["subj"].to_numpy(object).copy()
-    subj[is_pron] = resolved[is_pron]
-    df["subj"] = subj
-    df = df[is_pron & ~pd.isna(subj)]
-    out = df.drop(columns=["etype"])
-    return pa.Table.from_pandas(out, schema=S.TRIPLES_SURFACE,
-                                preserve_index=False)
+    keep = is_pron & ~pd.isna(resolved)
+    out = df[keep]
+    n = len(out)
+    return pa.Table.from_arrays(
+        [pa.array(out["conv_id"].to_numpy(object), pa.string()),
+         pa.array(out["turn_idx"].to_numpy(), pa.int32()),
+         pa.array(resolved[keep], pa.string()),
+         pa.array(out["pred"].to_numpy(object), pa.string()),
+         pa.array(out["obj"].to_numpy(object), pa.string()),
+         pa.array(["person"] * n, pa.string()),
+         pa.array(out["obj_kind"].to_numpy(object), pa.string())],
+        schema=S.TRIPLES_SURFACE)
 
 
 # Bucketed-resolve partitioning assumption: every conversation lands wholly
@@ -187,7 +189,7 @@ def _resolve_bucket(group: pa.Table) -> pa.Table:
 # worker's heap.  Size n so total_events / n stays ≲ 1M rows; at 10^12-turn
 # scale pass a proportionally larger n (events are ~40B/row, so 1M rows ≈
 # 50 MB per group).
-DEFAULT_RESOLVE_BUCKETS = 1024
+DEFAULT_RESOLVE_BUCKETS = 256
 
 
 def _with_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
@@ -205,13 +207,30 @@ def _passthrough_triples(t: pa.Table) -> pa.Table:
 
 
 def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
-    """Rows the resolver actually needs: pronoun events (to resolve) plus
-    person-carrying triples (the referent state).  Everything else skips
-    the shuffle entirely."""
-    mask = pc.or_(pc.equal(t.column("etype"), "pronoun"),
-                  pc.or_(pc.equal(t.column("obj_kind"), "person"),
-                         pc.equal(t.column("subj_kind"), "person")))
-    return _with_bucket(t.filter(mask), n_buckets)
+    """Rows the resolver actually needs, projected to the narrow shuffle
+    schema: pronoun events keep their triple payload (pred/obj/obj_kind);
+    person-carrying triples collapse to a single ``person`` state value.
+    Everything else skips the shuffle entirely, and no wide or redundant
+    column ever enters it."""
+    is_pron = pc.equal(t.column("etype"), "pronoun")
+    person_val = pc.if_else(
+        pc.equal(t.column("obj_kind"), "person"), t.column("obj"),
+        pc.if_else(pc.equal(t.column("subj_kind"), "person"),
+                   t.column("subj"), pa.nulls(t.num_rows, pa.string())))
+    # pronoun rows never contribute state (resolution rule)
+    person_val = pc.if_else(is_pron, pa.nulls(t.num_rows, pa.string()),
+                            person_val)
+    mask = pc.or_(is_pron, pc.is_valid(person_val))
+    nulls = pa.nulls(t.num_rows, pa.string())
+    narrow = pa.table({
+        "conv_id": t.column("conv_id"),
+        "turn_idx": t.column("turn_idx"),
+        "person": person_val,
+        "pred": pc.if_else(is_pron, t.column("pred"), nulls),
+        "obj": pc.if_else(is_pron, t.column("obj"), nulls),
+        "obj_kind": pc.if_else(is_pron, t.column("obj_kind"), nulls),
+    }).filter(mask)
+    return _with_bucket(narrow, n_buckets)
 
 
 def extract_triples(transcripts_ds, *, num_partitions: int | None = None,
