@@ -124,7 +124,7 @@ def main_scaling() -> dict:
     turns) so the run is compute-bound — at sf0.1 size the headline is
     dominated by fixed stage latency and measures nothing about scaling.
     Generated Ray-parallel once (cached), then both sub-runs read it."""
-    n_convs = int(os.environ.get("GRAFT_SCALING_CONVS", "2000000"))
+    n_convs = int(os.environ.get("GRAFT_SCALING_CONVS", "4000000"))
     _init_ray(NUM_CPUS)
     from joern_ray import synth
     tdir = synth.ensure_corpus_parallel(n_convs, f"scaling{n_convs}")

@@ -189,7 +189,7 @@ def _resolve_bucket(group: pa.Table) -> pa.Table:
 # worker's heap.  Size n so total_events / n stays ≲ 1M rows; at 10^12-turn
 # scale pass a proportionally larger n (events are ~40B/row, so 1M rows ≈
 # 50 MB per group).
-DEFAULT_RESOLVE_BUCKETS = 256
+DEFAULT_RESOLVE_BUCKETS = 1024
 
 
 def _with_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
