@@ -37,10 +37,11 @@ def read_transcripts(path: str) -> "ray.data.Dataset":
 
 
 def read_turn_keys(path: str) -> "ray.data.Dataset":
-    """(conv_id, turn_idx) only — feeds every stage that never looks at
-    text (conversation nodes, next-turn edges): the wide text column is
-    decoded exactly once per sink that actually needs it."""
-    return ray.data.read_parquet(path, columns=["conv_id", "turn_idx"])
+    """(conv_id, turn_idx, role) only — feeds every stage that never looks
+    at text (conversation nodes, next-turn/replies-to edges): the wide text
+    column is decoded exactly once per sink that actually needs it."""
+    return ray.data.read_parquet(path,
+                                 columns=["conv_id", "turn_idx", "role"])
 
 
 def read_turn_text(path: str) -> "ray.data.Dataset":
@@ -97,6 +98,8 @@ def build_graph(transcripts_ds: "ray.data.Dataset", *,
              .union(M.entity_nodes(entities)))
     edges = (turn_keys_ds.map_batches(M.next_turn_edges,
                                       batch_format="pyarrow")
+             .union(turn_keys_ds.map_batches(M.replies_to_edges,
+                                             batch_format="pyarrow"))
              .union(M.fact_and_mention_edges(canon)))
     return dict(triples_surface=triples, entities=entities,
                 triples_canonical=canon, nodes=nodes, edges=edges)
@@ -144,6 +147,8 @@ def build_checkpointed(input_path: str, out_dir: str) -> Manifest:
         "edges",
         lambda: (transcripts.map_batches(M.next_turn_edges,
                                          batch_format="pyarrow")
+                 .union(transcripts.map_batches(M.replies_to_edges,
+                                                batch_format="pyarrow"))
                  .union(M.fact_and_mention_edges(canon))),
         deps=["input", "triples_canonical"], fingerprint=True,
         shard_by="src")

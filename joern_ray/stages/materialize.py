@@ -342,10 +342,32 @@ def next_turn_edges(batch: pa.Table) -> pa.Table:
         schema=S.EDGES)
 
 
+def replies_to_edges(batch: pa.Table) -> pa.Table:
+    """Assistant turn t → preceding turn t-1 (REPLIES_TO, the REF analog).
+    Per-row derivable like NEXT_TURN — no grouping."""
+    mask = pc.and_(pc.equal(batch.column("role"), "assistant"),
+                   pc.greater(batch.column("turn_idx"), 0))
+    sub = batch.filter(pc.fill_null(mask, False))
+    n = sub.num_rows
+    conv = sub.column("conv_id")
+    tidx = sub.column("turn_idx")
+    prev = pc.subtract(tidx, 1).cast(pa.int32())
+    return pa.Table.from_arrays(
+        [_turn_key(conv, tidx),
+         _turn_key(conv, prev),
+         pa.array(["REPLIES_TO"] * n, pa.string()),
+         pa.nulls(n, pa.string()),
+         conv.cast(pa.string()),
+         tidx.cast(pa.int32())],
+        schema=S.EDGES)
+
+
 def fact_and_mention_edges(canon_triples_ds: "ray.data.Dataset"
                            ) -> "ray.data.Dataset":
     """Canonical triples → FACT edges (entity→entity) + MENTIONS edges
-    (turn→entity, both slots)."""
+    (turn→entity) + USES_TOOL edges (turn→tool entity for invocation
+    facts, the CALL-edge analog; the turn→own-conversation mention is
+    elided as noise)."""
     def fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
             return S.EDGES.empty_table()
@@ -353,19 +375,22 @@ def fact_and_mention_edges(canon_triples_ds: "ray.data.Dataset"
         conv = t.column("conv_id").cast(pa.string())
         tidx = t.column("turn_idx").cast(pa.int32())
         tkey = _turn_key(conv, tidx)
+        is_inv = pc.equal(t.column("pred"), "invoked")
         fact = pa.Table.from_arrays(
             [t.column("subj_id"), t.column("obj_id"),
              pa.array(["FACT"] * n, pa.string()),
              t.column("pred"), conv, tidx],
             schema=S.EDGES)
+        not_inv = pc.invert(is_inv)
         mention_s = pa.Table.from_arrays(
             [tkey, t.column("subj_id"),
              pa.array(["MENTIONS"] * n, pa.string()),
              pa.nulls(n, pa.string()), conv, tidx],
-            schema=S.EDGES)
+            schema=S.EDGES).filter(not_inv)
+        obj_label = pc.if_else(is_inv, "USES_TOOL", "MENTIONS")
         mention_o = pa.Table.from_arrays(
             [tkey, t.column("obj_id"),
-             pa.array(["MENTIONS"] * n, pa.string()),
+             obj_label.combine_chunks() if isinstance(obj_label, pa.ChunkedArray) else obj_label,
              pa.nulls(n, pa.string()), conv, tidx],
             schema=S.EDGES)
         return pa.concat_tables([fact, mention_s, mention_o])

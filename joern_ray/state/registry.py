@@ -128,6 +128,9 @@ def kg_registry() -> StageRegistry:
         "edges",
         lambda d: (d["transcripts"]
                    .map_batches(M.next_turn_edges, batch_format="pyarrow")
+                   .union(d["transcripts"].map_batches(
+                       M.replies_to_edges, batch_format="pyarrow"))
                    .union(M.fact_and_mention_edges(d["triples_canonical"]))),
-        ["input", "triples_canonical"], "NEXT_TURN/FACT/MENTIONS edges"))
+        ["input", "triples_canonical"],
+        "NEXT_TURN/REPLIES_TO/FACT/MENTIONS/USES_TOOL edges"))
     return reg

@@ -107,3 +107,21 @@ def test_resume_skips_completed_stages_entirely(ray_session, sf_small, tmp_path)
     man2 = kg.build_checkpointed(path, out)
     for s, m in mtimes.items():
         assert os.path.getmtime(man2.record_path(s)) == m
+
+
+def test_replies_to_and_uses_tool_edges(graph):
+    res, sf = graph
+    edges = _collect(res["edges"])
+    t = pq.read_table(synth.transcripts_path(sf),
+                      columns=["conv_id", "turn_idx", "role", "tool"])
+    rt = edges.filter(pc.equal(edges.column("label"), "REPLIES_TO"))
+    n_assistant_replies = t.filter(
+        pc.and_(pc.equal(t.column("role"), "assistant"),
+                pc.greater(t.column("turn_idx"), 0))).num_rows
+    assert rt.num_rows == n_assistant_replies
+
+    ut = edges.filter(pc.equal(edges.column("label"), "USES_TOOL"))
+    n_tool_turns = t.filter(
+        pc.and_(pc.equal(t.column("role"), "tool"),
+                pc.is_valid(t.column("tool")))).num_rows
+    assert ut.num_rows == n_tool_turns
