@@ -132,9 +132,11 @@ def main_scaling() -> dict:
     ray.shutdown()
 
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
-    runs: dict[int, list[dict]] = {8: [], 32: []}
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
     for trial in range(trials):
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             # flush prior run's dirty pages, then cool down — pending
             # writeback of the previous trial's ~GB output is the main
             # single-box noise source
@@ -148,26 +150,27 @@ def main_scaling() -> dict:
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
             runs[cpus].append(json.loads(line))
-    best8 = max(runs[8], key=lambda r: r["headline_turns_per_sec"])
-    best32 = max(runs[32], key=lambda r: r["headline_turns_per_sec"])
-    tp8 = best8["headline_turns_per_sec"]
-    tp32 = best32["headline_turns_per_sec"]
-    eff = tp32 / (4 * tp8)
+    best_lo = max(runs[lo], key=lambda r: r["headline_turns_per_sec"])
+    best_hi = max(runs[hi], key=lambda r: r["headline_turns_per_sec"])
+    tp_lo = best_lo["headline_turns_per_sec"]
+    tp_hi = best_hi["headline_turns_per_sec"]
+    eff = tp_hi / ((hi / lo) * tp_lo)
     return {
-        "metric": "kg-build scaling efficiency (8 vs 32 cpus, fresh "
+        "metric": f"kg-build scaling efficiency ({lo} vs {hi} cpus, fresh "
                   f"sessions, best of {trials})",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "queries": {"turns_per_sec_8cpu": tp8, "turns_per_sec_32cpu": tp32,
-                    "sec_8cpu": best8["queries"]["kg_build_headline"],
-                    "sec_32cpu": best32["queries"]["kg_build_headline"],
-                    "all_sec_8cpu": [r["queries"]["kg_build_headline"]
-                                     for r in runs[8]],
-                    "all_sec_32cpu": [r["queries"]["kg_build_headline"]
-                                      for r in runs[32]]},
+        "queries": {f"turns_per_sec_{lo}cpu": tp_lo,
+                    f"turns_per_sec_{hi}cpu": tp_hi,
+                    f"sec_{lo}cpu": best_lo["queries"]["kg_build_headline"],
+                    f"sec_{hi}cpu": best_hi["queries"]["kg_build_headline"],
+                    f"all_sec_{lo}cpu": [r["queries"]["kg_build_headline"]
+                                         for r in runs[lo]],
+                    f"all_sec_{hi}cpu": [r["queries"]["kg_build_headline"]
+                                         for r in runs[hi]]},
         "sf": SF_DIR,
-        "num_cpus": 32,
-        "headline_turns": best32["headline_turns"],
+        "num_cpus": hi,
+        "headline_turns": best_hi["headline_turns"],
     }
 
 
