@@ -146,7 +146,8 @@ def _resolve_group(group: pa.Table) -> pa.Table:
     return t.drop_columns(["etype"])
 
 
-def _resolve_bucket(group: pa.Table) -> pa.Table:
+def _resolve_bucket(group: pa.Table,
+                    cap: int | None = None) -> pa.Table:
     """Vectorized resolver for a BUCKET of whole conversations: sort by
     (conv_id, turn_idx), forward-fill each conversation's last person
     mention, substitute into pronoun rows.  Emits ONLY the resolved pronoun
@@ -164,6 +165,12 @@ def _resolve_bucket(group: pa.Table) -> pa.Table:
     df = group.drop_columns(["bucket"]).to_pandas()
     df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort",
                         ignore_index=True)
+    # pathological-conversation bail-out (deterministic truncation)
+    if cap is None:
+        cap = MAX_RESOLVE_EVENTS_PER_CONV
+    within = df.groupby(df["conv_id"].to_numpy(), sort=False).cumcount()
+    if (within >= cap).any():
+        df = df[within < cap].reset_index(drop=True)
     is_pron = df["pred"].notna().to_numpy()
     conv = df["conv_id"].to_numpy()
     s = pd.Series(df["person"].to_numpy(object), dtype=object)
@@ -190,6 +197,14 @@ def _resolve_bucket(group: pa.Table) -> pa.Table:
 # scale pass a proportionally larger n (events are ~40B/row, so 1M rows ≈
 # 50 MB per group).
 DEFAULT_RESOLVE_BUCKETS = 1024
+
+# Bail-out guard (the 4000-defs dataflow cap analog,
+# ``ReachingDefPass.scala:40-52`` / ``--max-num-def``): a pathological
+# conversation contributes at most this many rows to the resolver — beyond
+# it, later rows are dropped from RESOLUTION ONLY (their non-pronoun
+# triples still flow through the passthrough), deterministically by
+# turn order.
+MAX_RESOLVE_EVENTS_PER_CONV = 100_000
 
 
 def _with_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
@@ -235,7 +250,8 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
 
 def extract_triples(transcripts_ds, *, num_partitions: int | None = None,
                     resolve_buckets: int | None = DEFAULT_RESOLVE_BUCKETS,
-                    materialize_events: bool = True):
+                    materialize_events: bool = True,
+                    max_resolve_events_per_conv: int | None = None):
     """Full extraction: transcripts Dataset → surface-triples Dataset.
 
     resolve_buckets=None groups per conversation (reference semantics,
@@ -257,10 +273,13 @@ def extract_triples(transcripts_ds, *, num_partitions: int | None = None,
         events = events.materialize()  # consumed by both branches
     passthrough = events.map_batches(_passthrough_triples,
                                      batch_format="pyarrow")
+    cap = (MAX_RESOLVE_EVENTS_PER_CONV
+           if max_resolve_events_per_conv is None
+           else max_resolve_events_per_conv)
     resolved = events.map_batches(
         lambda t: _resolve_subset(t, resolve_buckets),
         batch_format="pyarrow").groupby("bucket").map_groups(
-        _resolve_bucket, batch_format="pyarrow")
+        lambda g: _resolve_bucket(g, cap), batch_format="pyarrow")
     if materialize_events:
         resolved = resolved.materialize()
     return passthrough.union(resolved)

@@ -1,0 +1,62 @@
+"""Pathological inputs: duplicate turn ids, gaps, giant conversations —
+extraction must stay deterministic and bounded (FIXTURES.md F5)."""
+
+import pyarrow as pa
+
+import ray.data
+
+from joern_ray import schema as S
+from joern_ray.stages import extract as X
+
+
+def _mk(rows):
+    cols = {f.name: [r.get(f.name) for r in rows] for f in S.TRANSCRIPTS}
+    return pa.Table.from_pydict(cols, schema=S.TRANSCRIPTS)
+
+
+def _rows(ds):
+    t = pa.concat_tables([b for b in ds.iter_batches(batch_format="pyarrow")
+                          if b.num_columns])
+    return sorted(map(tuple, zip(*[c.to_pylist() for c in t.columns])))
+
+
+def test_gaps_and_duplicate_turns_deterministic(ray_session):
+    rows = [
+        dict(conv_id="c1", turn_idx=0, role="user",
+             text="Alice works at Acme Corp.", tool=None, ts=0),
+        # gap: no turn 1-4
+        dict(conv_id="c1", turn_idx=5, role="user",
+             text="She uses search daily.", tool=None, ts=0),
+        # duplicate turn_idx with a different sentence
+        dict(conv_id="c1", turn_idx=5, role="assistant",
+             text="Bob met with Carol.", tool=None, ts=0),
+        dict(conv_id="c1", turn_idx=9, role="user",
+             text="He uses browser daily.", tool=None, ts=0),
+    ]
+    ds = ray.data.from_arrow(_mk(rows)).repartition(3)
+    a = _rows(X.extract_triples(ds))
+    b = _rows(X.extract_triples(ds))
+    assert a == b                      # deterministic under re-execution
+    preds = [r[3] for r in a]
+    assert "works_at" in preds and "met" in preds
+    # pronoun at turn 5 resolves to Alice (strictly-earlier turn 0)
+    resolved = [r for r in a if r[3] == "uses"]
+    assert any(r[2] == "Alice" for r in resolved)
+
+
+def test_giant_conversation_is_bounded_and_survives(ray_session):
+    # one conversation bigger than the resolver cap would be too slow to
+    # build here; instead lower the cap and verify truncation semantics:
+    # only resolution input is capped, passthrough is unaffected
+    rows = [dict(conv_id="big", turn_idx=0, role="user",
+                 text="Alice works at Acme Corp.", tool=None, ts=0)]
+    for i in range(1, 40):
+        rows.append(dict(conv_id="big", turn_idx=i, role="user",
+                         text="She uses search daily.", tool=None, ts=0))
+    ds = ray.data.from_arrow(_mk(rows)).repartition(4)
+    out = _rows(X.extract_triples(ds, max_resolve_events_per_conv=8))
+    # works_at always extracted (passthrough); resolved pronouns only
+    # for the first cap-1 pronoun rows after the state row
+    assert sum(1 for r in out if r[3] == "works_at") == 1
+    n_resolved = sum(1 for r in out if r[3] == "uses")
+    assert n_resolved == 7  # cap 8 rows: 1 state + 7 pronouns
