@@ -119,12 +119,18 @@ INVOKED_PRED = "invoked"
 # ---------------------------------------------------------------------------
 
 def normalize_surface(kind: str, surface: str) -> str:
-    """Canonical-key normalization for a mention surface."""
-    s = surface.strip().lower()
-    if kind == "org":
-        toks = [t for t in s.split() if t not in ORG_STOP_TOKENS]
-        s = " ".join(toks) if toks else s
-    return s
+    """Canonical-key normalization for a mention surface — delegates to the
+    vectorized kernel (``link.normalize_arrays``) on a 1-row array so the
+    scalar and batch paths CANNOT diverge.  (A hand-written Python twin
+    diverged on Unicode edge cases — 'İ' case expansion, NBSP vs RE2's
+    ASCII ``\\s`` — caught by the hypothesis lockstep test; the independent
+    re-implementation of normalization semantics lives in the DuckDB
+    oracle SQL, ``extract/sqlgen.py::_norm_expr``.)"""
+    import pyarrow as pa
+
+    from ..stages.link import normalize_arrays  # lazy: avoids import cycle
+
+    return normalize_arrays(pa.array([kind]), pa.array([surface]))[0].as_py()
 
 
 def char_shingles(s: str, k: int = 2) -> set[str]:

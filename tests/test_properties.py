@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) over the pure kernels — no Ray.
+
+The reference has no randomized testing (SURVEY.md §5 item 7); we add it
+where the engine has dual implementations that must stay in lockstep.
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from joern_ray import schema as S
+from joern_ray.functions import hashing as H
+from joern_ray.functions import rules as R
+from joern_ray.stages import extract as X
+from joern_ray.stages.link import normalize_arrays
+
+KINDS = ["person", "org", "tool", "module", "conv"]
+surface = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+                           max_codepoint=0x2000),
+    min_size=0, max_size=40)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(KINDS), surface),
+                min_size=1, max_size=50))
+def test_normalize_vectorized_matches_scalar(pairs):
+    kinds = pa.array([k for k, _ in pairs])
+    surf = pa.array([s for _, s in pairs])
+    vec = normalize_arrays(kinds, surf).to_pylist()
+    ref = [R.normalize_surface(k, s) for k, s in pairs]
+    assert vec == ref
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.text(min_size=1, max_size=12), max_size=30),
+       st.sets(st.text(min_size=1, max_size=12), max_size=30))
+def test_jaccard_bounds_and_symmetry(a, b):
+    j = R.jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == R.jaccard(b, a)
+    assert R.jaccard(a, a) == 1.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.sets(st.text(min_size=1, max_size=16), min_size=0, max_size=40))
+def test_minhash_deterministic_and_identity(shingles):
+    s1 = H.minhash_signature(shingles)
+    s2 = H.minhash_signature(set(shingles))
+    assert (s1 == s2).all()
+    assert s1.dtype == np.uint64 and len(s1) == H.N_PERMS
+    assert H.band_keys(s1) == H.band_keys(s2)
+
+
+def _random_conversation_rows(draw):
+    n = draw(st.integers(1, 20))
+    conv = f"conv{draw(st.integers(0, 3)):03d}"
+    rows = []
+    for t in range(n):
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            p = draw(st.sampled_from(R.PERSONS[:6]))
+            o = draw(st.sampled_from(R.ORG_BASES[:4]))
+            text = f"{p} works at {o} Corp."
+        elif kind == 1:
+            pron = draw(st.sampled_from(["She", "He"]))
+            tool = draw(st.sampled_from(R.TOOLS[:4]))
+            text = f"{pron} uses {tool} daily."
+        elif kind == 2:
+            a = draw(st.sampled_from(R.PERSONS[:6]))
+            b = draw(st.sampled_from(R.PERSONS[6:12]))
+            text = f"{a} met with {b}."
+        else:
+            text = "Nothing to extract here."
+        rows.append(dict(conv_id=conv, turn_idx=t, role="user",
+                         text=text, tool=None, ts=0))
+    return rows
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_bucketed_resolution_matches_per_conversation(data):
+    rows = []
+    for _ in range(data.draw(st.integers(1, 4))):
+        rows.extend(_random_conversation_rows(data.draw))
+    # dedup (conv, turn) collisions across generated conversations
+    seen, uniq = set(), []
+    for r in rows:
+        k = (r["conv_id"], r["turn_idx"])
+        if k not in seen:
+            seen.add(k)
+            uniq.append(r)
+    cols = {f.name: [r.get(f.name) for r in uniq] for f in S.TRANSCRIPTS}
+    t = pa.Table.from_pydict(cols, schema=S.TRANSCRIPTS)
+    events = X.extract_events(t)
+
+    # reference path: per-conversation resolve over full events
+    ref_parts = []
+    for conv in sorted(set(events.column("conv_id").to_pylist())):
+        import pyarrow.compute as pc
+        g = events.filter(pc.equal(events.column("conv_id"), conv))
+        ref_parts.append(X._resolve_group(g))
+    ref = pa.concat_tables([p for p in ref_parts if p.num_rows] or
+                           [S.TRIPLES_SURFACE.empty_table()])
+
+    # bucketed path: passthrough + narrow resolve
+    pt = X._passthrough_triples(events)
+    sub = X._resolve_subset(events, 7)
+    res_parts = []
+    for b in sorted(set(sub.column("bucket").to_pylist())):
+        import pyarrow.compute as pc
+        g = sub.filter(pc.equal(sub.column("bucket"), b))
+        res_parts.append(X._resolve_bucket(g))
+    got = pa.concat_tables([pt] + [p for p in res_parts if p.num_rows])
+
+    def key(tab):
+        return sorted(map(tuple, zip(*[c.to_pylist() for c in tab.columns])))
+    assert key(got) == key(ref)
