@@ -133,6 +133,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from joern_ray.stages.export import dot_per_conversation
         return dot_per_conversation(kg.build_graph(_transcripts(sf_dir))["edges"])
 
+    def kg_conv_json(sf_dir):
+        from joern_ray.stages.export import conv_triples_json
+        return conv_triples_json(
+            kg.build_graph(_transcripts(sf_dir))["triples_canonical"])
+
     # -- multimodal (stubbed decode, real plumbing) ---------------------
     def multimodal_features(sf_dir):
         return MM.media_features(sf_dir)
@@ -148,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
         "kg_export_dot": kg_export_dot,
+        "kg_conv_json": kg_conv_json,
         # conversation-local enrichment (use-chain analog)
         "kg_mention_chains": CH.mention_chains_query,
         # frontier-BFS reachability (reachableBy analog)

@@ -46,6 +46,34 @@ def write_neo4j_csv(nodes_ds: "ray.data.Dataset", edges_ds: "ray.data.Dataset",
         .write_csv(f"{out_dir}/edges")
 
 
+def conv_triples_json(canon_triples_ds: "ray.data.Dataset"
+                      ) -> "ray.data.Dataset":
+    """One JSON record per conversation holding its sorted canonical
+    triples — the exact shape analog of the fork's per-method dependency
+    JSON (one file per internal method, ``DumpDependency.scala:18-50``,
+    records built in ``DependencyJsonGenerator.scala:118-135``); the
+    per-conversation sort mirrors its deterministic member ordering."""
+    import json
+
+    def fmt(group: pa.Table) -> pa.Table:
+        conv = group.column("conv_id")[0].as_py()
+        rows = sorted(
+            (r["turn_idx"], r["subj_canonical"], r["pred"],
+             r["obj_canonical"], r["subj_id"], r["obj_id"])
+            for r in group.to_pylist())
+        doc = json.dumps({
+            "conv_id": conv,
+            "triples": [dict(turn_idx=t, subj=s, pred=p, obj=o,
+                             subj_id=si, obj_id=oi)
+                        for t, s, p, o, si, oi in rows],
+        }, sort_keys=True)
+        return pa.table({"conv_id": pa.array([conv], pa.string()),
+                         "json": pa.array([doc], pa.string())})
+
+    return canon_triples_ds.groupby("conv_id").map_groups(
+        fmt, batch_format="pyarrow")
+
+
 def _quote(s: str) -> str:
     return '"' + str(s).replace("\\", "\\\\").replace('"', '\\"') + '"'
 
