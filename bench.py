@@ -64,34 +64,18 @@ def headline(sf_dir: str) -> dict:
     out = "/tmp/joern_ray_bench_out"
     shutil.rmtree(out, ignore_errors=True)
 
-    import threading
-
-    try:  # pre-import: fsspec's lazy http import races under threads
-        import fsspec.implementations.http  # noqa: F401
-    except Exception:
-        pass
-
     t0 = time.perf_counter()
     res = kg.build_from_path(tp)
     n_triples = res["triples_canonical"].count()
     # zstd: ~3x smaller than snappy on text-heavy tables — the write is
     # disk-bandwidth-bound, compression CPU parallelizes across workers.
-    # Both sinks stream concurrently (independent pipelines; the executor
-    # interleaves them under backpressure).
-    errs: list[BaseException] = []
-
-    def _write(ds, sub):
-        try:
-            ds.write_parquet(os.path.join(out, sub), compression="zstd")
-        except BaseException as e:  # surface in main thread
-            errs.append(e)
-
-    th = threading.Thread(target=_write, args=(res["nodes"], "nodes"))
-    th.start()
-    _write(res["edges"], "edges")
-    th.join()
-    if errs:
-        raise errs[0]
+    # (Sinks run sequentially: driving both from threads trips a
+    # thread-unsafe lazy fsspec import inside Ray's path resolution when
+    # aiohttp is absent, and measured no wall-time win anyway.)
+    res["nodes"].write_parquet(os.path.join(out, "nodes"),
+                               compression="zstd")
+    res["edges"].write_parquet(os.path.join(out, "edges"),
+                               compression="zstd")
     dt = time.perf_counter() - t0
     return dict(sec=dt, turns=n_turns, triples=n_triples,
                 turns_per_sec=n_turns / dt)
