@@ -123,6 +123,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             if t.num_columns else t,
             batch_format="pyarrow")
 
+    def kg_entities_exact(sf_dir):
+        from joern_ray.functions import rules as R
+        ents = kg.build_graph(_transcripts(sf_dir))["entities"]
+        import pyarrow as pa
+        ex_arr = pa.array(sorted(R.FUZZY_KINDS | R.NONLINK_KINDS))
+        return ents.map_batches(
+            lambda t: (t.filter(pc.invert(pc.is_in(t.column("kind"),
+                                                   value_set=ex_arr)))
+                       .select(["kind", "norm", "canonical"]))
+            if t.num_columns else t,
+            batch_format="pyarrow")
+
     def kg_nodes(sf_dir):
         return kg.build_graph(_transcripts(sf_dir))["nodes"]
 
@@ -150,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_next_turn_edges": kg_next_turn_edges,
         "kg_triples_canonical": kg_triples_canonical,
         "kg_entities": kg_entities,
+        "kg_entities_exact": kg_entities_exact,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
         "kg_export_dot": kg_export_dot,
@@ -222,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_findings": FND.findings_sql(tr),
         "kg_snippets": FND.snippets_sql(tr),
         "kg_mention_counts": G.mention_counts_sql(tr),
+        "kg_entities_exact": G.entities_exact_sql(tr),
         "kg_mention_chains": CH.mention_chains_sql(tr),
         "kg_reachable": RCH.reachable_sql(tr),
         "kg_conv_tools": FND.conv_tools_sql(tr),

@@ -88,6 +88,25 @@ def _norm_expr(col: str, kind_col: str) -> str:
     return f"CASE WHEN {kind_col} = 'org' THEN {org} ELSE {low} END"
 
 
+def entities_exact_sql(rel: str) -> str:
+    """Entity directory restricted to exact-key kinds (everything but the
+    fuzzy LSH/union-find kinds, which are not SQL-expressible): canonical
+    form is the normalized key itself."""
+    from ..functions import rules as R
+    excluded = sorted(R.FUZZY_KINDS | R.NONLINK_KINDS)
+    ex_list = ", ".join(f"'{k}'" for k in excluded)
+    return f"""
+    WITH resolved AS ({resolved_triples_sql(rel)}),
+    m AS (
+      SELECT subj_kind AS kind, {_norm_expr('subj', 'subj_kind')} AS norm
+      FROM resolved
+      UNION ALL
+      SELECT obj_kind, {_norm_expr('obj', 'obj_kind')} FROM resolved)
+    SELECT DISTINCT kind, norm, norm AS canonical
+    FROM m WHERE kind NOT IN ({ex_list})
+    """
+
+
 def mention_counts_sql(rel: str) -> str:
     """(kind, norm) → mention count over both slots of resolved triples."""
     return f"""
