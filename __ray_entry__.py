@@ -37,27 +37,13 @@ def _oracle_transcripts_path() -> str:
 
 
 def _surface_triples_sql(transcripts_rel: str) -> str:
-    """Programmatically build the UNION ALL regex-extraction oracle from the
-    shared rule pack (single source of truth for patterns)."""
-    from joern_ray.functions import rules as R
-    parts = []
-    for pred, rx, _sk, _ok in R.TEMPLATES:
-        rx_sql = rx.replace("(?P<subj>", "(").replace("(?P<obj>", "(")
-        parts.append(f"""
-        SELECT conv_id, turn_idx,
-               regexp_extract(text, '{rx_sql}', 1) AS subj,
-               '{pred}' AS pred,
-               regexp_extract(text, '{rx_sql}', 2) AS obj
-        FROM {transcripts_rel}
-        WHERE regexp_matches(text, '{rx_sql}')
-          AND regexp_extract(text, '{rx_sql}', 1) NOT IN ('She', 'He')
-          AND NOT regexp_matches(text, '^(She|He) ')""")
-    parts.append(f"""
-        SELECT conv_id, turn_idx, conv_id AS subj, 'invoked' AS pred,
-               tool AS obj
-        FROM {transcripts_rel}
-        WHERE role = 'tool' AND tool IS NOT NULL""")
-    return " UNION ALL ".join(parts)
+    """Surface (unresolved) triples = the Stage-A events restricted to
+    etype='triple' — delegated to the shared sqlgen so exclusion precedence
+    (pronoun-template suppression, not a broad prefix test) has one source
+    of truth."""
+    from joern_ray.extract import sqlgen as G
+    return ("SELECT conv_id, turn_idx, subj, pred, obj FROM "
+            f"({G.events_sql(transcripts_rel)}) WHERE etype = 'triple'")
 
 
 # ---------------------------------------------------------------------------
@@ -105,6 +91,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_triples_resolved(sf_dir):
         return X.extract_triples(_transcripts(sf_dir)).map_batches(
             lambda t: t.select(["conv_id", "turn_idx", "subj", "pred", "obj"]),
+            batch_format="pyarrow")
+
+    def kg_triples_attributed(sf_dir):
+        """Resolved triples WITH relation attributes (sent_idx / negated /
+        in_question) — the DependencyJsonGenerator attributed-relation
+        analog (``DependencyJsonGenerator.scala:278-292``)."""
+        return X.extract_triples(_transcripts(sf_dir)).map_batches(
+            lambda t: t.select(["conv_id", "turn_idx", "sent_idx", "subj",
+                                "pred", "obj", "negated", "in_question"]),
             batch_format="pyarrow")
 
     def kg_next_turn_edges(sf_dir):
@@ -159,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_turns": kg_turns,
         "kg_triples_surface": kg_triples_surface,
         "kg_triples_resolved": kg_triples_resolved,
+        "kg_triples_attributed": kg_triples_attributed,
         "kg_next_turn_edges": kg_next_turn_edges,
         "kg_triples_canonical": kg_triples_canonical,
         "kg_entities": kg_entities,
@@ -205,7 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": A.ann_bruteforce,
         "ann_lsh": A.ann_lsh,
-        "embedding_neardup": A.embedding_neardup,
+        "embedding_neardup": A.embedding_neardup_planted,
         # multimodal plumbing
         "multimodal_features": multimodal_features,
         "multimodal_resized_features": MM.resized_features,
@@ -232,6 +228,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_surface": _surface_triples_sql(tr),
         "kg_triples_resolved": ("SELECT conv_id, turn_idx, subj, pred, obj "
                                 f"FROM ({G.resolved_triples_sql(tr)})"),
+        "kg_triples_attributed": (
+            "SELECT conv_id, turn_idx, sent_idx, subj, pred, obj, "
+            "negated, in_question "
+            f"FROM ({G.resolved_triples_sql(tr)})"),
         "kg_findings": FND.findings_sql(tr),
         "kg_snippets": FND.snippets_sql(tr),
         "kg_mention_counts": G.mention_counts_sql(tr),
@@ -265,4 +265,5 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_prior_view": EV.asof_prior_view_sql(),
         "events_props_k_stats": EV.props_k_stats_sql(),
         "ann_topk": A.ann_bruteforce_sql(),
+        "embedding_neardup": A.embedding_neardup_planted_sql(),
     }

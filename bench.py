@@ -151,8 +151,13 @@ def main_scaling() -> dict:
                 [sys.executable, os.path.abspath(__file__), "--one"],
                 env=env, capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
-            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-            runs[cpus].append(json.loads(line))
+            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if p.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"scaling sub-run (cpus={cpus}) failed "
+                    f"rc={p.returncode}; stderr tail:\n"
+                    + "\n".join(p.stderr.splitlines()[-20:]))
+            runs[cpus].append(json.loads(lines[-1]))
     best_lo = max(runs[lo], key=lambda r: r["headline_turns_per_sec"])
     best_hi = max(runs[hi], key=lambda r: r["headline_turns_per_sec"])
     tp_lo = best_lo["headline_turns_per_sec"]

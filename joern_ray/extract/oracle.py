@@ -24,45 +24,63 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
     order (sorted internally by turn_idx — stable turn ordering invariant).
     Returns surface-level triple dicts.
     """
+    import re as _re
     turns = sorted(turns, key=lambda r: r["turn_idx"])
     out: list[dict] = []
-    last_person: str | None = None
+    last_person: str | None = None   # committed from strictly-earlier turns
+    cur_turn: int | None = None
+    cur_person: str | None = None    # max person slot in the current turn
     for row in turns:
         conv_id, t = row["conv_id"], row["turn_idx"]
+        if t != cur_turn:
+            if cur_person is not None:
+                last_person = cur_person
+            cur_turn, cur_person = t, None
         if row.get("role") == "tool" and row.get("tool"):
             out.append(dict(conv_id=conv_id, turn_idx=t, subj=conv_id,
                             pred=R.INVOKED_PRED, obj=row["tool"],
-                            subj_kind="conv", obj_kind="tool"))
+                            subj_kind="conv", obj_kind="tool",
+                            sent_idx=0, negated=False, in_question=False))
             continue
         text = row.get("text") or ""
-        matched = False
-        for pred, rx, obj_kind in R.COMPILED_PRONOUN_TEMPLATES:
-            m = rx.match(text)
-            if m:
-                matched = True
-                if last_person is not None:
-                    out.append(dict(conv_id=conv_id, turn_idx=t,
-                                    subj=last_person, pred=pred,
-                                    obj=m.group("obj"), subj_kind="person",
-                                    obj_kind=obj_kind))
+        # shared segmentation contract (rules.SENT_*): mark + split
+        sents = _re.sub(R.SENT_MARK_RE, R.SENT_MARK_SUB,
+                        text).split(R.SENT_SPLIT)
+        for si, sent in enumerate(sents):
+            attrs = dict(sent_idx=si, negated=R.NEGATION_MARK in sent,
+                         in_question=sent.endswith(R.QUESTION_MARK))
+            matched = False
+            for pred, rx, obj_kind in R.COMPILED_PRONOUN_TEMPLATES:
+                m = rx.match(sent)
+                if m:
+                    matched = True
+                    if last_person is not None:
+                        out.append(dict(conv_id=conv_id, turn_idx=t,
+                                        subj=last_person, pred=pred,
+                                        obj=m.group("obj"),
+                                        subj_kind="person",
+                                        obj_kind=obj_kind, **attrs))
+                    break
+            if matched:
+                continue
+            for pred, rx, sk, ok in R.COMPILED_TEMPLATES:
+                m = rx.match(sent)
+                if m is None:
+                    continue
+                subj, obj = m.group("subj"), m.group("obj")
+                if subj in R.PRONOUNS:
+                    continue
+                out.append(dict(conv_id=conv_id, turn_idx=t, subj=subj,
+                                pred=pred, obj=obj, subj_kind=sk,
+                                obj_kind=ok, **attrs))
+                # referent update: per-sentence person slot (obj shadows
+                # subj), committed at the next turn boundary; ties within a
+                # turn take the lexicographic max (rules.py contract)
+                p = (obj if ok == "person"
+                     else subj if sk == "person" else None)
+                if p is not None and (cur_person is None or p > cur_person):
+                    cur_person = p
                 break
-        if matched:
-            continue
-        for pred, rx, sk, ok in R.COMPILED_TEMPLATES:
-            m = rx.match(text)
-            if m is None:
-                continue
-            subj, obj = m.group("subj"), m.group("obj")
-            if subj in R.PRONOUNS:
-                continue
-            out.append(dict(conv_id=conv_id, turn_idx=t, subj=subj, pred=pred,
-                            obj=obj, subj_kind=sk, obj_kind=ok))
-            # referent update: last person slot in sentence order
-            if ok == "person":
-                last_person = obj
-            elif sk == "person":
-                last_person = subj
-            break
     return out
 
 

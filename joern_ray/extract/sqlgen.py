@@ -20,38 +20,70 @@ def _plain(rx: str) -> str:
             .replace("'", "''"))
 
 
+def _sents_cte(rel: str) -> str:
+    """Sentence explosion mirroring rules.SENT_* (RE2 both sides): mark the
+    boundary, split, zip with the 0-based sentence ordinal."""
+    return f"""(
+      SELECT conv_id, turn_idx,
+             unnest(sl) AS sent,
+             CAST(unnest(range(len(sl))) AS INTEGER) AS sent_idx
+      FROM (SELECT conv_id, turn_idx,
+                   regexp_split_to_array(
+                     regexp_replace(text, '([.?!]) ', '\\1' || chr(30), 'g'),
+                     chr(30)) AS sl
+            FROM {rel}))"""
+
+
+def _attr_cols() -> str:
+    return ("sent_idx, contains(sent, 'no longer ') AS negated, "
+            "ends_with(sent, '?') AS in_question")
+
+
 def events_sql(rel: str) -> str:
-    """All extraction events with kinds + etype — the Stage-A analog."""
+    """All extraction events with kinds + etype + attributes — the Stage-A
+    analog, per SENTENCE (multi-sentence turns explode first)."""
     parts = []
+    # a template match is suppressed iff an actual pronoun template matched
+    # the same sentence (mirrors extract_events' pron_matched mask exactly —
+    # a broad '^(She|He) ' prefix test would over-exclude e.g. a subject
+    # surface of 'She Devices')
+    pron_any = " OR ".join(
+        f"regexp_matches(sent, '{_plain(rx)}')"
+        for _, rx, _ in R.PRONOUN_TEMPLATES)
+    sents = _sents_cte(rel)
     for pred, rx, ok in R.PRONOUN_TEMPLATES:
         rxs = _plain(rx)
         parts.append(f"""
         SELECT conv_id, turn_idx, 'pronoun' AS etype,
                CAST(NULL AS VARCHAR) AS subj, '{pred}' AS pred,
-               regexp_extract(text, '{rxs}', 1) AS obj,
-               'person' AS subj_kind, '{ok}' AS obj_kind
-        FROM {rel} WHERE regexp_matches(text, '{rxs}')""")
+               regexp_extract(sent, '{rxs}', 1) AS obj,
+               'person' AS subj_kind, '{ok}' AS obj_kind, {_attr_cols()}
+        FROM {sents} WHERE regexp_matches(sent, '{rxs}')""")
     for pred, rx, sk, ok in R.TEMPLATES:
         rxs = _plain(rx)
         parts.append(f"""
         SELECT conv_id, turn_idx, 'triple',
-               regexp_extract(text, '{rxs}', 1), '{pred}',
-               regexp_extract(text, '{rxs}', 2), '{sk}', '{ok}'
-        FROM {rel}
-        WHERE regexp_matches(text, '{rxs}')
-          AND regexp_extract(text, '{rxs}', 1) NOT IN ('She', 'He')
-          AND NOT regexp_matches(text, '^(She|He) ')""")
+               regexp_extract(sent, '{rxs}', 1), '{pred}',
+               regexp_extract(sent, '{rxs}', 2), '{sk}', '{ok}',
+               {_attr_cols()}
+        FROM {sents}
+        WHERE regexp_matches(sent, '{rxs}')
+          AND regexp_extract(sent, '{rxs}', 1) NOT IN ('She', 'He')
+          AND NOT ({pron_any})""")
     parts.append(f"""
         SELECT conv_id, turn_idx, 'triple', conv_id, '{R.INVOKED_PRED}',
-               tool, 'conv', 'tool'
+               tool, 'conv', 'tool', 0, FALSE, FALSE
         FROM {rel} WHERE role = 'tool' AND tool IS NOT NULL""")
     return " UNION ALL ".join(parts)
 
 
 def resolved_triples_sql(rel: str) -> str:
-    """Surface triples with pronouns resolved (the shared resolution rule:
-    referent = last person slot in any strictly-earlier turn; resolved
-    triples don't update the referent; unresolvable pronouns drop)."""
+    """Surface triples with pronouns resolved (the shared resolution rule,
+    rules.py: referent = max person slot of the LATEST strictly-earlier
+    turn carrying any person slot; resolved triples don't update the
+    referent; unresolvable pronouns drop).  The window runs over one row
+    per TURN (turn-level state commit) so duplicate-turn_idx rows cannot
+    make the result order-dependent."""
     return f"""
     WITH ev AS ({events_sql(rel)}),
     st AS (
@@ -61,19 +93,23 @@ def resolved_triples_sql(rel: str) -> str:
                     WHEN subj_kind = 'person' THEN subj END
              END AS person
       FROM ev),
-    r AS (
-      SELECT *,
-             last_value(person IGNORE NULLS) OVER (
+    tp AS (
+      SELECT conv_id, turn_idx, max(person) AS turn_person
+      FROM st GROUP BY conv_id, turn_idx),
+    tr AS (
+      SELECT conv_id, turn_idx,
+             last_value(turn_person IGNORE NULLS) OVER (
                PARTITION BY conv_id ORDER BY turn_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS prev_person
-      FROM st)
-    SELECT conv_id, turn_idx,
-           CASE WHEN etype = 'pronoun' THEN prev_person ELSE subj END
+      FROM tp)
+    SELECT st.conv_id, st.turn_idx,
+           CASE WHEN etype = 'pronoun' THEN tr.prev_person ELSE st.subj END
              AS subj,
-           pred, obj, subj_kind, obj_kind
-    FROM r
-    WHERE etype = 'triple' OR prev_person IS NOT NULL
+           pred, obj, subj_kind, obj_kind, sent_idx, negated, in_question
+    FROM st JOIN tr
+      ON st.conv_id = tr.conv_id AND st.turn_idx = tr.turn_idx
+    WHERE etype = 'triple' OR tr.prev_person IS NOT NULL
     """
 
 

@@ -67,38 +67,62 @@ PRONOUNS = ("She", "He")
 # kinds: person | org | tool | module | conv
 # ---------------------------------------------------------------------------
 
+# Sentence segmentation contract (shared by the Arrow pipeline, the Python
+# oracle and the DuckDB oracle — all RE2): a sentence boundary is
+# punctuation [.?!] followed by one space.  Both implementations mark the
+# boundary with \x1e then split on it (RE2 has no lookbehind).  A turn may
+# carry several sentences; each is matched independently (the multi-match
+# analog of the reference's per-statement AST visit).
+SENT_MARK_RE = r"([.?!]) "
+SENT_MARK_SUB = "\\1\x1e"
+SENT_SPLIT = "\x1e"
+
 # (pred, regex, subj_kind, obj_kind).  Group names subj/obj are mandatory.
+# Modifier support (the relation-attribute analog): an optional 'no longer '
+# before the verb (negated=true), and '?' terminators (in_question=true).
 TEMPLATES = [
     ("works_at",
-     r"^(?P<subj>[A-Z][a-z]+) works at (?P<obj>[A-Z][A-Za-z ]+?)\.$",
+     r"^(?P<subj>[A-Z][a-z]+) (?:no longer )?works at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
      "person", "org"),
     ("reported_bug",
-     r"^(?P<subj>[A-Z][a-z]+) reported a bug in (?P<obj>[a-z_]+(?:\.[a-z_]+)*)\.$",
+     r"^(?P<subj>[A-Z][a-z]+) reported a bug in (?P<obj>[a-z_]+(?:\.[a-z_]+)*)[.?]$",
      "person", "module"),
     ("uses",
-     r"^(?P<subj>[A-Z][a-z]+) uses (?P<obj>[a-z0-9_]+) daily\.$",
+     r"^(?P<subj>[A-Z][a-z]+) (?:no longer )?uses (?P<obj>[a-z0-9_]+) daily[.?]$",
      "person", "tool"),
     ("acquired",
-     r"^(?P<subj>[A-Z][A-Za-z ]+?) acquired (?P<obj>[A-Z][A-Za-z ]+?)\.$",
+     r"^(?P<subj>[A-Z][A-Za-z ]+?) acquired (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
      "org", "org"),
     ("met",
-     r"^(?P<subj>[A-Z][a-z]+) met with (?P<obj>[A-Z][a-z]+)\.$",
+     r"^(?P<subj>[A-Z][a-z]+) met with (?P<obj>[A-Z][a-z]+)[.?]$",
      "person", "person"),
 ]
 
 # Pronoun templates: subject is an unresolved pronoun; it resolves to the most
 # recently mentioned person (see resolution rule below).
 PRONOUN_TEMPLATES = [
-    ("works_at", r"^(?:She|He) works at (?P<obj>[A-Z][A-Za-z ]+?)\.$", "org"),
-    ("uses", r"^(?:She|He) uses (?P<obj>[a-z0-9_]+) daily\.$", "tool"),
+    ("works_at",
+     r"^(?:She|He) (?:no longer )?works at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     "org"),
+    ("uses",
+     r"^(?:She|He) (?:no longer )?uses (?P<obj>[a-z0-9_]+) daily[.?]$",
+     "tool"),
 ]
 
+# Attribute predicates over a matched sentence (shared contract):
+NEGATION_MARK = "no longer "      # substring test on the matched sentence
+QUESTION_MARK = "?"               # sentence suffix test
+
 # Pronoun resolution rule (shared contract):
-#   The referent of a pronoun in turn t is the person surface that appears
-#   LAST in sentence order among all person-kind slots of template matches in
-#   turns with turn_idx < t of the same conversation (subject before object
-#   within one sentence).  Resolved pronoun triples do not update the
-#   referent state.  Unresolvable pronouns emit no triple.
+#   The referent of a pronoun in turn t is determined by the LATEST turn with
+#   turn_idx < t (same conversation) containing any person-kind slot of a
+#   template match; within one sentence the object slot shadows the subject
+#   slot (so each matched sentence contributes at most one person).  If that
+#   turn carries several person slots (multi-match turns, or duplicate
+#   turn_idx rows in dirty input), the LEXICOGRAPHICALLY GREATEST person
+#   surface wins — a deterministic tie-break independent of row arrival
+#   order.  Resolved pronoun triples do not update the referent state.
+#   Unresolvable pronouns emit no triple.
 
 COMPILED_TEMPLATES = [
     (pred, re.compile(rx), sk, ok) for pred, rx, sk, ok in TEMPLATES

@@ -110,13 +110,20 @@ N_PLANES = 8
 # the synthetic embeddings, which have little cluster structure; clustered
 # real data prunes far harder at the same radius).
 HAM_RADIUS = 3
-_planes_rng = np.random.default_rng(77)
+PLANES_SEED = 77
+
+
+def _planes(dim: int) -> np.ndarray:
+    """Hyperplanes from a FIXED per-call seed: every invocation (in any
+    order, any session) derives the identical LSH geometry — a shared
+    module-level generator would make results depend on call order."""
+    return np.random.default_rng(PLANES_SEED).standard_normal((dim, N_PLANES))
 
 
 def ann_lsh(sf_dir: str, *, dim: int = 64):
     """LSH-bucketed ANN (scale path): random-hyperplane sign buckets prune
     candidates; exact cosine only within the query's bucket ring."""
-    planes = _planes_rng.standard_normal((dim, N_PLANES))
+    planes = _planes(dim)
     qids, qmat = _query_matrix(sf_dir)
     qsig = (qmat @ planes) > 0
     qbuckets = {int(q): int(sig.dot(1 << np.arange(N_PLANES)))
@@ -159,7 +166,7 @@ def ann_lsh(sf_dir: str, *, dim: int = 64):
 
 def embedding_neardup(sf_dir: str, *, threshold: float = 0.95):
     """Embedding-cosine near-duplicate pairs via sign-LSH blocking."""
-    planes = _planes_rng.standard_normal((64, N_PLANES))
+    planes = _planes(64)
     pref = ray.put(planes)
     ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
 
@@ -190,3 +197,70 @@ def embedding_neardup(sf_dir: str, *, threshold: float = 0.95):
     # union a typed empty block so a no-near-dup corpus still yields a
     # stable schema downstream
     return result.union(ray.data.from_arrow(out_schema.empty_table()))
+
+
+N_PLANT = 50
+PLANT_OFFSET = 1_000_000
+
+
+def embedding_neardup_planted(sf_dir: str, *, threshold: float = 0.95):
+    """Near-dup detection demonstrated on the input augmented with planted
+    exact duplicates (vec_id < N_PLANT copied to vec_id + PLANT_OFFSET).
+
+    The raw synthetic embeddings carry no pairs above any sane threshold
+    (max off-diagonal cosine ≈0.51), so the un-augmented operator
+    (``embedding_neardup``) can only ever prove "found nothing".  Planting
+    exact copies makes recall provable: an exact copy shares every LSH
+    sign-bucket with its original, so blocking cannot miss it, and the pair
+    set equals the exact all-pairs oracle (`embedding_neardup_planted_sql`).
+    Output is (a, b) pairs only — similarity values would differ in float
+    rounding between numpy float64 and DuckDB's float32 kernels."""
+    planes = _planes(64)
+    pref = ray.put(planes)
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = t.filter(pc.less(t.column("vec_id"), N_PLANT))
+        if keep.num_rows == 0:
+            return t
+        dup = keep.set_column(
+            keep.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(keep.column("vec_id"), PLANT_OFFSET))
+        return pa.concat_tables([t, dup])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        planes_ = ray.get(pref)
+        vecs = _norm_rows(_matrix(t))
+        sig = ((vecs @ planes_) > 0).dot(1 << np.arange(N_PLANES)).astype(np.int64)
+        return pa.table({"bucket": pa.array(sig, pa.int64()),
+                         "vec_id": t.column("vec_id"),
+                         "embedding": t.column("embedding")})
+
+    def pairs(group: pa.Table) -> pa.Table:
+        g = group.sort_by("vec_id")
+        vecs = _norm_rows(_matrix(g))
+        ids = g.column("vec_id").to_numpy()
+        sims = vecs @ vecs.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pa.table({"a": pa.array(ids[ii], pa.int64()),
+                         "b": pa.array(ids[jj], pa.int64())})
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    result = (ds.map_batches(augment, batch_format="pyarrow")
+              .map_batches(bucket, batch_format="pyarrow")
+              .groupby("bucket").map_groups(pairs, batch_format="pyarrow"))
+    return result.union(ray.data.from_arrow(out_schema.empty_table()))
+
+
+def embedding_neardup_planted_sql(*, threshold: float = 0.95) -> str:
+    return f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {PLANT_OFFSET}, embedding FROM embeddings
+      WHERE vec_id < {N_PLANT})
+    SELECT a.vec_id AS a, b.vec_id AS b
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+    """

@@ -106,22 +106,29 @@ def window_counts(sf_dir: str):
             .groupby(["event_type", "window_start"])
             .aggregate(Sum(on="cents", alias_name="sum_cents"),
                        Sum(on="n", alias_name="n_events"))
-            .map_batches(
-                lambda t: t.select(["event_type", "window_start",
-                                    "n_events", "sum_cents"])
-                if t.num_columns else pa.schema(
-                    [("event_type", pa.string()),
-                     ("window_start", pa.timestamp("us")),
-                     ("n_events", pa.int64()),
-                     ("sum_cents", pa.int64())]).empty_table(),
-                batch_format="pyarrow"))
+            .map_batches(_window_counts_tidy, batch_format="pyarrow"))
+
+
+_WINDOW_COUNTS_SCHEMA = pa.schema(
+    [("event_type", pa.string()), ("window_start", pa.timestamp("us")),
+     ("n_events", pa.int64()), ("sum_cents", pa.int64())])
+
+
+def _window_counts_tidy(t: pa.Table) -> pa.Table:
+    # floor_temporal returns timestamp[s]; the DuckDB oracle's date_trunc
+    # emits timestamp[us] — align units so the driver's value-hash matches.
+    if not t.num_columns:
+        return _WINDOW_COUNTS_SCHEMA.empty_table()
+    t = t.select(["event_type", "window_start", "n_events", "sum_cents"])
+    return t.set_column(
+        1, "window_start", t.column("window_start").cast(pa.timestamp("us")))
 
 
 def window_counts_sql() -> str:
     return """
     SELECT event_type, date_trunc('hour', ts) AS window_start,
            count(*) AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events GROUP BY 1, 2
     """
 
@@ -209,7 +216,7 @@ def props_k_stats(sf_dir: str):
 def props_k_stats_sql() -> str:
     return """
     SELECT event_type,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(json_extract(props, '$.k')) AS n_with_k
     FROM events
     WHERE json_extract(props, '$.k') IS NOT NULL

@@ -35,8 +35,12 @@ FINDINGS = pa.schema([
 
 _ITEMS_RE = r"^result: ok \((?P<n>[0-9]+) items\)$"
 LARGE_RESULT_MIN = 90
+SMALL_RESULT_MAX = 5
 LONG_TURN_TOKENS = 12
 REPEAT_CALLER_MIN = 4
+LONG_CONV_TURNS = 23
+QUESTION_HEAVY_MIN = 2
+HOT_ENTITY_MIN = 200
 
 
 def _table(rule, severity, conv, tidx, evidence, n) -> pa.Table:
@@ -84,6 +88,74 @@ def _rule_acquisition(batch: pa.Table) -> pa.Table:
                   sub.column("text"), sub.num_rows)
 
 
+def _rule_question_turn(batch: pa.Table) -> pa.Table:
+    """User turn ending with '?' (the unansweredness-precursor signal)."""
+    mask = pc.fill_null(pc.and_(pc.equal(batch.column("role"), "user"),
+                                pc.ends_with(batch.column("text"), "?")),
+                        False)
+    sub = batch.filter(mask)
+    return _table("question-turn", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("text"), sub.num_rows)
+
+
+def _rule_negated_fact(batch: pa.Table) -> pa.Table:
+    """'no longer' modifier anywhere in a turn — retraction signal."""
+    mask = pc.fill_null(pc.match_substring(batch.column("text"),
+                                           "no longer "), False)
+    sub = batch.filter(mask)
+    return _table("negated-fact", "warning", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("text"), sub.num_rows)
+
+
+def _rule_empty_turn(batch: pa.Table) -> pa.Table:
+    """Whitespace-only text (dirty input, FIXTURES F5)."""
+    mask = pc.fill_null(
+        pc.equal(pc.utf8_trim_whitespace(batch.column("text")), ""), False)
+    sub = batch.filter(mask)
+    return _table("empty-turn", "warning", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("role"), sub.num_rows)
+
+
+def _rule_meeting(batch: pa.Table) -> pa.Table:
+    mask = pc.fill_null(pc.match_substring(batch.column("text"),
+                                           " met with "), False)
+    sub = batch.filter(mask)
+    return _table("person-meeting", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("text"), sub.num_rows)
+
+
+def _rule_small_tool_result(batch: pa.Table) -> pa.Table:
+    ex = pc.extract_regex(batch.column("text"), _ITEMS_RE)
+    items = pc.cast(pc.struct_field(ex, "n"), pa.int64())
+    mask = pc.fill_null(pc.and_(
+        pc.equal(batch.column("role"), "tool"),
+        pc.less(items, SMALL_RESULT_MAX)), False)
+    sub = batch.filter(mask)
+    return _table("small-tool-result", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("tool"), sub.num_rows)
+
+
+def _rule_bug_report(batch: pa.Table) -> pa.Table:
+    """Module bug mention with the module path as evidence."""
+    ex = pc.extract_regex(
+        batch.column("text"),
+        r" reported a bug in (?P<m>[a-z_]+(?:\.[a-z_]+)*)[.?]$")
+    mod = pc.struct_field(ex, "m")
+    mask = pc.fill_null(pc.is_valid(mod), False)
+    sub = batch.filter(mask)
+    return _table("bug-report", "warning", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  pc.struct_field(pc.extract_regex(
+                      sub.column("text"),
+                      r" reported a bug in (?P<m>[a-z_]+(?:\.[a-z_]+)*)[.?]$"),
+                      "m"), sub.num_rows)
+
+
 def _repeat_caller(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Conversation-level rule: > REPEAT_CALLER_MIN-1 tool invocations.
     Two-phase count (per-batch partial, then small groupby sum)."""
@@ -107,21 +179,137 @@ def _repeat_caller(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _conv_level_rules(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """All conversation-level rules off ONE two-phase aggregation pass:
+    per-batch partial counters (total turns / tool turns / question turns),
+    one global groupby, then per-rule thresholds — N rules, one shuffle."""
+    def partial(t: pa.Table) -> pa.Table:
+        is_tool = pc.cast(pc.fill_null(
+            pc.equal(t.column("role"), "tool"), False), pa.int64())
+        is_q = pc.cast(pc.fill_null(pc.and_(
+            pc.equal(t.column("role"), "user"),
+            pc.ends_with(t.column("text"), "?")), False), pa.int64())
+        return (pa.table({"conv_id": t.column("conv_id"),
+                          "n_turns": pa.array([1] * t.num_rows, pa.int64()),
+                          "n_tool": is_tool, "n_q": is_q})
+                .group_by("conv_id")
+                .aggregate([("n_turns", "sum"), ("n_tool", "sum"),
+                            ("n_q", "sum")])
+                .rename_columns(["conv_id", "n_turns", "n_tool", "n_q"]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("conv_id")
+           .aggregate(Sum(on="n_turns", alias_name="n_turns"),
+                      Sum(on="n_tool", alias_name="n_tool"),
+                      Sum(on="n_q", alias_name="n_q")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return FINDINGS.empty_table()
+        outs = []
+        rc = t.filter(pc.greater_equal(t.column("n_tool"),
+                                       REPEAT_CALLER_MIN))
+        outs.append(_table("repeat-caller", "info", rc.column("conv_id"),
+                           None, pc.cast(rc.column("n_tool"), pa.string()),
+                           rc.num_rows))
+        lc = t.filter(pc.greater_equal(t.column("n_turns"), LONG_CONV_TURNS))
+        outs.append(_table("long-conversation", "info", lc.column("conv_id"),
+                           None, pc.cast(lc.column("n_turns"), pa.string()),
+                           lc.num_rows))
+        nt = t.filter(pc.equal(t.column("n_tool"), 0))
+        outs.append(_table("no-tool-conversation", "info",
+                           nt.column("conv_id"), None,
+                           pc.cast(nt.column("n_turns"), pa.string()),
+                           nt.num_rows))
+        qh = t.filter(pc.greater_equal(t.column("n_q"), QUESTION_HEAVY_MIN))
+        outs.append(_table("question-heavy", "info", qh.column("conv_id"),
+                           None, pc.cast(qh.column("n_q"), pa.string()),
+                           qh.num_rows))
+        return pa.concat_tables(outs)
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hot_entity_rule(sf_dir: str) -> "ray.data.Dataset":
+    """Entity-level rule over the CANONICAL entity table: canonical
+    entities (exact-key kinds, so the DuckDB oracle is expressible) whose
+    total mention count across both triple slots ≥ HOT_ENTITY_MIN.
+    Counts are two-phase; the canonicalization join is a broadcast of the
+    vocabulary-sized directory."""
+    from ..functions import rules as R
+    from ..stages import extract as X
+    from ..stages import link as L
+
+    tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
+    triples = X.extract_triples(tds)
+    mentions = triples.map_batches(L.mentions_from_triples,
+                                   batch_format="pyarrow").materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.select(["kind", "norm"]).group_by(["kind", "norm"])
+                .aggregate([("norm", "count")])
+                .rename_columns(["kind", "norm", "n"]))
+
+    counts = (mentions.map_batches(partial, batch_format="pyarrow")
+              .groupby(["kind", "norm"])
+              .aggregate(Sum(on="n", alias_name="n")))
+
+    entities = L.build_entities(
+        L.vocab_from_mentions(mentions)).materialize()
+    from ..stages.materialize import entity_lookup_ref
+    eref = entity_lookup_ref(entities)
+    exact_kinds = pa.array(sorted(
+        {"person", "tool", "module"} - R.FUZZY_KINDS - R.NONLINK_KINDS))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return FINDINGS.empty_table()
+        ents = ray.get(eref)
+        t = t.filter(pc.is_in(t.column("kind"), value_set=exact_kinds))
+        joined = t.join(ents.select(["kind", "norm", "canonical"]),
+                        keys=["kind", "norm"], join_type="inner")
+        hot = joined.filter(pc.greater_equal(joined.column("n"),
+                                             HOT_ENTITY_MIN))
+        ev = pc.binary_join_element_wise(
+            hot.column("kind").cast(pa.string()),
+            hot.column("canonical").cast(pa.string()),
+            pc.cast(hot.column("n"), pa.string()), ":")
+        n = hot.num_rows
+        return pa.Table.from_arrays(
+            [pa.array(["hot-entity"] * n, pa.string()),
+             pa.array(["info"] * n, pa.string()),
+             pa.nulls(n, pa.string()),
+             pa.nulls(n, pa.int32()),
+             ev.combine_chunks() if isinstance(ev, pa.ChunkedArray) else ev],
+            schema=FINDINGS)
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
 def scan(transcripts_ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Run every rule; findings = union of per-rule outputs (ScanPass)."""
+    """Run every transcript-level rule; findings = union of per-rule
+    outputs (ScanPass).  Per-turn rules fuse into ONE map over the stream;
+    conversation-level rules share one aggregation pass."""
     per_turn = transcripts_ds.map_batches(
         lambda t: pa.concat_tables([_rule_large_tool_result(t),
                                     _rule_long_turn(t),
-                                    _rule_acquisition(t)]),
+                                    _rule_acquisition(t),
+                                    _rule_question_turn(t),
+                                    _rule_negated_fact(t),
+                                    _rule_empty_turn(t),
+                                    _rule_meeting(t),
+                                    _rule_small_tool_result(t),
+                                    _rule_bug_report(t)]),
         batch_format="pyarrow", zero_copy_batch=True)
-    return per_turn.union(_repeat_caller(transcripts_ds))
+    return per_turn.union(_conv_level_rules(transcripts_ds))
 
 
 def findings(sf_dir: str):
-    return scan(ray.data.read_parquet(synth.transcripts_path(sf_dir)))
+    """Full battery: transcript-level scan ∪ entity-level rules."""
+    return scan(ray.data.read_parquet(synth.transcripts_path(sf_dir))) \
+        .union(hot_entity_rule(sf_dir))
 
 
 def findings_sql(transcripts_rel: str) -> str:
+    from ..extract import sqlgen as G
     return f"""
     SELECT 'large-tool-result' AS rule, 'warning' AS severity, conv_id,
            turn_idx, tool AS evidence
@@ -130,6 +318,13 @@ def findings_sql(transcripts_rel: str) -> str:
       AND regexp_matches(text, '^result: ok \\(([0-9]+) items\\)$')
       AND CAST(regexp_extract(text, '^result: ok \\(([0-9]+) items\\)$', 1)
                AS BIGINT) > {LARGE_RESULT_MIN}
+    UNION ALL
+    SELECT 'small-tool-result', 'info', conv_id, turn_idx, tool
+    FROM {transcripts_rel}
+    WHERE role = 'tool'
+      AND regexp_matches(text, '^result: ok \\(([0-9]+) items\\)$')
+      AND CAST(regexp_extract(text, '^result: ok \\(([0-9]+) items\\)$', 1)
+               AS BIGINT) < {SMALL_RESULT_MAX}
     UNION ALL
     SELECT 'long-turn', 'info', conv_id, turn_idx,
            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS VARCHAR)
@@ -142,10 +337,67 @@ def findings_sql(transcripts_rel: str) -> str:
     FROM {transcripts_rel}
     WHERE regexp_matches(text, '^[A-Z][A-Za-z ]+ acquired ')
     UNION ALL
-    SELECT 'repeat-caller', 'info', conv_id, NULL, CAST(n AS VARCHAR)
-    FROM (SELECT conv_id, count(*) AS n FROM {transcripts_rel}
-          WHERE role = 'tool' GROUP BY conv_id)
-    WHERE n >= {REPEAT_CALLER_MIN}
+    SELECT 'question-turn', 'info', conv_id, turn_idx, text
+    FROM {transcripts_rel}
+    WHERE role = 'user' AND ends_with(text, '?')
+    UNION ALL
+    SELECT 'negated-fact', 'warning', conv_id, turn_idx, text
+    FROM {transcripts_rel} WHERE contains(text, 'no longer ')
+    UNION ALL
+    SELECT 'empty-turn', 'warning', conv_id, turn_idx, role
+    FROM {transcripts_rel} WHERE trim(text) = ''
+    UNION ALL
+    SELECT 'person-meeting', 'info', conv_id, turn_idx, text
+    FROM {transcripts_rel} WHERE contains(text, ' met with ')
+    UNION ALL
+    SELECT 'bug-report', 'warning', conv_id, turn_idx,
+           regexp_extract(text,
+             ' reported a bug in ([a-z_]+(\\.[a-z_]+)*)[.?]$', 1)
+    FROM {transcripts_rel}
+    WHERE regexp_matches(text,
+            ' reported a bug in ([a-z_]+(\\.[a-z_]+)*)[.?]$')
+    UNION ALL
+    SELECT 'repeat-caller', 'info', conv_id, NULL, CAST(n_tool AS VARCHAR)
+    FROM (SELECT conv_id,
+                 CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_tool
+          FROM {transcripts_rel} GROUP BY conv_id)
+    WHERE n_tool >= {REPEAT_CALLER_MIN}
+    UNION ALL
+    SELECT 'long-conversation', 'info', conv_id, NULL,
+           CAST(n_turns AS VARCHAR)
+    FROM (SELECT conv_id, count(*) AS n_turns
+          FROM {transcripts_rel} GROUP BY conv_id)
+    WHERE n_turns >= {LONG_CONV_TURNS}
+    UNION ALL
+    SELECT 'no-tool-conversation', 'info', conv_id, NULL,
+           CAST(n_turns AS VARCHAR)
+    FROM (SELECT conv_id, count(*) AS n_turns,
+                 CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_tool
+          FROM {transcripts_rel} GROUP BY conv_id)
+    WHERE n_tool = 0
+    UNION ALL
+    SELECT 'question-heavy', 'info', conv_id, NULL, CAST(n_q AS VARCHAR)
+    FROM (SELECT conv_id,
+                 CAST(sum(CASE WHEN role = 'user' AND ends_with(text, '?')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_q
+          FROM {transcripts_rel} GROUP BY conv_id)
+    WHERE n_q >= {QUESTION_HEAVY_MIN}
+    UNION ALL
+    SELECT 'hot-entity', 'info', NULL, NULL,
+           kind || ':' || norm || ':' || CAST(n AS VARCHAR)
+    FROM (
+      SELECT kind, norm, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT subj_kind AS kind,
+               {G._norm_expr('subj', 'subj_kind')} AS norm
+        FROM ({G.resolved_triples_sql(transcripts_rel)})
+        UNION ALL
+        SELECT obj_kind, {G._norm_expr('obj', 'obj_kind')}
+        FROM ({G.resolved_triples_sql(transcripts_rel)}))
+      WHERE kind IN ('person', 'tool', 'module')
+      GROUP BY kind, norm)
+    WHERE n >= {HOT_ENTITY_MIN}
     """
 
 
@@ -153,41 +405,106 @@ def findings_sql(transcripts_rel: str) -> str:
 # snippet retrieval (CodeDumper analog)
 # ---------------------------------------------------------------------------
 
-def snippets(sf_dir: str, *, context: int = 1):
+_SNIPPET_UNION = pa.schema([
+    ("conv_id", pa.string()),
+    ("want_turn", pa.int32()),       # join key (anchor±context / turn_idx)
+    ("anchor_turn_idx", pa.int32()),  # valid ⇒ anchor-key row
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+])
+
+_SNIPPET_OUT = pa.schema([
+    ("conv_id", pa.string()),
+    ("anchor_turn_idx", pa.int32()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+])
+
+
+def snippets(sf_dir: str, *, context: int = 1, n_buckets: int = 256):
     """Per finding with a turn anchor: surrounding turns' verbatim text.
 
-    Findings (small) are broadcast once; the transcript table streams
-    through a filtering map — the broadcast-small-side join pattern."""
+    Fully distributed (findings scale WITH the corpus, so no driver-side
+    anchor set): anchors flat-map to their ±context (conv_id, want_turn)
+    keys, then both sides co-locate by hash(conv_id) bucket and each bucket
+    runs one vectorized Acero inner join.  A conversation lands wholly in
+    one bucket, so the per-bucket key dedup equals a global DISTINCT.  The
+    turn text is shuffled once, narrow (4 columns) — inherent to snippet
+    retrieval, whose output IS text next to anchors."""
+    import pandas as pd
+
     tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
     f = scan(tds)
-    anchors: set[tuple[str, int]] = set()
-    for b in f.iter_batches(batch_format="pyarrow"):
-        for c, t in zip(b.column("conv_id").to_pylist(),
-                        b.column("turn_idx").to_pylist()):
-            if t is not None:
-                anchors.add((c, t))
-    aref = ray.put(anchors)
 
-    def fn(batch: pa.Table) -> pa.Table:
-        anc = ray.get(aref)
-        convs = batch.column("conv_id").to_pylist()
-        tidxs = batch.column("turn_idx").to_pylist()
-        out_anchor = []
-        keep_idx = []
-        for i, (c, t) in enumerate(zip(convs, tidxs)):
-            for a in range(t - context, t + context + 1):
-                if (c, a) in anc:
-                    keep_idx.append(i)
-                    out_anchor.append(a)
-        sub = batch.take(pa.array(keep_idx, pa.int64()))
-        return pa.table({
-            "conv_id": sub.column("conv_id"),
-            "anchor_turn_idx": pa.array(out_anchor, pa.int32()),
-            "turn_idx": sub.column("turn_idx").cast(pa.int32()),
-            "role": sub.column("role"),
-            "text": sub.column("text"),
-        })
-    return tds.map_batches(fn, batch_format="pyarrow")
+    def _bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t.column("conv_id").to_numpy(
+            zero_copy_only=False))
+        return t.append_column(
+            "bucket", pa.array((h % n_buckets).astype("int64")))
+
+    def anchor_keys(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t.column("turn_idx")))
+        parts = []
+        anchor = sub.column("turn_idx").cast(pa.int32())
+        for d in range(-context, context + 1):
+            parts.append(pa.table({
+                "conv_id": sub.column("conv_id"),
+                "want_turn": pc.add(anchor, d).cast(pa.int32()),
+                "anchor_turn_idx": anchor,
+            }))
+        keys = (pa.concat_tables(parts)
+                .group_by(["conv_id", "want_turn", "anchor_turn_idx"])
+                .aggregate([]))  # local distinct (combiner)
+        n = keys.num_rows
+        keys = pa.Table.from_arrays(
+            [keys.column("conv_id"), keys.column("want_turn"),
+             keys.column("anchor_turn_idx"), pa.nulls(n, pa.int32()),
+             pa.nulls(n, pa.string()), pa.nulls(n, pa.string())],
+            schema=_SNIPPET_UNION)
+        return _bucket(keys)
+
+    def turn_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        tab = pa.Table.from_arrays(
+            [t.column("conv_id").cast(pa.string()),
+             t.column("turn_idx").cast(pa.int32()),
+             pa.nulls(n, pa.int32()),
+             t.column("turn_idx").cast(pa.int32()),
+             t.column("role").cast(pa.string()),
+             t.column("text").cast(pa.string())],
+            schema=_SNIPPET_UNION)
+        return _bucket(tab)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        is_key = pc.is_valid(g.column("anchor_turn_idx"))
+        keys = (g.filter(is_key)
+                .select(["conv_id", "want_turn", "anchor_turn_idx"])
+                .group_by(["conv_id", "want_turn", "anchor_turn_idx"])
+                .aggregate([]))  # global distinct within the conv's bucket
+        turns = g.filter(pc.invert(is_key)) \
+                 .select(["conv_id", "want_turn", "turn_idx", "role", "text"])
+        if keys.num_rows == 0 or turns.num_rows == 0:
+            return _SNIPPET_OUT.empty_table()
+        joined = turns.join(keys, keys=["conv_id", "want_turn"],
+                            join_type="inner")
+        return S_cast(joined)
+
+    def S_cast(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("conv_id").cast(pa.string()),
+             t.column("anchor_turn_idx").cast(pa.int32()),
+             t.column("turn_idx").cast(pa.int32()),
+             t.column("role").cast(pa.string()),
+             t.column("text").cast(pa.string())],
+            schema=_SNIPPET_OUT)
+
+    tagged = (f.map_batches(anchor_keys, batch_format="pyarrow")
+              .union(tds.map_batches(turn_rows, batch_format="pyarrow")))
+    return tagged.groupby("bucket").map_groups(
+        join_bucket, batch_format="pyarrow")
 
 
 def snippets_sql(transcripts_rel: str, *, context: int = 1) -> str:

@@ -70,9 +70,9 @@ def q1_pricing(sf_dir: str):
 def q1_pricing_sql() -> str:
     return """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
            count(*) AS count_order
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """
@@ -117,7 +117,7 @@ def orders_by_segment(sf_dir: str):
 def orders_by_segment_sql() -> str:
     return """
     SELECT c_mktsegment, count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """
@@ -205,7 +205,7 @@ def revenue_by_nation(sf_dir: str):
 def revenue_by_nation_sql() -> str:
     return """
     SELECT n_name, count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -236,7 +236,7 @@ def events_by_user_sql() -> str:
     return """
     SELECT user_id, count(*) AS n_events, min(ts) AS first_ts,
            max(ts) AS last_ts,
-           sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY user_id
     """
 
@@ -296,8 +296,8 @@ def running_order_total(sf_dir: str, *, n_buckets: int = 1024):
 def running_order_total_sql() -> str:
     return """
     SELECT o_orderkey, o_custkey,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS UNBOUNDED PRECEDING) AS running_cents
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
     FROM orders
     """

@@ -179,7 +179,7 @@ def text_quality_sql() -> str:
                    THEN 1 ELSE 0 END
             + CASE WHEN (CASE WHEN n_tokens = 0 THEN 0
                          ELSE stop_hits * 1000 // n_tokens END) > 50
-                   THEN 1 ELSE 0 END) AS quality
+                   THEN 1 ELSE 0 END)::BIGINT AS quality
     FROM s
     """
 

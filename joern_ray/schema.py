@@ -22,7 +22,11 @@ TRANSCRIPTS = pa.schema([
     ("ts", pa.timestamp("us")),
 ])
 
-# Stage-A output: per-turn extraction events (text never leaves this stage)
+# Stage-A output: per-sentence extraction events (text never leaves this
+# stage).  sent_idx/negated/in_question are the relation-attribute analog of
+# the fork's DependencyJsonGenerator per-relation attributes
+# (is_modified/used_in_branch/used_in_index,
+# ``DependencyJsonGenerator.scala:278-292``).
 EVENTS = pa.schema([
     ("conv_id", pa.string()),
     ("turn_idx", pa.int32()),
@@ -32,6 +36,9 @@ EVENTS = pa.schema([
     ("obj", pa.string()),
     ("subj_kind", pa.string()),
     ("obj_kind", pa.string()),
+    ("sent_idx", pa.int32()),        # sentence position within the turn
+    ("negated", pa.bool_()),         # 'no longer' modifier present
+    ("in_question", pa.bool_()),     # sentence ends with '?'
 ])
 
 # Surface-level triples (post pronoun resolution; surfaces not yet canonical)
@@ -43,6 +50,9 @@ TRIPLES_SURFACE = pa.schema([
     ("obj", pa.string()),
     ("subj_kind", pa.string()),
     ("obj_kind", pa.string()),
+    ("sent_idx", pa.int32()),
+    ("negated", pa.bool_()),
+    ("in_question", pa.bool_()),
 ])
 
 # Mentions: one row per entity slot occurrence

@@ -36,7 +36,8 @@ _TEMPLATE_LITERALS = {
 }
 
 
-def _events_table(n: int, conv, turn_idx, etype, subj, pred, obj, sk, ok) -> pa.Table:
+def _events_table(n: int, conv, turn_idx, etype, subj, pred, obj, sk, ok,
+                  sent_idx=0, negated=False, in_question=False) -> pa.Table:
     def col(v, typ):
         if isinstance(v, (pa.Array, pa.ChunkedArray)):
             return v.cast(typ) if v.type != typ else v
@@ -45,16 +46,47 @@ def _events_table(n: int, conv, turn_idx, etype, subj, pred, obj, sk, ok) -> pa.
         [col(conv, pa.string()), col(turn_idx, pa.int32()),
          col(etype, pa.string()), col(subj, pa.string()),
          col(pred, pa.string()), col(obj, pa.string()),
-         col(sk, pa.string()), col(ok, pa.string())],
+         col(sk, pa.string()), col(ok, pa.string()),
+         col(sent_idx, pa.int32()), col(negated, pa.bool_()),
+         col(in_question, pa.bool_())],
         schema=S.EVENTS)
 
 
-def extract_events(batch: pa.Table) -> pa.Table:
-    """Stage A: transcript batch → extraction-event rows (vectorized)."""
-    batch = batch.combine_chunks()
+def _explode_sentences(batch: pa.Table) -> pa.Table:
+    """Turn rows → one row per sentence (vectorized: RE2 boundary-mark +
+    split + list_flatten; the per-statement AST-visit analog).  Output:
+    (conv_id, turn_idx, sent, sent_idx)."""
+    import numpy as np
+
     text = batch.column("text")
-    conv = batch.column("conv_id")
-    tidx = batch.column("turn_idx")
+    marked = pc.replace_substring_regex(text, R.SENT_MARK_RE, R.SENT_MARK_SUB)
+    parts = pc.split_pattern(marked, R.SENT_SPLIT)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    parent = pc.list_parent_indices(parts)
+    flat = pc.list_flatten(parts)
+    offs = parts.offsets.to_numpy()
+    sent_idx = (np.arange(len(flat), dtype=np.int64)
+                - np.repeat(offs[:-1], np.diff(offs)))
+    return pa.table({
+        "conv_id": batch.column("conv_id").take(parent),
+        "turn_idx": batch.column("turn_idx").take(parent),
+        "sent": flat,
+        "sent_idx": pa.array(sent_idx.astype("int32"), pa.int32()),
+    })
+
+
+def _attrs(sent) -> tuple:
+    """(negated, in_question) attribute kernels over matched sentences."""
+    return (pc.match_substring(sent, R.NEGATION_MARK),
+            pc.ends_with(sent, R.QUESTION_MARK))
+
+
+def extract_events(batch: pa.Table) -> pa.Table:
+    """Stage A: transcript batch → extraction-event rows (vectorized;
+    multi-sentence turns explode first, every sentence matched
+    independently — multiple events per turn are first-class)."""
+    batch = batch.combine_chunks()
     outs: list[pa.Table] = []
 
     # tool-invocation facts come from metadata columns, not text
@@ -70,13 +102,19 @@ def extract_events(batch: pa.Table) -> pa.Table:
 
     import numpy as np
 
+    sents = _explode_sentences(batch)
+    text = sents.column("sent")
+    conv = sents.column("conv_id")
+    tidx = sents.column("turn_idx")
+    sidx = sents.column("sent_idx")
+
     # pronoun templates first (their sentences also match the person-subject
-    # shape; the oracle applies the same precedence)
+    # shape; the oracle applies the same precedence, per sentence)
     pron_pre = pc.or_(pc.starts_with(text, "She "),
                       pc.starts_with(text, "He "))
     pron_idx = pc.indices_nonzero(pc.fill_null(pron_pre, False))
     pron_text = text.take(pron_idx)
-    pron_matched_np = np.zeros(batch.num_rows, dtype=bool)
+    pron_matched_np = np.zeros(sents.num_rows, dtype=bool)
     for pred, rx, ok in R.PRONOUN_TEMPLATES:
         ex = pc.extract_regex(pron_text, rx)
         mask = pc.is_valid(ex)
@@ -85,10 +123,12 @@ def extract_events(batch: pa.Table) -> pa.Table:
         local = pc.indices_nonzero(mask)
         idx = pron_idx.take(local)
         pron_matched_np[idx.to_numpy(zero_copy_only=False)] = True
+        neg, inq = _attrs(text.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx), "pronoun",
             pa.array([None] * len(idx), pa.string()), pred,
-            pc.struct_field(ex, "obj").take(local), "person", ok))
+            pc.struct_field(ex, "obj").take(local), "person", ok,
+            sidx.take(idx), neg, inq))
 
     for pred, rx, sk, ok in R.TEMPLATES:
         pre = pc.match_substring(text, _TEMPLATE_LITERALS[pred])
@@ -108,10 +148,12 @@ def extract_events(batch: pa.Table) -> pa.Table:
             continue
         local = pc.indices_nonzero(mask)
         idx = idx0.take(local)
+        neg, inq = _attrs(text.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx), "triple",
             subj.take(local), pred,
-            pc.struct_field(ex, "obj").take(local), sk, ok))
+            pc.struct_field(ex, "obj").take(local), sk, ok,
+            sidx.take(idx), neg, inq))
 
     if not outs:
         return S.EVENTS.empty_table()
@@ -120,7 +162,11 @@ def extract_events(batch: pa.Table) -> pa.Table:
 
 def _resolve_group(group: pa.Table) -> pa.Table:
     """Stage B group fn: one conversation's events, any order in, surface
-    triples out (pronouns resolved under stable turn ordering)."""
+    triples out.  Resolution contract (rules.py): the referent for turn t is
+    the lexicographically greatest person slot of the LATEST turn with
+    turn_idx < t — turn-level state commit, so duplicate-turn_idx rows and
+    multi-match turns resolve deterministically regardless of block arrival
+    order."""
     group = group.sort_by([("turn_idx", "ascending")])
     etypes = group.column("etype")
     has_pronoun = pc.any(pc.equal(etypes, "pronoun")).as_py()
@@ -128,18 +174,24 @@ def _resolve_group(group: pa.Table) -> pa.Table:
         return group.drop_columns(["etype"])
     rows = group.to_pylist()
     keep: list[dict] = []
-    last_person: str | None = None
+    last_person: str | None = None   # committed: from strictly-earlier turns
+    cur_turn: int | None = None
+    cur_person: str | None = None    # max person seen in the current turn
     for r in rows:
+        if r["turn_idx"] != cur_turn:
+            if cur_person is not None:
+                last_person = cur_person
+            cur_turn = r["turn_idx"]
+            cur_person = None
         if r["etype"] == "pronoun":
             if last_person is not None:
-                r = dict(r, subj=last_person)
-                keep.append(r)
+                keep.append(dict(r, subj=last_person))
             continue
         keep.append(r)
-        if r["obj_kind"] == "person":
-            last_person = r["obj"]
-        elif r["subj_kind"] == "person":
-            last_person = r["subj"]
+        p = (r["obj"] if r["obj_kind"] == "person"
+             else r["subj"] if r["subj_kind"] == "person" else None)
+        if p is not None and (cur_person is None or p > cur_person):
+            cur_person = p
     if not keep:
         return S.TRIPLES_SURFACE.empty_table()
     t = pa.Table.from_pylist(keep, schema=S.EVENTS)
@@ -157,14 +209,16 @@ def _resolve_bucket(group: pa.Table,
     payload).  Semantics match ``_resolve_group`` (the per-conversation
     reference implementation, kept for tests) with the per-group overhead
     amortized across ~thousands of conversations."""
-    import numpy as np
     import pandas as pd
 
     if group.num_rows == 0:
         return S.TRIPLES_SURFACE.empty_table()
     df = group.drop_columns(["bucket"]).to_pandas()
-    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort",
-                        ignore_index=True)
+    # full content sort: determinism even for duplicate-turn_idx dirty input
+    # (the cap below then truncates the same rows on every run)
+    df = df.sort_values(
+        ["conv_id", "turn_idx", "person", "pred", "obj", "sent_idx"],
+        kind="mergesort", ignore_index=True)
     # pathological-conversation bail-out (deterministic truncation)
     if cap is None:
         cap = MAX_RESOLVE_EVENTS_PER_CONV
@@ -172,22 +226,34 @@ def _resolve_bucket(group: pa.Table,
     if (within >= cap).any():
         df = df[within < cap].reset_index(drop=True)
     is_pron = df["pred"].notna().to_numpy()
-    conv = df["conv_id"].to_numpy()
-    s = pd.Series(df["person"].to_numpy(object), dtype=object)
-    prev = s.groupby(conv, sort=False).shift(1)
-    prev = prev.groupby(conv, sort=False).ffill()
-    resolved = prev.to_numpy(object)
-    keep = is_pron & ~pd.isna(resolved)
-    out = df[keep]
+    # turn-level state: per (conv, turn) the max person slot, then the
+    # referent for turn t is the latest state turn with turn_idx < t
+    # (strictly-earlier commit — rules.py resolution contract)
+    state = df.loc[df["person"].notna(), ["conv_id", "turn_idx", "person"]]
+    pron = df.loc[is_pron, ["conv_id", "turn_idx", "pred", "obj", "obj_kind",
+                            "sent_idx", "negated", "in_question"]]
+    if not len(state) or not len(pron):
+        return S.TRIPLES_SURFACE.empty_table()
+    turn_person = (state.groupby(["conv_id", "turn_idx"], sort=False)
+                   ["person"].max().reset_index()
+                   .sort_values("turn_idx", kind="mergesort",
+                                ignore_index=True))
+    pron = pron.sort_values("turn_idx", kind="mergesort", ignore_index=True)
+    out = pd.merge_asof(pron, turn_person, on="turn_idx", by="conv_id",
+                        direction="backward", allow_exact_matches=False)
+    out = out[out["person"].notna()]
     n = len(out)
     return pa.Table.from_arrays(
         [pa.array(out["conv_id"].to_numpy(object), pa.string()),
          pa.array(out["turn_idx"].to_numpy(), pa.int32()),
-         pa.array(resolved[keep], pa.string()),
+         pa.array(out["person"].to_numpy(object), pa.string()),
          pa.array(out["pred"].to_numpy(object), pa.string()),
          pa.array(out["obj"].to_numpy(object), pa.string()),
          pa.array(["person"] * n, pa.string()),
-         pa.array(out["obj_kind"].to_numpy(object), pa.string())],
+         pa.array(out["obj_kind"].to_numpy(object), pa.string()),
+         pa.array(out["sent_idx"].to_numpy(), pa.int32()),
+         pa.array(out["negated"].to_numpy(bool), pa.bool_()),
+         pa.array(out["in_question"].to_numpy(bool), pa.bool_())],
         schema=S.TRIPLES_SURFACE)
 
 
@@ -244,6 +310,9 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
         "pred": pc.if_else(is_pron, t.column("pred"), nulls),
         "obj": pc.if_else(is_pron, t.column("obj"), nulls),
         "obj_kind": pc.if_else(is_pron, t.column("obj_kind"), nulls),
+        "sent_idx": t.column("sent_idx"),
+        "negated": t.column("negated"),
+        "in_question": t.column("in_question"),
     }).filter(mask)
     return _with_bucket(narrow, n_buckets)
 

@@ -75,154 +75,111 @@ def _resolve_slot(t: pa.Table, side: str, ents: pa.Table) -> pa.Table:
     return joined.append_column(f"{side}_canonical", canon)
 
 
+def _cogroup_resolve_pass(ds: "ray.data.Dataset",
+                          entities_ds: "ray.data.Dataset",
+                          side: str, carry: list[tuple[str, pa.DataType]],
+                          n_buckets: int) -> "ray.data.Dataset":
+    """One distributed resolve pass: attach ``<side>_id`` /
+    ``<side>_canonical`` to every input row by co-locating rows with the
+    directory shard that owns their (kind, norm) key.
+
+    Rows are bucketed by hash(kind, norm) — NOT grouped per key — so each
+    group is a many-key shard resolved with one vectorized Acero join
+    (``_resolve_slot``), and the full input row flows through intact: no
+    merge-back join, hence no dependence on any uid and no cross-join risk
+    on duplicate (conv_id, turn_idx) rows (dirty input, multi-match turns).
+    Hot keys cost only their share of one bucket's join, not a per-key
+    Python group."""
+    import pandas as pd
+
+    kcol = f"{side}_kind"
+    carry_names = [n for n, _ in carry]
+    union_fields = carry + [("dkind", pa.string()), ("dnorm", pa.string()),
+                            ("d_entity_id", pa.string()),
+                            ("d_canonical", pa.string())]
+    union_schema = pa.schema(union_fields + [("bucket", pa.int64())])
+    out_schema = pa.schema(carry + [(f"{side}_id", pa.string()),
+                                    (f"{side}_canonical", pa.string())])
+
+    def _bucket_of(kind: pa.ChunkedArray, norm) -> pa.Array:
+        key = pc.binary_join_element_wise(
+            pc.cast(kind, pa.string()), pc.cast(norm, pa.string()), "\x1f")
+        h = pd.util.hash_array(key.to_numpy(zero_copy_only=False))
+        return pa.array((h % n_buckets).astype("int64"))
+
+    def ment_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return union_schema.empty_table()
+        norm = normalize_arrays(t.column(kcol), t.column(side))
+        n = t.num_rows
+        cols = [t.column(nm).cast(ty) for nm, ty in carry]
+        cols += [pa.nulls(n, pa.string())] * 4
+        cols.append(_bucket_of(t.column(kcol), norm))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    def dir_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return union_schema.empty_table()
+        n = t.num_rows
+        cols = [pa.nulls(n, ty) for _, ty in carry]
+        cols += [t.column("kind"), t.column("norm"),
+                 t.column("entity_id"), t.column("canonical")]
+        cols.append(_bucket_of(t.column("kind"), t.column("norm")))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    def resolve_shard(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        is_dir = pc.is_valid(g.column("dkind"))
+        dirs = g.filter(is_dir)
+        ments = g.filter(pc.invert(is_dir))
+        if ments.num_rows == 0:
+            return out_schema.empty_table()
+        ents = pa.Table.from_arrays(
+            [dirs.column("dkind"), dirs.column("dnorm"),
+             dirs.column("d_entity_id"), dirs.column("d_canonical")],
+            names=["kind", "norm", "entity_id", "canonical"])
+        ments = pa.Table.from_arrays(
+            [ments.column(nm) for nm in carry_names],
+            schema=pa.schema(carry))
+        joined = _resolve_slot(ments, side, ents)
+        return pa.Table.from_arrays(
+            [joined.column(nm).cast(ty) for nm, ty in carry] +
+            [joined.column(f"{side}_id").cast(pa.string()),
+             joined.column(f"{side}_canonical").cast(pa.string())],
+            schema=out_schema)
+
+    tagged = (ds.map_batches(ment_rows, batch_format="pyarrow")
+              .union(entities_ds.map_batches(dir_rows,
+                                             batch_format="pyarrow")))
+    return tagged.groupby("bucket").map_groups(
+        resolve_shard, batch_format="pyarrow")
+
+
 def canonical_triples_cogroup(triples_ds: "ray.data.Dataset",
                               entities_ds: "ray.data.Dataset",
                               *, n_buckets: int = 1024
                               ) -> "ray.data.Dataset":
     """Fully distributed canonicalization — the scale path for entity
     directories beyond the broadcast bound (no driver-side collection at
-    any point).
+    any point): two bucketed resolve passes (subj, then obj), each a
+    hash(kind,norm)-sharded Acero join that carries the whole triple row
+    through, so row identity is preserved structurally (equivalence with
+    the broadcast path is pytest-asserted, including duplicate-turn_idx
+    dirty input)."""
+    surf = [(f.name, f.type) for f in S.TRIPLES_SURFACE]
+    p1 = _cogroup_resolve_pass(triples_ds, entities_ds, "subj", surf,
+                               n_buckets)
+    p2 = _cogroup_resolve_pass(
+        p1, entities_ds, "obj",
+        surf + [("subj_id", pa.string()), ("subj_canonical", pa.string())],
+        n_buckets)
 
-    Three keyed exchanges, all on narrow rows:
-      1. slot rows (kind, norm, conv_id, turn_idx, slot) ∪ tagged directory
-         rows, groupby(kind, norm) → resolved slot rows (misses → stubs);
-      2+3. resolved slot rows ∪ original triples, groupby(conv-hash
-         bucket) → pandas merge back onto the triple rows.
-    (conv_id, turn_idx) is the triple uid — one extraction event per turn.
-    """
-    import pandas as pd
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return S.TRIPLES_CANONICAL.empty_table()
+        return S.cast_to(t, S.TRIPLES_CANONICAL)
 
-    def slot_rows(t: pa.Table) -> pa.Table:
-        parts = []
-        for slot, side, kcol in (("s", "subj", "subj_kind"),
-                                 ("o", "obj", "obj_kind")):
-            parts.append(pa.table({
-                "kind": t.column(kcol),
-                "norm": normalize_arrays(t.column(kcol), t.column(side)),
-                "conv_id": t.column("conv_id"),
-                "turn_idx": t.column("turn_idx").cast(pa.int32()),
-                "slot": pa.array([slot] * t.num_rows, pa.string()),
-                "entity_id": pa.nulls(t.num_rows, pa.string()),
-                "canonical": pa.nulls(t.num_rows, pa.string()),
-            }))
-        return pa.concat_tables(parts)
-
-    def dir_rows(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return pa.schema([
-                ("kind", pa.string()), ("norm", pa.string()),
-                ("conv_id", pa.string()), ("turn_idx", pa.int32()),
-                ("slot", pa.string()), ("entity_id", pa.string()),
-                ("canonical", pa.string())]).empty_table()
-        n = t.num_rows
-        return pa.table({
-            "kind": t.column("kind"), "norm": t.column("norm"),
-            "conv_id": pa.nulls(n, pa.string()),
-            "turn_idx": pa.nulls(n, pa.int32()),
-            "slot": pa.nulls(n, pa.string()),
-            "entity_id": t.column("entity_id"),
-            "canonical": t.column("canonical"),
-        })
-
-    def resolve_group(g: pa.Table) -> pa.Table:
-        mask_dir = pc.is_null(g.column("slot"))
-        dirs = g.filter(mask_dir)
-        ments = g.filter(pc.invert(mask_dir))
-        if ments.num_rows == 0:
-            return pa.schema([
-                ("conv_id", pa.string()), ("turn_idx", pa.int32()),
-                ("slot", pa.string()), ("entity_id", pa.string()),
-                ("canonical", pa.string())]).empty_table()
-        kind = g.column("kind")[0].as_py()
-        norm = g.column("norm")[0].as_py()
-        if dirs.num_rows:
-            eid = dirs.column("entity_id")[0].as_py()
-            canon = dirs.column("canonical")[0].as_py()
-        else:  # stub (get-or-create discipline)
-            eid = norm if kind in R.NONLINK_KINDS else f"stub:{kind}:{norm}"
-            canon = norm
-        n = ments.num_rows
-        return pa.table({
-            "conv_id": ments.column("conv_id"),
-            "turn_idx": ments.column("turn_idx"),
-            "slot": ments.column("slot"),
-            "entity_id": pa.array([eid] * n, pa.string()),
-            "canonical": pa.array([canon] * n, pa.string()),
-        })
-
-    resolved = (triples_ds.map_batches(slot_rows, batch_format="pyarrow")
-                .union(entities_ds.map_batches(dir_rows,
-                                               batch_format="pyarrow"))
-                .groupby(["kind", "norm"])
-                .map_groups(resolve_group, batch_format="pyarrow"))
-
-    def bucketed(name_fn, ds):
-        def fn(t: pa.Table) -> pa.Table:
-            t = name_fn(t)
-            h = pd.util.hash_array(t.column("conv_id").to_numpy(
-                zero_copy_only=False))
-            return t.append_column(
-                "bucket", pa.array((h % n_buckets).astype("int64")))
-        return ds.map_batches(fn, batch_format="pyarrow")
-
-    def tag_triple(t: pa.Table) -> pa.Table:
-        return t.append_column("slot", pa.nulls(t.num_rows, pa.string()))
-
-    def merge_group(g: pa.Table) -> pa.Table:
-        df = g.drop_columns(["bucket"]).to_pandas()
-        trip = df[df["pred"].notna()]
-        res = df[df["pred"].isna()]
-        s = res[res["slot"] == "s"][["conv_id", "turn_idx", "entity_id",
-                                     "canonical"]] \
-            .rename(columns={"entity_id": "subj_id",
-                             "canonical": "subj_canonical"})
-        o = res[res["slot"] == "o"][["conv_id", "turn_idx", "entity_id",
-                                     "canonical"]] \
-            .rename(columns={"entity_id": "obj_id",
-                             "canonical": "obj_canonical"})
-        out = trip.merge(s, on=["conv_id", "turn_idx"], how="left") \
-                  .merge(o, on=["conv_id", "turn_idx"], how="left")
-        cols = [f.name for f in S.TRIPLES_CANONICAL]
-        return pa.Table.from_pandas(out[cols], schema=S.TRIPLES_CANONICAL,
-                                    preserve_index=False)
-
-    def widen_triple(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({
-            "conv_id": t.column("conv_id"),
-            "turn_idx": t.column("turn_idx").cast(pa.int32()),
-            "slot": pa.nulls(n, pa.string()),
-            "entity_id": pa.nulls(n, pa.string()),
-            "canonical": pa.nulls(n, pa.string()),
-            "subj_kind": t.column("subj_kind"),
-            "obj_kind": t.column("obj_kind"),
-            "pred": t.column("pred"),
-        })
-
-    def widen_resolved(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return pa.schema([
-                ("conv_id", pa.string()), ("turn_idx", pa.int32()),
-                ("slot", pa.string()), ("entity_id", pa.string()),
-                ("canonical", pa.string()), ("subj_kind", pa.string()),
-                ("obj_kind", pa.string()), ("pred", pa.string()),
-            ]).empty_table()
-        n = t.num_rows
-        return pa.table({
-            "conv_id": t.column("conv_id"),
-            "turn_idx": t.column("turn_idx"),
-            "slot": t.column("slot"),
-            "entity_id": t.column("entity_id"),
-            "canonical": t.column("canonical"),
-            "subj_kind": pa.nulls(n, pa.string()),
-            "obj_kind": pa.nulls(n, pa.string()),
-            "pred": pa.nulls(n, pa.string()),
-        })
-
-    tagged = bucketed(widen_triple, triples_ds).union(
-        bucketed(widen_resolved, resolved))
-    return tagged.groupby("bucket").map_groups(
-        merge_group, batch_format="pyarrow")
+    return p2.map_batches(finalize, batch_format="pyarrow")
 
 
 def canonical_triples(triples_ds: "ray.data.Dataset", lookup_ref

@@ -53,22 +53,29 @@ def reachable(triples_ds: "ray.data.Dataset", seeds: list[tuple[str, str]],
     seen: dict[tuple[str, str], int] = {s: 0 for s in seeds}
     frontier = set(seeds)
     for depth in range(1, max_depth + 1):
-        fref = ray.put(frontier)
+        # broadcast the frontier as a composite-key Arrow array: membership
+        # is one vectorized pc.is_in kernel per batch, never a Python loop
+        fkeys = pa.array([f"{k}\x1f{n}" for k, n in sorted(frontier)],
+                         pa.string())
+        fref = ray.put(fkeys)
 
         def expand(t: pa.Table) -> pa.Table:
-            fr = ray.get(fref)
             if t.num_rows == 0 or t.num_columns == 0:
                 return pa.table({"kind": pa.array([], pa.string()),
                                  "norm": pa.array([], pa.string())})
-            keys = list(zip(t.column("a_kind").to_pylist(),
-                            t.column("a_norm").to_pylist()))
-            mask = pa.array([k in fr for k in keys], pa.bool_())
-            sub = t.filter(mask)
+            fr = ray.get(fref)
+            key = pc.binary_join_element_wise(
+                pc.cast(t.column("a_kind"), pa.string()),
+                pc.cast(t.column("a_norm"), pa.string()), "\x1f")
+            sub = t.filter(pc.is_in(key, value_set=fr))
             out = sub.select(["b_kind", "b_norm"]).rename_columns(
                 ["kind", "norm"])
             return out.group_by(["kind", "norm"]).aggregate([])
 
+        # distributed global dedup BEFORE the driver sees anything: the
+        # collected next-frontier is vocabulary-sized by construction
         nxt_rows = (edges.map_batches(expand, batch_format="pyarrow")
+                    .groupby(["kind", "norm"]).count()
                     .take_all())
         nxt = {(r["kind"], r["norm"]) for r in nxt_rows}
         frontier = nxt - seen.keys()          # anti-join memo

@@ -23,7 +23,7 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v1"
+CORPUS_VERSION = "v2"  # v2: multi-sentence turns + negation/question modifiers
 BASE_EPOCH = 1_767_225_600  # 2026-01-01T00:00:00Z
 CORPUS_ROOT = "/tmp/joern_ray_corpus"
 
@@ -75,6 +75,52 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         gts.append(dict(conv_id=conv_id, turn_idx=t, subj_kind=sk, subj=s,
                         pred=p, obj_kind=ok, obj=o))
 
+    def gen_sentence(rng):
+        """One template sentence → (text, gt tuple, person_slot_surface).
+        Modifiers: 8% 'no longer' (works_at/uses), 5% '?' terminator —
+        exercised so the attributed-triples path has real positives."""
+        ti = int(rng.integers(0, len(R.TEMPLATES)))
+        pred, _, sk, ok = R.TEMPLATES[ti]
+        person_slot = None
+        neg = ""
+        if pred in ("works_at", "uses") and rng.random() < 0.08:
+            neg = "no longer "
+        end = "?" if rng.random() < 0.05 else "."
+        if pred == "works_at":
+            subj = _pick_person(rng)
+            obj_surface, obj_canon = _pick_org(rng)
+            text = f"{subj} {neg}works at {obj_surface}{end}"
+            subj_canon = subj.lower()
+            person_slot = subj
+        elif pred == "reported_bug":
+            subj = _pick_person(rng)
+            obj_surface = obj_canon = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
+            text = f"{subj} reported a bug in {obj_surface}{end}"
+            subj_canon = subj.lower()
+            person_slot = subj
+        elif pred == "uses":
+            subj = _pick_person(rng)
+            obj_surface = obj_canon = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
+            text = f"{subj} {neg}uses {obj_surface} daily{end}"
+            subj_canon = subj.lower()
+            person_slot = subj
+        elif pred == "acquired":
+            s_surface, subj_canon = _pick_org(rng)
+            obj_surface, obj_canon = _pick_org(rng)
+            while obj_canon == subj_canon:
+                obj_surface, obj_canon = _pick_org(rng)
+            text = f"{s_surface} acquired {obj_surface}{end}"
+        else:  # met
+            subj = _pick_person(rng)
+            obj_surface = _pick_person(rng)
+            while obj_surface == subj:
+                obj_surface = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+            obj_canon = obj_surface.lower()
+            text = f"{subj} met with {obj_surface}{end}"
+            subj_canon = subj.lower()
+            person_slot = obj_surface  # object is the later person slot
+        return text, (sk, subj_canon, pred, ok, obj_canon), person_slot
+
     t = 0
     while t < n:
         role = "user" if t % 2 == 0 else "assistant"
@@ -82,52 +128,45 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         if r < 0.12 and last_person is not None:
             pred, _, obj_kind = R.PRONOUN_TEMPLATES[int(rng.integers(0, 2))]
             pronoun = R.PRONOUNS[int(rng.integers(0, 2))]
+            neg = "no longer " if rng.random() < 0.08 else ""
             if obj_kind == "org":
                 obj_surface, obj_canon = _pick_org(rng)
-                text = f"{pronoun} works at {obj_surface}."
+                text = f"{pronoun} {neg}works at {obj_surface}."
+                pred = "works_at"
             else:
                 obj_surface = obj_canon = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
-                text = f"{pronoun} uses {obj_surface} daily."
+                text = f"{pronoun} {neg}uses {obj_surface} daily."
+                pred = "uses"
             add_row(t, role, text)
             add_gt(t, "person", last_person.lower(), pred, obj_kind, obj_canon)
-        elif r < 0.45:
-            ti = int(rng.integers(0, len(R.TEMPLATES)))
-            pred, _, sk, ok = R.TEMPLATES[ti]
-            if pred == "works_at":
-                subj = _pick_person(rng)
-                obj_surface, obj_canon = _pick_org(rng)
-                text = f"{subj} works at {obj_surface}."
-                subj_canon = subj.lower()
-                last_person = subj
-            elif pred == "reported_bug":
-                subj = _pick_person(rng)
-                obj_surface = obj_canon = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
-                text = f"{subj} reported a bug in {obj_surface}."
-                subj_canon = subj.lower()
-                last_person = subj
-            elif pred == "uses":
-                subj = _pick_person(rng)
-                obj_surface = obj_canon = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
-                text = f"{subj} uses {obj_surface} daily."
-                subj_canon = subj.lower()
-                last_person = subj
-            elif pred == "acquired":
-                s_surface, subj_canon = _pick_org(rng)
-                obj_surface, obj_canon = _pick_org(rng)
-                while obj_canon == subj_canon:
-                    obj_surface, obj_canon = _pick_org(rng)
-                text = f"{s_surface} acquired {obj_surface}."
-            else:  # met
-                subj = _pick_person(rng)
-                obj_surface = _pick_person(rng)
-                while obj_surface == subj:
-                    obj_surface = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
-                obj_canon = obj_surface.lower()
-                text = f"{subj} met with {obj_surface}."
-                subj_canon = subj.lower()
-                last_person = obj_surface  # object is the later person slot
+        elif r < 0.40:
+            text, (sk, subj_canon, pred, ok, obj_canon), slot = gen_sentence(rng)
             add_row(t, role, text)
             add_gt(t, sk, subj_canon, pred, ok, obj_canon)
+            if slot is not None:
+                last_person = slot
+        elif r < 0.45:
+            # multi-sentence turn: filler + template, or two templates —
+            # referent commit is turn-level, ties take the lexicographic max
+            # (the engine/oracle resolution contract)
+            slots = []
+            texts = []
+            if rng.random() < 0.5:
+                texts.append(R.FILLERS[int(rng.integers(0, len(R.FILLERS)))])
+                s_text, gt, slot = gen_sentence(rng)
+                texts.append(s_text)
+                add_gt(t, *gt)
+                slots.append(slot)
+            else:
+                for _ in range(2):
+                    s_text, gt, slot = gen_sentence(rng)
+                    texts.append(s_text)
+                    add_gt(t, *gt)
+                    slots.append(slot)
+            add_row(t, role, " ".join(texts))
+            persons = [s for s in slots if s is not None]
+            if persons:
+                last_person = max(persons)
         elif r < 0.58 and t + 1 < n:
             tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
             add_row(t, "assistant", f"Calling {tool} now.")

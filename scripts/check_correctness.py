@@ -86,7 +86,7 @@ def main() -> int:
         ok_vals = False
         if ok_rows and ok_cols:
             try:
-                pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                pd.testing.assert_frame_equal(g, w, check_dtype=True,
                                               check_exact=True)
                 ok_vals = True
             except AssertionError as ex:

@@ -55,3 +55,31 @@ def test_canonical_cogroup_equals_broadcast(ray_session, sf_small):
     bcast = M.canonical_triples(triples, M.entity_lookup_ref(entities))
     cogrp = M.canonical_triples_cogroup(triples, entities)
     assert _sorted_rows(bcast) == _sorted_rows(cogrp)
+
+
+def test_canonical_cogroup_duplicate_turns(ray_session):
+    # ADVICE repro: duplicate (conv_id, turn_idx) triples must not
+    # cross-join on the cogroup path — row identity flows structurally
+    # through the bucketed resolve passes, never via a merge-back key.
+    import ray.data
+    from joern_ray import schema as S
+
+    rows = [
+        ("c1", 0, "Alice", "works_at", "Acme", "person", "org", 0, False, False),
+        ("c1", 0, "Bob", "met", "Carol", "person", "person", 1, False, False),
+        ("c1", 0, "c1", "invoked", "search", "conv", "tool", 0, False, False),
+        ("c2", 3, "Dave", "uses", "editor", "person", "tool", 0, True, False),
+    ]
+    t = pa.Table.from_pydict(
+        {f.name: [r[i] for r in rows]
+         for i, f in enumerate(S.TRIPLES_SURFACE)}, schema=S.TRIPLES_SURFACE)
+    triples = ray.data.from_arrow(t).repartition(2)
+    from joern_ray.stages import link as L2
+    entities = L2.build_entities(L2.vocab_from_mentions(
+        triples.map_batches(L2.mentions_from_triples,
+                            batch_format="pyarrow"))).materialize()
+    bcast = _sorted_rows(
+        M.canonical_triples(triples, M.entity_lookup_ref(entities)))
+    cogrp = _sorted_rows(M.canonical_triples_cogroup(triples, entities))
+    assert len(cogrp) == len(rows)
+    assert bcast == cogrp
