@@ -70,6 +70,45 @@ def with_salt(ds: "ray.data.Dataset", key: str, hot: set,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def salted_multikey_count(ds: "ray.data.Dataset", keys: list[str],
+                          alias: str, *, n_salts: int | None = None
+                          ) -> "ray.data.Dataset":
+    """Two- or three-phase distributed count per composite key.
+
+    n_salts=None: per-batch partial → one global groupby (the default; the
+    combiner alone bounds any key's reducer input to n_blocks rows).
+    n_salts=k: per-batch partial rows get a deterministic salt (partial-row
+    ordinal % k) and reduce in TWO exchanges — (keys, salt) then (keys) —
+    so at extreme block counts (100k+ blocks at 100 TB) a Zipf-head key's
+    per-block partials tree-reduce across k reducers instead of funneling
+    into one.  Results are identical by associativity of sum.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        out = (t.select(keys).group_by(keys)
+               .aggregate([(keys[-1], "count")])
+               .rename_columns([*keys, "n"]))
+        if n_salts:
+            salt = pa.array(np.arange(out.num_rows, dtype=np.int64)
+                            % n_salts)
+            out = out.append_column("salt", salt)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if n_salts:
+        partials = (partials.groupby([*keys, "salt"])
+                    .aggregate(Sum(on="n", alias_name="n"))
+                    .map_batches(lambda t: (t.select([*keys, "n"])
+                                            if t.num_columns else t),
+                                 batch_format="pyarrow"))
+    out = partials.groupby(keys).aggregate(Sum(on="n", alias_name=alias))
+    empty = pa.schema([*[(k, pa.string()) for k in keys],
+                       (alias, pa.int64())])
+    return out.map_batches(
+        lambda t: (t.select([*keys, alias]) if t.num_columns
+                   else empty.empty_table()),
+        batch_format="pyarrow")
+
+
 def salted_count(ds: "ray.data.Dataset", key: str,
                  *, threshold: int = DEFAULT_HOT_THRESHOLD,
                  n_salts: int = DEFAULT_N_SALTS) -> "ray.data.Dataset":

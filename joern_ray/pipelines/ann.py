@@ -40,9 +40,10 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
-    import pyarrow.compute as pc
-    t = pq.read_table(_p(sf_dir), columns=["vec_id", "embedding"])
-    t = t.filter(pc.less(t.column("vec_id"), N_QUERIES))
+    # row-group/pushdown filter at the read: only the N_QUERIES rows leave
+    # storage (a driver-side full-table load would not survive 100 TB)
+    t = pq.read_table(_p(sf_dir), columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", N_QUERIES)])
     t = t.sort_by("vec_id")
     return (t.column("vec_id").to_numpy(), _norm_rows(_matrix(t)))
 

@@ -571,27 +571,18 @@ def conv_tools_sql(transcripts_rel: str) -> str:
     """
 
 
-def entity_mention_counts(sf_dir: str):
-    """(kind, norm) → mention count over both triple slots, with a per-batch
-    partial count before the global groupby (hot-entity skew guard)."""
+def entity_mention_counts(sf_dir: str, *, n_salts: int | None = None):
+    """(kind, norm) → mention count over both triple slots via the shared
+    skew-safe counter (per-batch partials always; pass ``n_salts`` to
+    tree-reduce Zipf-head keys across salts when block counts are huge —
+    identical results by sum associativity, equivalence pytest-asserted
+    over a planted million-row hot key)."""
+    from ..functions.skew import salted_multikey_count
     from ..stages import extract as X
     from ..stages.link import mentions_from_triples
 
     tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
     mentions = X.extract_triples(tds).map_batches(
         mentions_from_triples, batch_format="pyarrow")
-
-    def partial(t: pa.Table) -> pa.Table:
-        return (t.select(["kind", "norm"]).group_by(["kind", "norm"])
-                .aggregate([("norm", "count")])
-                .rename_columns(["kind", "norm", "n"]))
-
-    return (mentions.map_batches(partial, batch_format="pyarrow")
-            .groupby(["kind", "norm"])
-            .aggregate(Sum(on="n", alias_name="n_mentions"))
-            .map_batches(
-                lambda t: t.select(["kind", "norm", "n_mentions"])
-                if t.num_columns else
-                pa.schema([("kind", pa.string()), ("norm", pa.string()),
-                           ("n_mentions", pa.int64())]).empty_table(),
-                batch_format="pyarrow"))
+    return salted_multikey_count(mentions, ["kind", "norm"], "n_mentions",
+                                 n_salts=n_salts)

@@ -274,65 +274,158 @@ def _shingle_hashes(text: str) -> np.ndarray:
     return np.unique(H.hash_strings(_word_shingles(text)))
 
 
-def minhash_clusters(docs_ds: "ray.data.Dataset", *, threshold: float = 0.8):
+def _mh_attach_hashes(pairs_ds: "ray.data.Dataset",
+                      hashed_ds: "ray.data.Dataset", key: str,
+                      carry: list[tuple[str, "pa.DataType"]],
+                      out_col: str, *, n_buckets: int,
+                      dedupe: bool) -> "ray.data.Dataset":
+    """Bucketed cogroup join attaching the ``key`` side's shingle-hash
+    array to each candidate pair: both sides co-locate by hash(doc_id)
+    bucket, each shard runs one Acero join.  Identical (a, b) pairs from
+    different bands share a bucket (same key value), so the cross-band
+    dedup rides this exchange for free (``dedupe=True`` on the first
+    pass)."""
+    import pandas as pd
+
+    union_schema = pa.schema(carry + [("h_doc_id", pa.int64()),
+                                      ("h_hashes", pa.list_(pa.int64())),
+                                      ("bucket", pa.int64())])
+    out_schema = pa.schema(carry + [(out_col, pa.list_(pa.int64()))])
+    carry_names = [n for n, _ in carry]
+
+    def _b(col) -> pa.Array:
+        h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
+        return pa.array((h % n_buckets).astype("int64"))
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return union_schema.empty_table()
+        n = t.num_rows
+        cols = [t.column(nm).cast(ty) for nm, ty in carry]
+        cols += [pa.nulls(n, pa.int64()),
+                 pa.nulls(n, pa.list_(pa.int64())), _b(t.column(key))]
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = [pa.nulls(n, ty) for _, ty in carry]
+        cols += [t.column("doc_id").cast(pa.int64()), t.column("hashes"),
+                 _b(t.column("doc_id"))]
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    def join_shard(g: pa.Table) -> pa.Table:
+        # Acero joins reject list-typed payload columns, so the lookup is
+        # index_in + take (equally vectorized; right side unique per doc)
+        g = g.drop_columns(["bucket"]).combine_chunks()
+        is_hash = pc.is_valid(g.column("h_doc_id"))
+        right = g.filter(is_hash)
+        left = g.filter(pc.invert(is_hash)).select(carry_names)
+        if dedupe and left.num_rows:
+            # list-typed carries can't be group_by keys either, but the
+            # dedupe pass carries plain ints only
+            left = left.group_by(carry_names).aggregate([])
+        if left.num_rows == 0 or right.num_rows == 0:
+            return out_schema.empty_table()
+        pos = pc.index_in(left.column(key),
+                          value_set=right.column("h_doc_id").combine_chunks())
+        valid = pc.is_valid(pos)
+        left = left.filter(valid)
+        hs = right.column("h_hashes").take(pos.filter(valid))
+        return pa.Table.from_arrays(
+            [left.column(nm).cast(ty) for nm, ty in carry] + [hs],
+            schema=out_schema)
+
+    tagged = (pairs_ds.map_batches(pair_rows, batch_format="pyarrow")
+              .union(hashed_ds.map_batches(hash_rows,
+                                           batch_format="pyarrow")))
+    return tagged.groupby("bucket").map_groups(join_shard,
+                                               batch_format="pyarrow")
+
+
+def minhash_clusters(docs_ds: "ray.data.Dataset", *, threshold: float = 0.8,
+                     n_buckets: int = 256):
     """MinHash+LSH near-duplicate clusters over (doc_id, text).
 
-    shingle → minhash → band → bucket-groupby → in-bucket exact-Jaccard
-    verification (bucket rows carry the doc's shingle-hash array, so no
-    text ever enters the shuffle and no driver-side side table exists) →
-    min-doc-id cluster labels via the engine's union-find."""
+    Scale shape: shingle-hash each doc ONCE into a narrow side dataset
+    (doc_id, hashes — no text); band rows carry only (bucket, doc_id), so
+    the LSH exchange ships 16 bytes per band row instead of the full hash
+    array ×n_bands; candidate pairs from the bucket groupby then pick up
+    each side's hash array via two bucketed cogroup joins (hashes shuffled
+    ~once per pair-participation, not ×n_bands) and verify exact Jaccard
+    vectorized per pair.  Verified edges feed the engine's union-find for
+    min-doc-id cluster labels."""
     from ..stages.cc import connected_components
 
-    def keys(t: pa.Table) -> pa.Table:
-        ids, buckets, hashes = [], [], []
+    def prep(t: pa.Table) -> pa.Table:
+        ids, hashes, bands = [], [], []
         for did, text in zip(t.column("doc_id").to_pylist(),
                              t.column("text").to_pylist()):
             hs = _shingle_hashes(text)
-            sig = H.minhash_from_hashes(hs)
-            hl = hs.astype(np.int64).tolist()
-            for bk in H.band_keys(sig):
-                ids.append(did)
-                buckets.append(bk)
-                hashes.append(hl)
-        return pa.table({"bucket": pa.array(buckets, pa.string()),
-                         "doc_id": pa.array(ids, pa.int64()),
-                         "hashes": pa.array(hashes,
-                                            pa.list_(pa.int64()))})
+            ids.append(did)
+            hashes.append(hs.astype(np.int64).tolist())
+            bands.append(list(H.band_keys(H.minhash_from_hashes(hs))))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "hashes": pa.array(hashes, pa.list_(pa.int64())),
+                         "bands": pa.array(bands, pa.list_(pa.string()))})
 
-    _EMPTY_PAIRS = pa.schema([("a", pa.string()),
-                              ("b", pa.string())]).empty_table()
+    hashed = docs_ds.map_batches(prep, batch_format="pyarrow").materialize()
 
-    def pairs(group: pa.Table) -> pa.Table:
-        # fast path: almost every bucket is a singleton — skip pandas
+    def band_rows(t: pa.Table) -> pa.Table:
+        bands = t.column("bands")
+        if isinstance(bands, pa.ChunkedArray):
+            bands = bands.combine_chunks()
+        parent = pc.list_parent_indices(bands)
+        return pa.table({"bucket": pc.list_flatten(bands),
+                         "doc_id": t.column("doc_id").take(parent)})
+
+    _EMPTY_PAIRS = pa.schema([("a", pa.int64()),
+                              ("b", pa.int64())]).empty_table()
+
+    def cand_pairs(group: pa.Table) -> pa.Table:
+        # fast path: almost every bucket is a singleton
         if group.num_rows < 2 or \
                 pc.count_distinct(group.column("doc_id")).as_py() < 2:
             return _EMPTY_PAIRS
-        df = group.to_pandas().drop_duplicates("doc_id") \
-            .sort_values("doc_id").head(LSH_DOC_BUCKET_CAP)
-        ids = df["doc_id"].tolist()
-        hs = [np.asarray(h, dtype=np.int64) for h in df["hashes"]]
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = np.intersect1d(hs[i], hs[j],
-                                       assume_unique=True).size
-                denom = hs[i].size + hs[j].size - inter
-                if denom and inter / denom >= threshold:
-                    a.append(str(ids[i]))
-                    b.append(str(ids[j]))
-        return pa.table({"a": pa.array(a, pa.string()),
-                         "b": pa.array(b, pa.string())})
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        ids = ids[:LSH_DOC_BUCKET_CAP]   # deterministic bail-out cap
+        a = [x for i, x in enumerate(ids) for _ in ids[i + 1:]]
+        b = [y for i, x in enumerate(ids) for y in ids[i + 1:]]
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
 
-    # same verified pair can surface from several bands → exact dedup
-    edges = (docs_ds.map_batches(keys, batch_format="pyarrow")
-             .groupby("bucket").map_groups(pairs, batch_format="pyarrow")
-             .groupby(["a", "b"]).aggregate(Count(alias_name="nb"))
-             .map_batches(lambda t: (t.select(["a", "b"]) if t.num_columns
-                                     else pa.schema([("a", pa.string()),
-                                                     ("b", pa.string())]).empty_table()),
-                          batch_format="pyarrow")
-             .repartition(4))
-    nodes = docs_ds.map_batches(
+    cand = (hashed.map_batches(band_rows, batch_format="pyarrow")
+            .groupby("bucket").map_groups(cand_pairs,
+                                          batch_format="pyarrow"))
+    with_a = _mh_attach_hashes(
+        cand, hashed, "a", [("a", pa.int64()), ("b", pa.int64())], "ha",
+        n_buckets=n_buckets, dedupe=True)
+    with_ab = _mh_attach_hashes(
+        with_a, hashed, "b",
+        [("a", pa.int64()), ("b", pa.int64()),
+         ("ha", pa.list_(pa.int64()))], "hb",
+        n_buckets=n_buckets, dedupe=False)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema([("a", pa.string()),
+                              ("b", pa.string())]).empty_table()
+        a_out, b_out = [], []
+        for a, b, ha, hb in zip(t.column("a").to_pylist(),
+                                t.column("b").to_pylist(),
+                                t.column("ha").to_pylist(),
+                                t.column("hb").to_pylist()):
+            x = np.asarray(ha, dtype=np.int64)
+            y = np.asarray(hb, dtype=np.int64)
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            denom = x.size + y.size - inter
+            if denom and inter / denom >= threshold:
+                a_out.append(str(a))
+                b_out.append(str(b))
+        return pa.table({"a": pa.array(a_out, pa.string()),
+                         "b": pa.array(b_out, pa.string())})
+
+    edges = with_ab.map_batches(verify, batch_format="pyarrow")
+    nodes = hashed.map_batches(
         lambda t: pa.table({"node": pc.cast(t.column("doc_id"), pa.string())}),
         batch_format="pyarrow")
     labels = connected_components(edges, nodes)
@@ -351,7 +444,9 @@ def dedup_minhash(sf_dir: str):
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (deterministic blake2 basis)."""
+    """64-bit SimHash over word features (deterministic blake2 basis) —
+    scalar reference implementation; the batch kernel (``simhash_batch``)
+    must stay in lockstep (pytest-asserted)."""
     acc = np.zeros(64, dtype=np.int64)
     for tok in set(text.split()):
         h = np.uint64(int.from_bytes(
@@ -365,15 +460,131 @@ def simhash64(text: str) -> int:
     return out - (1 << 63)
 
 
+# token → 64-bit blake2 hash memo (Zipfian vocab ⇒ high hit rate; lives for
+# the worker process — the compiled-pattern/per-actor-state idiom)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    out = np.empty(len(tokens), dtype=np.uint64)
+    cache = _TOKEN_HASH_CACHE
+    for i, tok in enumerate(tokens):
+        h = cache.get(tok)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            if len(cache) < 4_000_000:   # bound worker memory
+                cache[tok] = h
+        out[i] = h
+    return out
+
+
+def simhash_batch(t: pa.Table) -> pa.Table:
+    """Vectorized SimHash: unique tokens per doc → memoized 64-bit hashes →
+    one (n_tokens × 64) bit matrix → per-doc signed accumulation with
+    np.add.at — no per-row Python beyond tokenization."""
+    texts = t.column("text").to_pylist()
+    toks: list[str] = []
+    doc_of: list[int] = []
+    for i, s in enumerate(texts):
+        u = set(s.split())
+        toks.extend(u)
+        doc_of.extend([i] * len(u))
+    n_docs = len(texts)
+    if toks:
+        h = _token_hashes(toks)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64))
+                & np.uint64(1)).astype(np.int8)
+        contrib = (bits.astype(np.int16) * 2 - 1)
+        acc = np.zeros((n_docs, 64), dtype=np.int64)
+        np.add.at(acc, np.asarray(doc_of), contrib)
+        pos = acc > 0
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        sims = (pos * weights).sum(axis=1).astype(np.uint64)
+        # scalar contract: signed value = unsigned_bits - 2^63 (wrapping
+        # uint64 subtraction + int64 view reproduces it exactly)
+        out = (sims - np.uint64(1 << 63)).view(np.int64)
+    else:
+        out = np.zeros(0, dtype=np.int64)
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "simhash": pa.array(out, pa.int64())})
+
+
 def dedup_simhash(sf_dir: str):
     """doc_id → simhash (near-dups share close hamming distance)."""
     ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow")
 
-    def fn(t: pa.Table) -> pa.Table:
-        hs = [simhash64(s) for s in t.column("text").to_pylist()]
-        return pa.table({"doc_id": t.column("doc_id"),
-                         "simhash": pa.array(hs, pa.int64())})
-    return ds.map_batches(fn, batch_format="pyarrow")
+
+SIMHASH_BANDS = 4            # 4 × 16-bit bands: hamming ≤ 3 ⇒ ≥1 band equal
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BUCKET_CAP = 256
+
+
+def simhash_clusters(sf_dir: str):
+    """SimHash near-dup clustering: band the 64-bit signature into 16-bit
+    bands (pigeonhole: hamming ≤ 3 pairs share ≥1 band), bucket-groupby per
+    band value, verify hamming distance within capped buckets, union-find
+    to min-doc-id cluster labels."""
+    from ..stages.cc import connected_components
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+    sims = ds.map_batches(simhash_batch, batch_format="pyarrow") \
+             .materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sh = t.column("simhash").to_numpy().astype(np.uint64)
+        ids = t.column("doc_id").to_numpy()
+        parts = []
+        for b in range(SIMHASH_BANDS):
+            band_val = ((sh >> np.uint64(16 * b))
+                        & np.uint64(0xFFFF)).astype(np.int64)
+            key = (band_val + (b << 16)).astype(np.int64)  # band-tagged
+            parts.append(pa.table({
+                "bucket": pa.array(key, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "simhash": t.column("simhash")}))
+        return pa.concat_tables(parts)
+
+    _EMPTY = pa.schema([("a", pa.string()), ("b", pa.string())]).empty_table()
+
+    def pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return _EMPTY
+        g = group.sort_by("doc_id")
+        if g.num_rows > SIMHASH_BUCKET_CAP:
+            g = g.slice(0, SIMHASH_BUCKET_CAP)
+        ids = g.column("doc_id").to_numpy()
+        sh = g.column("simhash").to_numpy().astype(np.uint64)
+        keep = np.concatenate(([True], ids[1:] != ids[:-1]))
+        ids, sh = ids[keep], sh[keep]
+        if len(ids) < 2:
+            return _EMPTY
+        x = sh[:, None] ^ sh[None, :]
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8),
+                            axis=2).sum(axis=2)
+        ii, jj = np.nonzero(np.triu(ham <= SIMHASH_MAX_HAMMING, k=1))
+        return pa.table({
+            "a": pa.array([str(v) for v in ids[ii]], pa.string()),
+            "b": pa.array([str(v) for v in ids[jj]], pa.string())})
+
+    edges = (sims.map_batches(band_rows, batch_format="pyarrow")
+             .groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="nb"))
+             .map_batches(lambda t: (t.select(["a", "b"]) if t.num_columns
+                                     else _EMPTY.schema.empty_table()),
+                          batch_format="pyarrow"))
+    nodes = sims.map_batches(
+        lambda t: pa.table({"node": pc.cast(t.column("doc_id"), pa.string())}),
+        batch_format="pyarrow")
+    labels = connected_components(edges, nodes)
+    return labels.map_batches(
+        lambda t: (pa.table({"doc_id": pc.cast(t.column("node"), pa.int64()),
+                             "cluster": pc.cast(t.column("label"), pa.string())})
+                   if t.num_columns else
+                   pa.schema([("doc_id", pa.int64()),
+                              ("cluster", pa.string())]).empty_table()),
+        batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5):

@@ -100,3 +100,76 @@ def dot_per_conversation(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         batch_format="pyarrow")
     return with_conv.groupby("conv_id").map_groups(
         fmt, batch_format="pyarrow")
+
+
+def _xml_escape(s: str) -> str:
+    return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def graphml_per_conversation(edges_ds: "ray.data.Dataset"
+                             ) -> "ray.data.Dataset":
+    """Edges → (conv_id, graphml): one GraphML document per conversation
+    subgraph — the ``Repr.graphml`` sink of ``JoernExport.scala:97-131``
+    re-expressed as a per-partition formatter (node set = edge endpoints,
+    deterministic sorted order; round-trip tested via xml parsing)."""
+    def fmt(group: pa.Table) -> pa.Table:
+        conv = group.column("conv_id")[0].as_py()
+        g = group.sort_by([("src", "ascending"), ("dst", "ascending"),
+                           ("label", "ascending")])
+        srcs = g.column("src").to_pylist()
+        dsts = g.column("dst").to_pylist()
+        labs = g.column("label").to_pylist()
+        nodes = sorted(set(srcs) | set(dsts))
+        lines = [
+            '<?xml version="1.0" encoding="UTF-8"?>',
+            '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+            '  <key id="label" for="edge" attr.name="label" '
+            'attr.type="string"/>',
+            f'  <graph id="{_xml_escape(conv)}" edgedefault="directed">',
+        ]
+        lines += [f'    <node id="{_xml_escape(n)}"/>' for n in nodes]
+        for i, (s, d, l) in enumerate(zip(srcs, dsts, labs)):
+            lines.append(
+                f'    <edge id="e{i}" source="{_xml_escape(s)}" '
+                f'target="{_xml_escape(d)}">'
+                f'<data key="label">{_xml_escape(l)}</data></edge>')
+        lines += ["  </graph>", "</graphml>"]
+        return pa.table({"conv_id": pa.array([conv], pa.string()),
+                         "graphml": pa.array(["\n".join(lines)], pa.string())})
+
+    with_conv = edges_ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("conv_id"))),
+        batch_format="pyarrow")
+    return with_conv.groupby("conv_id").map_groups(
+        fmt, batch_format="pyarrow")
+
+
+def graphson_per_conversation(edges_ds: "ray.data.Dataset"
+                              ) -> "ray.data.Dataset":
+    """Edges → (conv_id, graphson): TinkerPop-style GraphSON documents
+    (``Repr.graphson`` of ``JoernExport.scala:97-131``): one JSON object
+    with sorted vertices + edges per conversation subgraph."""
+    import json
+
+    def fmt(group: pa.Table) -> pa.Table:
+        conv = group.column("conv_id")[0].as_py()
+        g = group.sort_by([("src", "ascending"), ("dst", "ascending"),
+                           ("label", "ascending")])
+        srcs = g.column("src").to_pylist()
+        dsts = g.column("dst").to_pylist()
+        labs = g.column("label").to_pylist()
+        doc = json.dumps({
+            "graph": conv,
+            "vertices": [{"id": n} for n in sorted(set(srcs) | set(dsts))],
+            "edges": [{"id": f"e{i}", "outV": s, "inV": d, "label": l}
+                      for i, (s, d, l) in enumerate(zip(srcs, dsts, labs))],
+        }, sort_keys=True)
+        return pa.table({"conv_id": pa.array([conv], pa.string()),
+                         "graphson": pa.array([doc], pa.string())})
+
+    with_conv = edges_ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("conv_id"))),
+        batch_format="pyarrow")
+    return with_conv.groupby("conv_id").map_groups(
+        fmt, batch_format="pyarrow")

@@ -30,3 +30,60 @@ def test_neardup_pairs_are_symmetric_free_and_thresholded(ray_session):
         return  # corpus has no near-dups at this threshold — fine
     assert (df["a"] < df["b"]).all()       # canonical orientation, no dups
     assert (df["sim"] >= 0.8).all()
+
+
+def test_simhash_batch_lockstep_with_scalar(ray_session):
+    import pyarrow as pa
+    from joern_ray.pipelines import text as T
+
+    texts = ["the quick brown fox", "the quick brown fox",
+             "the quick brown cat", "completely different words here",
+             "", "single"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = T.simhash_batch(t).column("simhash").to_pylist()
+    want = [T.simhash64(s) for s in texts]
+    assert got == want
+
+
+def test_minhash_planted_clusters(ray_session):
+    """Planted near-dup docs: identical + one-word-swap docs must cluster;
+    unrelated docs must not (exact golden, VERDICT item 7)."""
+    import pyarrow as pa
+    import ray.data
+    from joern_ray.pipelines import text as T
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("theta", "thetaX")  # high shingle overlap
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [base, base, near,
+                 "one two three four five six seven eight nine ten",
+                 "unrelated totally different text with no overlap at all"],
+    })
+    out = T.minhash_clusters(ray.data.from_arrow(docs).repartition(2),
+                             threshold=0.5).take_all()
+    cl = {r["doc_id"]: r["cluster"] for r in out}
+    assert len(cl) == 5
+    assert cl[1] == cl[2] == cl[3] == "1"   # min-doc-id label
+    assert cl[4] != cl[1] and cl[5] != cl[1] and cl[4] != cl[5]
+
+
+def test_simhash_clusters_planted(ray_session, tmp_path):
+    """simhash banding finds hamming-close planted duplicates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from joern_ray.pipelines import text as T
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [base, base,
+                 "entirely different content with other words present"],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = T.simhash_clusters(str(tmp_path)).take_all()
+    cl = {r["doc_id"]: r["cluster"] for r in out}
+    assert cl[1] == cl[2] == "1"
+    assert cl[3] != cl[1]

@@ -75,3 +75,47 @@ def test_dot_per_conversation_deterministic(ray_session):
         '  "t0" -> "t1" [label="NEXT_TURN"];',
         '  "t1" -> "t2" [label="NEXT_TURN"];',
     ]
+
+
+def test_graphml_roundtrip(ray_session):
+    import xml.etree.ElementTree as ET
+
+    import pyarrow as pa
+    import ray.data
+    from joern_ray.stages import export as EXP
+
+    edges = pa.table({
+        "src": ["a", "b", "a"], "dst": ["b", "c", "c"],
+        "label": ["NEXT_TURN", "MENTIONS", "FACT"],
+        "pred": [None, None, "works_at"],
+        "conv_id": ["c1", "c1", "c1"], "turn_idx": [1, 2, 2]})
+    out = EXP.graphml_per_conversation(ray.data.from_arrow(edges)).take_all()
+    assert len(out) == 1
+    root = ET.fromstring(out[0]["graphml"])
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    parsed_nodes = {n.get("id") for n in root.findall(".//g:node", ns)}
+    parsed_edges = {(e.get("source"), e.get("target"),
+                     e.find("g:data", ns).text)
+                    for e in root.findall(".//g:edge", ns)}
+    assert parsed_nodes == {"a", "b", "c"}
+    assert parsed_edges == {("a", "b", "NEXT_TURN"), ("b", "c", "MENTIONS"),
+                            ("a", "c", "FACT")}
+
+
+def test_graphson_roundtrip(ray_session):
+    import json
+
+    import pyarrow as pa
+    import ray.data
+    from joern_ray.stages import export as EXP
+
+    edges = pa.table({
+        "src": ["a", "b"], "dst": ["b", "c"],
+        "label": ["NEXT_TURN", "MENTIONS"],
+        "pred": [None, None],
+        "conv_id": ["c1", "c1"], "turn_idx": [1, 2]})
+    out = EXP.graphson_per_conversation(ray.data.from_arrow(edges)).take_all()
+    doc = json.loads(out[0]["graphson"])
+    assert {v["id"] for v in doc["vertices"]} == {"a", "b", "c"}
+    assert {(e["outV"], e["inV"], e["label"]) for e in doc["edges"]} == \
+        {("a", "b", "NEXT_TURN"), ("b", "c", "MENTIONS")}
