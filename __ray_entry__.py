@@ -158,6 +158,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from joern_ray.stages.export import conv_triples_json
         return conv_triples_json(_graph(sf_dir)["triples_canonical"])
 
+    def kg_dominators(sf_dir):
+        from joern_ray.stages import dom as D
+        from joern_ray.stages import materialize as M
+        edges = _transcripts(sf_dir).map_batches(
+            M.next_turn_edges, batch_format="pyarrow")
+        return D.dominators(edges)
+
+    def kg_post_dominators(sf_dir):
+        from joern_ray.stages import dom as D
+        from joern_ray.stages import materialize as M
+        edges = _transcripts(sf_dir).map_batches(
+            M.next_turn_edges, batch_format="pyarrow")
+        return D.post_dominators(edges)
+
     def kg_export_graphml(sf_dir):
         from joern_ray.stages.export import graphml_per_conversation
         return graphml_per_conversation(_graph(sf_dir)["edges"])
@@ -182,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities_exact": kg_entities_exact,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
+        "kg_dominators": kg_dominators,
+        "kg_post_dominators": kg_post_dominators,
         "kg_export_dot": kg_export_dot,
         "kg_export_graphml": kg_export_graphml,
         "kg_export_graphson": kg_export_graphson,
@@ -190,6 +206,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_chains": CH.mention_chains_query,
         # frontier-BFS reachability (reachableBy analog)
         "kg_reachable": RCH.reachable_query,
+        # per-entity neighborhood slice (JoernSlice analog)
+        "kg_slice": RCH.slice_query,
+        # import-resolver + config side-table analogs
+        "kg_tool_imports": (lambda sf_dir: __import__(
+            "joern_ray.stages.imports", fromlist=["x"]).import_refs(
+            _transcripts(sf_dir))),
+        "kg_tool_registry": (lambda sf_dir: __import__(
+            "joern_ray.stages.imports", fromlist=["x"]).tool_registry(
+            _transcripts(sf_dir))),
         # scan battery + snippet retrieval + mention aggregation
         "kg_findings": FND.findings,
         "kg_snippets": FND.snippets,
@@ -262,12 +287,44 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities_exact": G.entities_exact_sql(tr),
         "kg_mention_chains": CH.mention_chains_sql(tr),
         "kg_reachable": RCH.reachable_sql(tr),
+        "kg_slice": RCH.slice_sql(tr),
+        "kg_tool_imports": f"""
+            SELECT conv_id, turn_idx,
+                   lower(regexp_extract(text,
+                     '^Calling ([a-z0-9_]+) now\\.$', 1)) AS tool_norm
+            FROM {tr}
+            WHERE regexp_matches(text, '^Calling ([a-z0-9_]+) now\\.$')""",
+        "kg_tool_registry": f"""
+            SELECT tool, count(*) AS n_invocations,
+                   CAST(min(turn_idx) AS BIGINT) AS first_turn
+            FROM {tr} WHERE role = 'tool' AND tool IS NOT NULL
+            GROUP BY tool""",
         "kg_conv_tools": FND.conv_tools_sql(tr),
         "kg_next_turn_edges": f"""
             SELECT conv_id || '#' || CAST(turn_idx - 1 AS VARCHAR) AS src,
                    conv_id || '#' || CAST(turn_idx AS VARCHAR) AS dst,
                    conv_id, turn_idx
             FROM {tr} WHERE turn_idx > 0""",
+        # dominator trees over the per-conversation NEXT_TURN chain: the
+        # chain is linear, so idom(t)=t-1 (entry NULL), ipdom(t)=t+1 (exit
+        # NULL) — exactly expressible in SQL; branching graphs are covered
+        # by pytest DAG goldens (tests/test_dom.py)
+        "kg_dominators": f"""
+            SELECT conv_id,
+                   conv_id || '#' || CAST(turn_idx AS VARCHAR) AS node,
+                   CASE WHEN turn_idx = 0 THEN NULL
+                        ELSE conv_id || '#' || CAST(turn_idx - 1 AS VARCHAR)
+                   END AS idom
+            FROM {tr}""",
+        "kg_post_dominators": f"""
+            SELECT conv_id,
+                   conv_id || '#' || CAST(turn_idx AS VARCHAR) AS node,
+                   CASE WHEN turn_idx = max_t THEN NULL
+                        ELSE conv_id || '#' || CAST(turn_idx + 1 AS VARCHAR)
+                   END AS idom
+            FROM (SELECT conv_id, turn_idx,
+                         max(turn_idx) OVER (PARTITION BY conv_id) AS max_t
+                  FROM {tr})""",
         "rel_q1_pricing": REL.q1_pricing_sql(),
         "rel_topk_orders": REL.topk_orders_sql(),
         "rel_orders_by_segment": REL.orders_by_segment_sql(),

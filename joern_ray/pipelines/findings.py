@@ -284,20 +284,21 @@ def hot_entity_rule(sf_dir: str) -> "ray.data.Dataset":
     return counts.map_batches(finish, batch_format="pyarrow")
 
 
-def scan(transcripts_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def scan(transcripts_ds: "ray.data.Dataset",
+         extra_rules: list | None = None) -> "ray.data.Dataset":
     """Run every transcript-level rule; findings = union of per-rule
     outputs (ScanPass).  Per-turn rules fuse into ONE map over the stream;
-    conversation-level rules share one aggregation pass."""
+    conversation-level rules share one aggregation pass.
+
+    extra_rules: externally-loaded per-batch rule functions
+    (state.config.config_findings_rules — the querydb-plugin surface),
+    fused into the same single pass."""
+    builtin = [_rule_large_tool_result, _rule_long_turn, _rule_acquisition,
+               _rule_question_turn, _rule_negated_fact, _rule_empty_turn,
+               _rule_meeting, _rule_small_tool_result, _rule_bug_report]
+    rules = builtin + list(extra_rules or [])
     per_turn = transcripts_ds.map_batches(
-        lambda t: pa.concat_tables([_rule_large_tool_result(t),
-                                    _rule_long_turn(t),
-                                    _rule_acquisition(t),
-                                    _rule_question_turn(t),
-                                    _rule_negated_fact(t),
-                                    _rule_empty_turn(t),
-                                    _rule_meeting(t),
-                                    _rule_small_tool_result(t),
-                                    _rule_bug_report(t)]),
+        lambda t: pa.concat_tables([r(t) for r in rules]),
         batch_format="pyarrow", zero_copy_batch=True)
     return per_turn.union(_conv_level_rules(transcripts_ds))
 

@@ -82,10 +82,16 @@ def _attrs(sent) -> tuple:
             pc.ends_with(sent, R.QUESTION_MARK))
 
 
-def extract_events(batch: pa.Table) -> pa.Table:
+def extract_events(batch: pa.Table,
+                   extra_templates: list[tuple] | None = None) -> pa.Table:
     """Stage A: transcript batch → extraction-event rows (vectorized;
     multi-sentence turns explode first, every sentence matched
-    independently — multiple events per turn are first-class)."""
+    independently — multiple events per turn are first-class).
+
+    extra_templates: externally-loaded (pred, regex, subj_kind, obj_kind)
+    rows (state.config.Semantics.templates — the extraFlows/semantics-file
+    merge discipline, ``OssDataFlow.scala:15-18``), appended after the
+    built-in pack."""
     batch = batch.combine_chunks()
     outs: list[pa.Table] = []
 
@@ -130,9 +136,13 @@ def extract_events(batch: pa.Table) -> pa.Table:
             pc.struct_field(ex, "obj").take(local), "person", ok,
             sidx.take(idx), neg, inq))
 
-    for pred, rx, sk, ok in R.TEMPLATES:
-        pre = pc.match_substring(text, _TEMPLATE_LITERALS[pred])
-        idx0 = pc.indices_nonzero(pc.fill_null(pre, False))
+    for pred, rx, sk, ok in R.TEMPLATES + list(extra_templates or []):
+        lit = _TEMPLATE_LITERALS.get(pred)
+        if lit is not None:
+            pre = pc.match_substring(text, lit)
+            idx0 = pc.indices_nonzero(pc.fill_null(pre, False))
+        else:  # config templates carry no literal prefilter
+            idx0 = pa.array(range(len(text)), pa.int64())
         if len(idx0) == 0:
             continue
         sub = text.take(idx0)
@@ -320,7 +330,8 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
 def extract_triples(transcripts_ds, *, num_partitions: int | None = None,
                     resolve_buckets: int | None = DEFAULT_RESOLVE_BUCKETS,
                     materialize_events: bool = True,
-                    max_resolve_events_per_conv: int | None = None):
+                    max_resolve_events_per_conv: int | None = None,
+                    extra_templates: list[tuple] | None = None):
     """Full extraction: transcripts Dataset → surface-triples Dataset.
 
     resolve_buckets=None groups per conversation (reference semantics,
@@ -334,7 +345,8 @@ def extract_triples(transcripts_ds, *, num_partitions: int | None = None,
     callers should NOT materialize it again (the passthrough bulk would
     just be copied through the object store a second time)."""
     events = transcripts_ds.map_batches(
-        extract_events, batch_format="pyarrow", zero_copy_batch=True)
+        lambda t: extract_events(t, extra_templates),
+        batch_format="pyarrow", zero_copy_batch=True)
     if resolve_buckets is None:
         return events.groupby("conv_id").map_groups(
             _resolve_group, batch_format="pyarrow")

@@ -46,10 +46,27 @@ def _norm_edges(triples_ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def reachable(triples_ds: "ray.data.Dataset", seeds: list[tuple[str, str]],
-              *, max_depth: int = 3) -> "ray.data.Dataset":
+              *, max_depth: int = 3,
+              extra_flows: list[tuple[str, str, str, str]] | None = None
+              ) -> "ray.data.Dataset":
     """BFS from seed (kind, norm) pairs; returns (kind, norm, depth) with
-    the minimum hop distance ≤ max_depth (seeds at depth 0)."""
-    edges = _norm_edges(triples_ds).materialize()
+    the minimum hop distance ≤ max_depth (seeds at depth 0).
+
+    extra_flows: externally-loaded (a_kind, a_norm, b_kind, b_norm) edges
+    (state.config.Semantics.extra_flows) unioned — both directions — onto
+    the extracted edge set before BFS, the ``extraFlows`` merge of
+    ``OssDataFlow.scala:15-18``."""
+    edges = _norm_edges(triples_ds)
+    if extra_flows:
+        rows = [(a, b, c, d) for a, b, c, d in extra_flows]
+        rows += [(c, d, a, b) for a, b, c, d in extra_flows]
+        extra = pa.table({
+            "a_kind": pa.array([r[0] for r in rows], pa.string()),
+            "a_norm": pa.array([r[1] for r in rows], pa.string()),
+            "b_kind": pa.array([r[2] for r in rows], pa.string()),
+            "b_norm": pa.array([r[3] for r in rows], pa.string())})
+        edges = edges.union(ray.data.from_arrow(extra))
+    edges = edges.materialize()
     seen: dict[tuple[str, str], int] = {s: 0 for s in seeds}
     frontier = set(seeds)
     for depth in range(1, max_depth + 1):
@@ -97,6 +114,78 @@ def reachable_query(sf_dir: str, *, seed_kind: str = "person",
     tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
     return reachable(extract_triples(tds), [(seed_kind, seed_norm)],
                      max_depth=max_depth)
+
+
+def slice_neighborhood(triples_ds: "ray.data.Dataset",
+                       seed: tuple[str, str], *, max_depth: int = 2
+                       ) -> "ray.data.Dataset":
+    """Per-entity neighborhood slice (the ``JoernSlice``/``UsageSlicing``
+    analog, ``JoernSlice.scala:48-51``): the induced sub-multigraph of
+    resolved triples whose BOTH endpoints lie within ``max_depth`` hops of
+    the seed entity.  The reachable set is vocabulary-sized, so membership
+    broadcasts once and the triple stream filters with one vectorized
+    ``pc.is_in`` per slot — the corpus never shuffles."""
+    reach = reachable(triples_ds, [seed], max_depth=max_depth)
+    keys = []
+    for b in reach.iter_batches(batch_format="pyarrow"):
+        if b.num_columns:
+            keys.extend(f"{k}\x1f{n}" for k, n in
+                        zip(b.column("kind").to_pylist(),
+                            b.column("norm").to_pylist()))
+    kref = ray.put(pa.array(sorted(keys), pa.string()))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        sn = normalize_arrays(t.column("subj_kind"), t.column("subj"))
+        on = normalize_arrays(t.column("obj_kind"), t.column("obj"))
+        skey = pc.binary_join_element_wise(
+            pc.cast(t.column("subj_kind"), pa.string()), sn, "\x1f")
+        okey = pc.binary_join_element_wise(
+            pc.cast(t.column("obj_kind"), pa.string()), on, "\x1f")
+        mask = pc.and_(pc.is_in(skey, value_set=ks),
+                       pc.is_in(okey, value_set=ks))
+        sub = t.filter(mask)
+        return pa.table({
+            "conv_id": sub.column("conv_id"),
+            "turn_idx": sub.column("turn_idx").cast(pa.int32()),
+            "subj_kind": sub.column("subj_kind"),
+            "subj_norm": normalize_arrays(sub.column("subj_kind"),
+                                          sub.column("subj")),
+            "pred": sub.column("pred"),
+            "obj_kind": sub.column("obj_kind"),
+            "obj_norm": normalize_arrays(sub.column("obj_kind"),
+                                         sub.column("obj")),
+        })
+    return triples_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def slice_query(sf_dir: str, *, seed_kind: str = "person",
+                seed_norm: str = "alice", max_depth: int = 2):
+    from .. import synth
+    tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
+    triples = extract_triples(tds).materialize()
+    return slice_neighborhood(triples, (seed_kind, seed_norm),
+                              max_depth=max_depth)
+
+
+def slice_sql(rel: str, *, seed_kind: str = "person",
+              seed_norm: str = "alice", max_depth: int = 2) -> str:
+    from ..extract import sqlgen as G
+    ne = G._norm_expr
+    return f"""
+    WITH reach AS ({reachable_sql(rel, seed_kind=seed_kind,
+                                  seed_norm=seed_norm,
+                                  max_depth=max_depth)}),
+    resolved AS ({G.resolved_triples_sql(rel)})
+    SELECT conv_id, turn_idx, subj_kind,
+           {ne('subj', 'subj_kind')} AS subj_norm, pred, obj_kind,
+           {ne('obj', 'obj_kind')} AS obj_norm
+    FROM resolved
+    WHERE subj_kind || chr(31) || {ne('subj', 'subj_kind')}
+            IN (SELECT kind || chr(31) || norm FROM reach)
+      AND obj_kind || chr(31) || {ne('obj', 'obj_kind')}
+            IN (SELECT kind || chr(31) || norm FROM reach)
+    """
 
 
 def reachable_sql(rel: str, *, seed_kind: str = "person",
