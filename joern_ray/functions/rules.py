@@ -96,6 +96,21 @@ TEMPLATES = [
     ("met",
      r"^(?P<subj>[A-Z][a-z]+) met with (?P<obj>[A-Z][a-z]+)[.?]$",
      "person", "person"),
+    ("joined",
+     r"^(?P<subj>[A-Z][a-z]+) joined (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     "person", "org"),
+    ("left_org",
+     r"^(?P<subj>[A-Z][a-z]+) left (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     "person", "org"),
+    ("manages",
+     r"^(?P<subj>[A-Z][a-z]+) manages (?P<obj>[A-Z][a-z]+)[.?]$",
+     "person", "person"),
+    ("maintains",
+     r"^(?P<subj>[A-Z][a-z]+) maintains (?P<obj>[a-z_]+(?:\.[a-z_]+)*)[.?]$",
+     "person", "module"),
+    ("partnered",
+     r"^(?P<subj>[A-Z][A-Za-z ]+?) partnered with (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     "org", "org"),
 ]
 
 # Pronoun templates: subject is an unresolved pronoun; it resolves to the most

@@ -30,20 +30,39 @@ def read_transcripts_parquet(path: str, *, conv_prefix: str | None = None
     return ds
 
 
+def _cast_to_canonical(t: pa.Table) -> pa.Table:
+    cols = []
+    for f in S.TRANSCRIPTS:
+        c = t.column(f.name) if f.name in t.schema.names else \
+            pa.nulls(t.num_rows, f.type)
+        if f.name == "ts" and pa.types.is_integer(c.type):
+            c = c.cast(pa.int64()).cast(pa.timestamp("us"))
+        else:
+            c = c.cast(f.type)
+        cols.append(c)
+    return pa.Table.from_arrays(cols, schema=S.TRANSCRIPTS)
+
+
 def read_transcripts_jsonl(path: str) -> "ray.data.Dataset":
     """JSONL → transcript Dataset cast to the canonical Arrow schema
     (ts parsed from ISO-8601 or microseconds-since-epoch int)."""
-    ds = ray.data.read_json(path)
+    return ray.data.read_json(path).map_batches(
+        _cast_to_canonical, batch_format="pyarrow")
+
+
+def read_transcripts_csv(path: str) -> "ray.data.Dataset":
+    """CSV → transcript Dataset on the canonical schema (same frontend
+    discipline: any source lands on schema.TRANSCRIPTS; empty strings in
+    nullable columns become nulls)."""
+    import pyarrow.compute as pc
 
     def cast(t: pa.Table) -> pa.Table:
-        cols = []
-        for f in S.TRANSCRIPTS:
-            c = t.column(f.name) if f.name in t.schema.names else \
-                pa.nulls(t.num_rows, f.type)
-            if f.name == "ts" and pa.types.is_integer(c.type):
-                c = c.cast(pa.int64()).cast(pa.timestamp("us"))
-            else:
-                c = c.cast(f.type)
-            cols.append(c)
-        return pa.Table.from_arrays(cols, schema=S.TRANSCRIPTS)
-    return ds.map_batches(cast, batch_format="pyarrow")
+        if "tool" in t.schema.names and \
+                pa.types.is_string(t.column("tool").type):
+            tool = t.column("tool")
+            t = t.set_column(t.schema.get_field_index("tool"), "tool",
+                             pc.if_else(pc.equal(tool, ""),
+                                        pa.nulls(t.num_rows, pa.string()),
+                                        tool))
+        return _cast_to_canonical(t)
+    return ray.data.read_csv(path).map_batches(cast, batch_format="pyarrow")

@@ -33,6 +33,11 @@ _TEMPLATE_LITERALS = {
     "uses": " uses ",
     "acquired": " acquired ",
     "met": " met with ",
+    "joined": " joined ",
+    "left_org": " left ",
+    "manages": " manages ",
+    "maintains": " maintains ",
+    "partnered": " partnered with ",
 }
 
 

@@ -23,7 +23,7 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v2"  # v2: multi-sentence turns + negation/question modifiers
+CORPUS_VERSION = "v3"  # v3: 10-template grammar; v2: multi-sentence + modifiers
 BASE_EPOCH = 1_767_225_600  # 2026-01-01T00:00:00Z
 CORPUS_ROOT = "/tmp/joern_ray_corpus"
 
@@ -110,15 +110,35 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             while obj_canon == subj_canon:
                 obj_surface, obj_canon = _pick_org(rng)
             text = f"{s_surface} acquired {obj_surface}{end}"
-        else:  # met
+        elif pred in ("met", "manages"):
+            verb = "met with" if pred == "met" else "manages"
             subj = _pick_person(rng)
             obj_surface = _pick_person(rng)
             while obj_surface == subj:
                 obj_surface = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             obj_canon = obj_surface.lower()
-            text = f"{subj} met with {obj_surface}{end}"
+            text = f"{subj} {verb} {obj_surface}{end}"
             subj_canon = subj.lower()
             person_slot = obj_surface  # object is the later person slot
+        elif pred in ("joined", "left_org"):
+            verb = "joined" if pred == "joined" else "left"
+            subj = _pick_person(rng)
+            obj_surface, obj_canon = _pick_org(rng)
+            text = f"{subj} {verb} {obj_surface}{end}"
+            subj_canon = subj.lower()
+            person_slot = subj
+        elif pred == "maintains":
+            subj = _pick_person(rng)
+            obj_surface = obj_canon = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
+            text = f"{subj} maintains {obj_surface}{end}"
+            subj_canon = subj.lower()
+            person_slot = subj
+        else:  # partnered
+            s_surface, subj_canon = _pick_org(rng)
+            obj_surface, obj_canon = _pick_org(rng)
+            while obj_canon == subj_canon:
+                obj_surface, obj_canon = _pick_org(rng)
+            text = f"{s_surface} partnered with {obj_surface}{end}"
         return text, (sk, subj_canon, pred, ok, obj_canon), person_slot
 
     t = 0

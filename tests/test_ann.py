@@ -87,3 +87,18 @@ def test_simhash_clusters_planted(ray_session, tmp_path):
     cl = {r["doc_id"]: r["cluster"] for r in out}
     assert cl[1] == cl[2] == "1"
     assert cl[3] != cl[1]
+
+
+def test_ann_lsh_self_recall_and_determinism(ray_session):
+    """Each query's own vector shares every LSH bucket with itself, so
+    rank-1 must be the query itself; repeated runs are identical (fixed
+    hyperplane seed regardless of call order)."""
+    from joern_ray.pipelines import ann as A
+
+    sf = "/root/testdata/sf0.001"
+    out1 = sorted(map(tuple, (r.values() for r in A.ann_lsh(sf).take_all())))
+    out2 = sorted(map(tuple, (r.values() for r in A.ann_lsh(sf).take_all())))
+    assert out1 == out2
+    rank1 = {q: v for q, r, v in out1 if r == 1}
+    assert all(rank1[q] == q for q in rank1)
+    assert len(rank1) == A.N_QUERIES

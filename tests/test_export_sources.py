@@ -119,3 +119,20 @@ def test_graphson_roundtrip(ray_session):
     assert {v["id"] for v in doc["vertices"]} == {"a", "b", "c"}
     assert {(e["outV"], e["inV"], e["label"]) for e in doc["edges"]} == \
         {("a", "b", "NEXT_TURN"), ("b", "c", "MENTIONS")}
+
+
+def test_csv_source_lands_on_canonical_schema(ray_session, tmp_path):
+    import pyarrow as pa
+    from joern_ray import schema as S
+    from joern_ray.sources.jsonl import read_transcripts_csv
+
+    p = tmp_path / "t.csv"
+    p.write_text(
+        "conv_id,turn_idx,role,text,tool,ts\n"
+        "c1,0,user,Alice works at Acme Corp.,,1767225600000000\n"
+        "c1,1,tool,result: ok (3 items),search,1767225600000001\n")
+    ds = read_transcripts_csv(str(p))
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    assert t.schema.equals(S.TRANSCRIPTS)
+    rows = t.to_pylist()
+    assert rows[0]["tool"] is None and rows[1]["tool"] == "search"
