@@ -180,6 +180,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from joern_ray.stages.export import graphson_per_conversation
         return graphson_per_conversation(_graph(sf_dir)["edges"])
 
+    def kg_tool_imports(sf_dir):
+        from joern_ray.stages import imports as IMP
+        return IMP.import_refs(_transcripts(sf_dir))
+
+    def kg_tool_registry(sf_dir):
+        from joern_ray.stages import imports as IMP
+        return IMP.tool_registry(_transcripts(sf_dir))
+
     # -- multimodal (stubbed decode, real plumbing) ---------------------
     def multimodal_features(sf_dir):
         return MM.media_features(sf_dir)
@@ -209,12 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-entity neighborhood slice (JoernSlice analog)
         "kg_slice": RCH.slice_query,
         # import-resolver + config side-table analogs
-        "kg_tool_imports": (lambda sf_dir: __import__(
-            "joern_ray.stages.imports", fromlist=["x"]).import_refs(
-            _transcripts(sf_dir))),
-        "kg_tool_registry": (lambda sf_dir: __import__(
-            "joern_ray.stages.imports", fromlist=["x"]).tool_registry(
-            _transcripts(sf_dir))),
+        "kg_tool_imports": kg_tool_imports,
+        "kg_tool_registry": kg_tool_registry,
         # scan battery + snippet retrieval + mention aggregation
         "kg_findings": FND.findings,
         "kg_snippets": FND.snippets,

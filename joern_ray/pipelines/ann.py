@@ -222,6 +222,10 @@ def embedding_neardup_planted(sf_dir: str, *, threshold: float = 0.95):
 
     def augment(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        if t.num_rows and pc.max(t.column("vec_id")).as_py() >= PLANT_OFFSET:
+            raise ValueError(
+                "embeddings vec_id overlaps PLANT_OFFSET — raise the "
+                "offset before planting duplicates on this corpus")
         keep = t.filter(pc.less(t.column("vec_id"), N_PLANT))
         if keep.num_rows == 0:
             return t

@@ -24,6 +24,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from .. import synth
+from .text import ascii_trim
 
 FINDINGS = pa.schema([
     ("rule", pa.string()),
@@ -66,14 +67,14 @@ def _rule_large_tool_result(batch: pa.Table) -> pa.Table:
 
 
 def _rule_long_turn(batch: pa.Table) -> pa.Table:
-    trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+    trimmed = ascii_trim(batch.column("text"))
     n_tokens = pc.if_else(pc.equal(trimmed, ""), 0,
                           pc.add(pc.count_substring_regex(trimmed, r"\s+"), 1))
     mask = pc.greater(n_tokens, LONG_TURN_TOKENS)
     sub = batch.filter(mask)
-    ev = pc.cast(pc.if_else(pc.equal(pc.utf8_trim_whitespace(sub.column("text")), ""),
+    ev = pc.cast(pc.if_else(pc.equal(ascii_trim(sub.column("text")), ""),
                  0, pc.add(pc.count_substring_regex(
-                     pc.utf8_trim_whitespace(sub.column("text")), r"\s+"), 1)),
+                     ascii_trim(sub.column("text")), r"\s+"), 1)),
                  pa.string())
     return _table("long-turn", "info", sub.column("conv_id"),
                   sub.column("turn_idx").cast(pa.int32()), ev, sub.num_rows)
@@ -112,7 +113,7 @@ def _rule_negated_fact(batch: pa.Table) -> pa.Table:
 def _rule_empty_turn(batch: pa.Table) -> pa.Table:
     """Whitespace-only text (dirty input, FIXTURES F5)."""
     mask = pc.fill_null(
-        pc.equal(pc.utf8_trim_whitespace(batch.column("text")), ""), False)
+        pc.equal(ascii_trim(batch.column("text")), ""), False)
     sub = batch.filter(mask)
     return _table("empty-turn", "warning", sub.column("conv_id"),
                   sub.column("turn_idx").cast(pa.int32()),
@@ -141,7 +142,8 @@ def _rule_small_tool_result(batch: pa.Table) -> pa.Table:
 
 
 def _rule_bug_report(batch: pa.Table) -> pa.Table:
-    """Module bug mention with the module path as evidence."""
+    """Module bug mention with the module path as evidence (one RE2 scan;
+    evidence filtered from the same extraction)."""
     ex = pc.extract_regex(
         batch.column("text"),
         r" reported a bug in (?P<m>[a-z_]+(?:\.[a-z_]+)*)[.?]$")
@@ -150,10 +152,7 @@ def _rule_bug_report(batch: pa.Table) -> pa.Table:
     sub = batch.filter(mask)
     return _table("bug-report", "warning", sub.column("conv_id"),
                   sub.column("turn_idx").cast(pa.int32()),
-                  pc.struct_field(pc.extract_regex(
-                      sub.column("text"),
-                      r" reported a bug in (?P<m>[a-z_]+(?:\.[a-z_]+)*)[.?]$"),
-                      "m"), sub.num_rows)
+                  mod.filter(mask), sub.num_rows)
 
 
 def _repeat_caller(ds: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -239,19 +238,13 @@ def hot_entity_rule(sf_dir: str) -> "ray.data.Dataset":
     from ..stages import extract as X
     from ..stages import link as L
 
+    from ..functions.skew import salted_multikey_count
+
     tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
     triples = X.extract_triples(tds)
     mentions = triples.map_batches(L.mentions_from_triples,
                                    batch_format="pyarrow").materialize()
-
-    def partial(t: pa.Table) -> pa.Table:
-        return (t.select(["kind", "norm"]).group_by(["kind", "norm"])
-                .aggregate([("norm", "count")])
-                .rename_columns(["kind", "norm", "n"]))
-
-    counts = (mentions.map_batches(partial, batch_format="pyarrow")
-              .groupby(["kind", "norm"])
-              .aggregate(Sum(on="n", alias_name="n")))
+    counts = salted_multikey_count(mentions, ["kind", "norm"], "n")
 
     entities = L.build_entities(
         L.vocab_from_mentions(mentions)).materialize()
@@ -328,10 +321,10 @@ def findings_sql(transcripts_rel: str) -> str:
                AS BIGINT) < {SMALL_RESULT_MAX}
     UNION ALL
     SELECT 'long-turn', 'info', conv_id, turn_idx,
-           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS VARCHAR)
+           CAST(len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\\s+')) AS VARCHAR)
     FROM {transcripts_rel}
-    WHERE CASE WHEN trim(text) = '' THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+    WHERE CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\\s+')) END
           > {LONG_TURN_TOKENS}
     UNION ALL
     SELECT 'org-acquisition', 'info', conv_id, turn_idx, text
@@ -346,7 +339,7 @@ def findings_sql(transcripts_rel: str) -> str:
     FROM {transcripts_rel} WHERE contains(text, 'no longer ')
     UNION ALL
     SELECT 'empty-turn', 'warning', conv_id, turn_idx, role
-    FROM {transcripts_rel} WHERE trim(text) = ''
+    FROM {transcripts_rel} WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) = ''
     UNION ALL
     SELECT 'person-meeting', 'info', conv_id, turn_idx, text
     FROM {transcripts_rel} WHERE contains(text, ' met with ')

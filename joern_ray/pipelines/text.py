@@ -24,6 +24,17 @@ from ..functions import hashing as H
 _STOPWORD_RE = r"\b(the|a|of|and)\b"
 _WS_RE = r"\s+"
 
+# ASCII whitespace set == RE2's \s class [\t\n\f\r ] (both Arrow and DuckDB
+# regex kernels are RE2): trimming with THIS set keeps the engine's trim and
+# the oracle's SQL trim byte-for-byte aligned on tab/newline-padded dirty
+# input, where utf8_trim_whitespace (Unicode) vs SQL trim (space only)
+# silently diverge.
+TRIM_CHARS = " \t\n\f\r"
+
+
+def ascii_trim(col):
+    return pc.utf8_trim(col, TRIM_CHARS)
+
 
 def _p(sf_dir: str, table: str = "documents") -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
@@ -43,7 +54,7 @@ def text_stats(sf_dir: str):
 
     def fn(t: pa.Table) -> pa.Table:
         text = t.column("text")
-        trimmed = pc.utf8_trim_whitespace(text)
+        trimmed = ascii_trim(text)
         seps = pc.count_substring_regex(trimmed, _WS_RE)
         n_tokens = pc.if_else(pc.equal(trimmed, ""), 0, pc.add(seps, 1))
         return pa.table({
@@ -59,8 +70,8 @@ def text_stats(sf_dir: str):
 def text_stats_sql() -> str:
     return r"""
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+')) END AS n_tokens,
            length(text) AS n_chars,
            len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS stop_hits,
            len(regexp_extract_all(text, '[0-9]')) AS digit_chars
@@ -87,8 +98,8 @@ def lang_id_sql() -> str:
     return r"""
     SELECT doc_id,
            CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|and)\b')) * 8
-                     >= CASE WHEN trim(text) = '' THEN 0
-                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                     >= CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+')) END
                 THEN 'en' ELSE 'other' END AS lang_pred
     FROM documents
     """
@@ -101,10 +112,10 @@ def token_counts(sf_dir: str):
     ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        trimmed = ascii_trim(t.column("text"))
         mask = pc.not_equal(trimmed, "")
         sub = t.filter(mask)
-        trimmed = pc.utf8_trim_whitespace(sub.column("text"))
+        trimmed = ascii_trim(sub.column("text"))
         toks = pc.split_pattern_regex(trimmed, _WS_RE)
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -123,8 +134,8 @@ def token_counts_sql() -> str:
     return r"""
     SELECT doc_id, token, count(*) AS n FROM (
       SELECT doc_id,
-             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-      FROM documents WHERE trim(text) <> '')
+             unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+')) AS token
+      FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> '')
     GROUP BY 1, 2
     """
 
@@ -161,8 +172,8 @@ def text_quality_sql() -> str:
     return r"""
     WITH s AS (
       SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+             CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+')) END
                AS n_tokens,
              length(text) AS n_chars,
              len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS stop_hits,
@@ -198,9 +209,9 @@ def hashed_vectors(sf_dir: str, *, dim: int = HASH_DIM):
     ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        trimmed = ascii_trim(t.column("text"))
         sub = t.filter(pc.not_equal(trimmed, ""))
-        trimmed = pc.utf8_trim_whitespace(sub.column("text"))
+        trimmed = ascii_trim(sub.column("text"))
         toks = pc.split_pattern_regex(trimmed, _WS_RE)
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -505,7 +516,8 @@ def simhash_batch(t: pa.Table) -> pa.Table:
         # uint64 subtraction + int64 view reproduces it exactly)
         out = (sims - np.uint64(1 << 63)).view(np.int64)
     else:
-        out = np.zeros(0, dtype=np.int64)
+        # tokenless batch: scalar contract gives 0 bits → 0 - 2^63 per doc
+        out = np.full(n_docs, -(1 << 63), dtype=np.int64)
     return pa.table({"doc_id": t.column("doc_id"),
                      "simhash": pa.array(out, pa.int64())})
 

@@ -55,10 +55,26 @@ def load_semantics(path: str) -> Semantics:
     return parse_semantics(doc)
 
 
+def _validate_re2(pattern: str) -> None:
+    """Eager RE2 validation: the rules execute under Arrow/DuckDB RE2, so
+    Python-re-only syntax (lookbehind, lookahead) must fail at LOAD, not
+    inside a Ray worker.  A 0-row kernel invocation compiles the pattern in
+    RE2 itself."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    try:
+        # must be a non-empty array: the kernel skips regex compilation
+        # entirely for 0-row inputs
+        pc.match_substring_regex(pa.array([""], pa.string()), pattern)
+    except Exception as ex:
+        raise ValueError(f"pattern {pattern!r} is not valid RE2: {ex}") from ex
+
+
 def parse_semantics(doc: dict) -> Semantics:
     out = Semantics()
     for t in doc.get("templates", []):
         rx = t["regex"]
+        _validate_re2(rx)
         compiled = re.compile(rx)
         if "subj" not in compiled.groupindex or \
                 "obj" not in compiled.groupindex:
@@ -70,7 +86,8 @@ def parse_semantics(doc: dict) -> Semantics:
                 raise ValueError(f"unknown kind {k!r}")
         out.templates.append((t["pred"], rx, t["subj_kind"], t["obj_kind"]))
     for r in doc.get("findings_rules", []):
-        re.compile(r["pattern"])  # validate
+        _validate_re2(r["pattern"])
+        re.compile(r["pattern"])  # the Python-oracle side must accept too
         if r.get("severity", "info") not in _SEVERITIES:
             raise ValueError(f"unknown severity {r.get('severity')!r}")
         if r.get("evidence", "text") not in ("text", "role", "tool"):

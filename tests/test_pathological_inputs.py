@@ -60,3 +60,24 @@ def test_giant_conversation_is_bounded_and_survives(ray_session):
     assert sum(1 for r in out if r[3] == "works_at") == 1
     n_resolved = sum(1 for r in out if r[3] == "uses")
     assert n_resolved == 7  # cap 8 rows: 1 state + 7 pronouns
+
+
+def test_simhash_tokenless_batch(ray_session):
+    """Whitespace-only / empty docs must not crash the vectorized kernel
+    and must match the scalar contract."""
+    import pyarrow as pa
+    from joern_ray.pipelines import text as T
+
+    t = pa.table({"doc_id": [1, 2], "text": ["", "   "]})
+    out = T.simhash_batch(t)
+    assert out.column("simhash").to_pylist() == [T.simhash64(""),
+                                                T.simhash64("   ")]
+
+
+def test_config_rejects_non_re2_patterns():
+    import pytest
+    from joern_ray.state import config as C
+
+    bad = {"findings_rules": [{"rule": "x", "pattern": "(?<=foo)bar"}]}
+    with pytest.raises(ValueError, match="RE2"):
+        C.parse_semantics(bad)
