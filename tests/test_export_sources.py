@@ -136,3 +136,23 @@ def test_csv_source_lands_on_canonical_schema(ray_session, tmp_path):
     assert t.schema.equals(S.TRANSCRIPTS)
     rows = t.to_pylist()
     assert rows[0]["tool"] is None and rows[1]["tool"] == "search"
+
+
+def test_preprocess_normalizes_and_is_idempotent(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from joern_ray import schema as S
+    from joern_ray.stages.preprocess import preprocess
+
+    rows = [
+        dict(conv_id="c1", turn_idx=0, role="user",
+             text="  Alice\x00works\r\nat   Acme Corp.  ", tool=None, ts=0),
+        dict(conv_id="c1", turn_idx=1, role="user",
+             text="plain text.", tool=None, ts=0),
+    ]
+    cols = {f.name: [r.get(f.name) for r in rows] for f in S.TRANSCRIPTS}
+    ds = ray.data.from_arrow(pa.Table.from_pydict(cols, schema=S.TRANSCRIPTS))
+    once = [r["text"] for r in preprocess(ds).take_all()]
+    assert once == ["Alice works at Acme Corp.", "plain text."]
+    twice = [r["text"] for r in preprocess(preprocess(ds)).take_all()]
+    assert twice == once
