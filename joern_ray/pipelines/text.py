@@ -449,8 +449,68 @@ def minhash_clusters(docs_ds: "ray.data.Dataset", *, threshold: float = 0.8,
         batch_format="pyarrow")
 
 
-def dedup_minhash(sf_dir: str):
+DRIVER_MAX_DOCS = 100_000
+
+
+def _minhash_clusters_driver(table: pa.Table, threshold: float):
+    """In-process mirror of the distributed minhash chain for small
+    corpora (identical band/cap/threshold semantics — equivalence
+    pytest-asserted): the distributed path pays ~4 exchanges of fixed
+    latency that dominate at directory scale."""
+    ids = table.column("doc_id").to_pylist()
+    texts = table.column("text").to_pylist()
+    hashes: dict[int, np.ndarray] = {}
+    buckets: dict[str, set[int]] = {}
+    for did, text in zip(ids, texts):
+        hs = _shingle_hashes(text)
+        hashes[did] = hs
+        for bk in H.band_keys(H.minhash_from_hashes(hs)):
+            buckets.setdefault(bk, set()).add(did)
+    parent: dict[int, int] = {d: d for d in ids}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    seen_pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ms = sorted(members)[:LSH_DOC_BUCKET_CAP]
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pair = (ms[i], ms[j])
+                if pair in seen_pairs:
+                    continue
+                seen_pairs.add(pair)
+                x, y = hashes[ms[i]], hashes[ms[j]]
+                inter = np.intersect1d(x, y, assume_unique=True).size
+                denom = x.size + y.size - inter
+                if denom and inter / denom >= threshold:
+                    ra, rb = find(ms[i]), find(ms[j])
+                    if ra != rb:
+                        # distributed CC labels by lexicographic-min of the
+                        # STRING node id — mirror that exactly for parity
+                        lo, hi = (ra, rb) if str(ra) < str(rb) else (rb, ra)
+                        parent[hi] = lo
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "cluster": pa.array([str(find(d)) for d in ids], pa.string()),
+    }))
+
+
+def dedup_minhash(sf_dir: str, *, distributed: bool | None = None):
+    import pyarrow.dataset as pads
+    if distributed is None:
+        distributed = (pads.dataset(_p(sf_dir), format="parquet")
+                       .count_rows() > DRIVER_MAX_DOCS)
     docs = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+    if not distributed:
+        import pyarrow.parquet as pq
+        return _minhash_clusters_driver(
+            pq.read_table(_p(sf_dir), columns=["doc_id", "text"]), 0.8)
     return minhash_clusters(docs)
 
 

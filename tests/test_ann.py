@@ -102,3 +102,14 @@ def test_ann_lsh_self_recall_and_determinism(ray_session):
     rank1 = {q: v for q, r, v in out1 if r == 1}
     assert all(rank1[q] == q for q in rank1)
     assert len(rank1) == A.N_QUERIES
+
+
+def test_dedup_minhash_driver_equals_distributed(ray_session):
+    from joern_ray.pipelines import text as T
+
+    sf = "/root/testdata/sf0.001"
+    fast = sorted((r["doc_id"], r["cluster"]) for r in
+                  T.dedup_minhash(sf, distributed=False).take_all())
+    slow = sorted((r["doc_id"], r["cluster"]) for r in
+                  T.dedup_minhash(sf, distributed=True).take_all())
+    assert fast == slow and len(fast) > 0
