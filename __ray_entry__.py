@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conv_json": kg_conv_json,
         # conversation-local enrichment (use-chain analog)
         "kg_mention_chains": CH.mention_chains_query,
+        "kg_cooccurrence": CH.cooccurrence_query,
         # frontier-BFS reachability (reachableBy analog)
         "kg_reachable": RCH.reachable_query,
         # per-entity neighborhood slice (JoernSlice analog)
@@ -243,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": T.text_quality,
         "text_vectors_hashed": T.hashed_vectors,
         "dedup_exact": T.dedup_exact,
+        "text_clean_corpus": T.clean_corpus,
         "dedup_minhash": T.dedup_minhash,
         "dedup_simhash": T.dedup_simhash,
         "dedup_simhash_clusters": T.simhash_clusters,
@@ -254,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": A.ann_bruteforce,
         "ann_lsh": A.ann_lsh,
+        "ann_kmeans": A.kmeans,
         "embedding_neardup": A.embedding_neardup_planted,
         # multimodal plumbing
         "multimodal_features": multimodal_features,
@@ -290,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_counts": G.mention_counts_sql(tr),
         "kg_entities_exact": G.entities_exact_sql(tr),
         "kg_mention_chains": CH.mention_chains_sql(tr),
+        "kg_cooccurrence": CH.cooccurrence_sql(tr),
         "kg_reachable": RCH.reachable_sql(tr),
         "kg_slice": RCH.slice_sql(tr),
         "kg_tool_imports": f"""
@@ -345,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": T.token_counts_sql(),
         "text_quality": T.text_quality_sql(),
         "dedup_exact": T.dedup_exact_sql(),
+        "text_clean_corpus": T.clean_corpus_sql(),
         "events_sessionize": EV.sessionize_sql(),
         "events_window_counts": EV.window_counts_sql(),
         "events_asof_prior_view": EV.asof_prior_view_sql(),

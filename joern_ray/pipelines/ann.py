@@ -200,6 +200,69 @@ def embedding_neardup(sf_dir: str, *, threshold: float = 0.95):
     return result.union(ray.data.from_arrow(out_schema.empty_table()))
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 8
+
+
+def kmeans(sf_dir: str, *, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Distributed Lloyd's k-means over the embedding column — the
+    bounded-iteration fixed-point pattern (SURVEY §2.10): per-batch
+    assignment + per-cluster partial (sum, count) combiners stream through
+    the cluster; the driver folds only k×n_blocks tiny partials per round
+    (sorted canonically so float accumulation order — hence the result —
+    is deterministic).  Init = embeddings of the k smallest vec_ids.
+    Returns (vec_id, cluster) assignments."""
+    import pyarrow.parquet as pq
+
+    seedt = pq.read_table(_p(sf_dir), columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", k)]).sort_by("vec_id")
+    centroids = _matrix(seedt)
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def assign_partial(t: pa.Table, cref) -> pa.Table:
+        cents = ray.get(cref)
+        vecs = _matrix(t)
+        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        rows_c, sums, counts = [], [], []
+        for c in range(len(cents)):
+            m = lab == c
+            if not m.any():
+                continue
+            rows_c.append(c)
+            sums.append(vecs[m].sum(axis=0).tolist())
+            counts.append(int(m.sum()))
+        return pa.table({"cluster": pa.array(rows_c, pa.int64()),
+                         "vsum": pa.array(sums, pa.list_(pa.float64())),
+                         "n": pa.array(counts, pa.int64())})
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+        parts = (ds.map_batches(lambda t, _r=cref: assign_partial(t, _r),
+                                batch_format="pyarrow").take_all())
+        # canonical fold order => deterministic float accumulation
+        parts.sort(key=lambda r: (r["cluster"], r["n"], tuple(r["vsum"])))
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids))
+        for r in parts:
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+            counts[r["cluster"]] += r["n"]
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    cref = ray.put(centroids)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        vecs = _matrix(t)
+        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "cluster": pa.array(d.argmin(axis=1), pa.int64())})
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
 N_PLANT = 50
 PLANT_OFFSET = 1_000_000
 

@@ -268,6 +268,62 @@ def dedup_exact_sql() -> str:
     """
 
 
+QUALITY_KEEP_MIN = 2
+
+
+def clean_corpus(sf_dir: str):
+    """End-to-end curation composition (the pipeline a training-data user
+    actually runs): per-doc quality scoring → filter (quality ≥ 2) → exact
+    dedup keeping the min doc_id — one streaming pass plus the dedup
+    groupby; the quality kernel fuses into the read-side map so rejected
+    docs never reach the shuffle."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+
+    def score_and_filter(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        trimmed = ascii_trim(text)
+        seps = pc.count_substring_regex(trimmed, _WS_RE)
+        n_tok = pc.if_else(pc.equal(trimmed, ""), 0, pc.add(seps, 1))
+        n_chars = pc.utf8_length(text)
+        stop_hits = pc.count_substring_regex(text, _STOPWORD_RE)
+        digit_chars = pc.count_substring_regex(text, r"[0-9]")
+        digit_pm = pc.if_else(pc.equal(n_chars, 0), 0,
+                              pc.divide(pc.multiply(digit_chars, 1000),
+                                        n_chars))
+        stop_pm = pc.if_else(pc.equal(n_tok, 0), 0,
+                             pc.divide(pc.multiply(stop_hits, 1000), n_tok))
+        score = pc.add(
+            pc.add(pc.cast(pc.and_(pc.greater_equal(n_tok, 5),
+                                   pc.less_equal(n_tok, 1000)), pa.int64()),
+                   pc.cast(pc.less(digit_pm, 300), pa.int64())),
+            pc.cast(pc.greater(stop_pm, 50), pa.int64()))
+        return t.filter(pc.greater_equal(score, QUALITY_KEEP_MIN))
+
+    return _tidy(ds.map_batches(score_and_filter, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .groupby("text")
+                 .aggregate(Min(on="doc_id", alias_name="doc_id"),
+                            Count(alias_name="n_copies"))
+                 .map_batches(
+                     lambda t: (t.select(["doc_id", "n_copies"])
+                                if t.num_columns else
+                                pa.schema([("doc_id", pa.int64()),
+                                           ("n_copies", pa.int64())])
+                                .empty_table()),
+                     batch_format="pyarrow"))
+
+
+def clean_corpus_sql() -> str:
+    return f"""
+    WITH q AS ({text_quality_sql()}),
+    kept AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN q ON d.doc_id = q.doc_id WHERE q.quality >= {QUALITY_KEEP_MIN})
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM kept GROUP BY text
+    """
+
+
 def _word_shingles(text: str, k: int = 3) -> set[str]:
     toks = text.split()
     if len(toks) < k:

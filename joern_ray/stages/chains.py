@@ -91,6 +91,89 @@ def mention_chains_query(sf_dir: str):
     return mention_chains(extract_triples(tds))
 
 
+COOCCUR_MAX_ENTITIES_PER_CONV = 64
+
+
+def cooccurrence(triples_ds: "ray.data.Dataset",
+                 *, n_buckets: int = DEFAULT_RESOLVE_BUCKETS
+                 ) -> "ray.data.Dataset":
+    """(entity a, entity b) → number of conversations mentioning both —
+    the co-occurrence edge weight every KG ranking layer wants.  Shape:
+    per-batch distinct mention keys → conversation-bucket groupby → per-conv
+    sorted pair explosion (capped, the bail-out discipline) → two-phase
+    pair count.  Entities are 'kind:norm' composite strings; a<b."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def conv_entities(t: pa.Table) -> pa.Table:
+        parts = []
+        for side, kcol in (("subj", "subj_kind"), ("obj", "obj_kind")):
+            key = pc.binary_join_element_wise(
+                pc.cast(t.column(kcol), pa.string()),
+                normalize_arrays(t.column(kcol), t.column(side)), ":")
+            parts.append(pa.table({"conv_id": t.column("conv_id"),
+                                   "entity": key}))
+        u = pa.concat_tables(parts).group_by(["conv_id", "entity"]) \
+            .aggregate([])
+        h = pd.util.hash_array(u.column("conv_id").to_numpy(
+            zero_copy_only=False))
+        return u.append_column("bucket",
+                               pa.array((h % n_buckets).astype("int64")))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        df = (group.drop_columns(["bucket"]).to_pandas()
+              .drop_duplicates(["conv_id", "entity"])
+              .sort_values(["conv_id", "entity"], kind="mergesort"))
+        a_out, b_out = [], []
+        for _, g in df.groupby("conv_id", sort=False):
+            ents = g["entity"].tolist()[:COOCCUR_MAX_ENTITIES_PER_CONV]
+            for i in range(len(ents)):
+                for j in range(i + 1, len(ents)):
+                    a_out.append(ents[i])
+                    b_out.append(ents[j])
+        t = pa.table({"a": pa.array(a_out, pa.string()),
+                      "b": pa.array(b_out, pa.string())})
+        # local combiner before the global pair count
+        return (t.group_by(["a", "b"]).aggregate([("b", "count")])
+                .rename_columns(["a", "b", "n"]))
+
+    keyed = triples_ds.map_batches(conv_entities, batch_format="pyarrow")
+    return (keyed.groupby("bucket").map_groups(pairs,
+                                               batch_format="pyarrow")
+            .groupby(["a", "b"]).aggregate(Sum(on="n", alias_name="n_convs"))
+            .map_batches(
+                lambda t: t.select(["a", "b", "n_convs"])
+                if t.num_columns else
+                pa.schema([("a", pa.string()), ("b", pa.string()),
+                           ("n_convs", pa.int64())]).empty_table(),
+                batch_format="pyarrow"))
+
+
+def cooccurrence_query(sf_dir: str):
+    from .. import synth
+    tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
+    return cooccurrence(extract_triples(tds))
+
+
+def cooccurrence_sql(rel: str) -> str:
+    from ..extract import sqlgen as G
+    ne = G._norm_expr
+    return f"""
+    WITH resolved AS ({G.resolved_triples_sql(rel)}),
+    m AS (
+      SELECT DISTINCT conv_id,
+             subj_kind || ':' || {ne('subj', 'subj_kind')} AS entity
+      FROM resolved
+      UNION
+      SELECT DISTINCT conv_id,
+             obj_kind || ':' || {ne('obj', 'obj_kind')} FROM resolved)
+    SELECT x.entity AS a, y.entity AS b,
+           CAST(count(*) AS BIGINT) AS n_convs
+    FROM m x JOIN m y ON x.conv_id = y.conv_id AND x.entity < y.entity
+    GROUP BY 1, 2
+    """
+
+
 def mention_chains_sql(rel: str) -> str:
     from ..extract import sqlgen as G
     ne = G._norm_expr  # shared normalizer SQL

@@ -113,3 +113,39 @@ def test_dedup_minhash_driver_equals_distributed(ray_session):
     slow = sorted((r["doc_id"], r["cluster"]) for r in
                   T.dedup_minhash(sf, distributed=True).take_all())
     assert fast == slow and len(fast) > 0
+
+
+def test_kmeans_deterministic_and_partitions(ray_session):
+    from collections import Counter
+
+    from joern_ray.pipelines import ann as A
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted((r["vec_id"], r["cluster"])
+               for r in A.kmeans(sf, k=4, iters=4).take_all())
+    b = sorted((r["vec_id"], r["cluster"])
+               for r in A.kmeans(sf, k=4, iters=4).take_all())
+    assert a == b                         # deterministic across runs
+    labels = Counter(c for _, c in a)
+    assert set(labels) <= set(range(4)) and len(labels) >= 2
+    assert sum(labels.values()) == len(a)
+
+
+def test_kmeans_planted_clusters(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from joern_ray.pipelines import ann as A
+
+    rng = np.random.default_rng(5)
+    c0 = rng.normal(0, 0.05, (20, 8)) + np.array([10.0] + [0] * 7)
+    c1 = rng.normal(0, 0.05, (20, 8)) + np.array([-10.0] + [0] * 7)
+    vecs = np.vstack([c0, c1])
+    t = pa.table({"vec_id": list(range(40)),
+                  "embedding": [v.astype(np.float32).tolist() for v in vecs]})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = {r["vec_id"]: r["cluster"]
+           for r in A.kmeans(str(tmp_path), k=2, iters=6).take_all()}
+    g0 = {out[i] for i in range(20)}
+    g1 = {out[i] for i in range(20, 40)}
+    assert len(g0) == 1 and len(g1) == 1 and g0 != g1
