@@ -180,6 +180,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from joern_ray.stages.export import graphson_per_conversation
         return graphson_per_conversation(_graph(sf_dir)["edges"])
 
+    def _pagerank_query(sf_dir):
+        from joern_ray.stages.pagerank import pagerank_query
+        return pagerank_query(sf_dir)
+
     def kg_tool_imports(sf_dir):
         from joern_ray.stages import imports as IMP
         return IMP.import_refs(_transcripts(sf_dir))
@@ -213,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conversation-local enrichment (use-chain analog)
         "kg_mention_chains": CH.mention_chains_query,
         "kg_cooccurrence": CH.cooccurrence_query,
+        "kg_pagerank": (lambda sf_dir: _pagerank_query(sf_dir)),
         # frontier-BFS reachability (reachableBy analog)
         "kg_reachable": RCH.reachable_query,
         # per-entity neighborhood slice (JoernSlice analog)
@@ -228,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational layer (SURVEY.md §2.4/2.5/2.7/2.8)
         "rel_q1_pricing": REL.q1_pricing,
         "rel_topk_orders": REL.topk_orders,
+        "rel_topk_per_customer": REL.topk_orders_per_customer,
         "rel_orders_by_segment": REL.orders_by_segment,
         "rel_customers_without_orders": REL.customers_without_orders,
         "rel_suppliers_with_shipments": REL.suppliers_with_shipments,
@@ -335,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM {tr})""",
         "rel_q1_pricing": REL.q1_pricing_sql(),
         "rel_topk_orders": REL.topk_orders_sql(),
+        "rel_topk_per_customer": REL.topk_orders_per_customer_sql(),
         "rel_orders_by_segment": REL.orders_by_segment_sql(),
         "rel_customers_without_orders": REL.customers_without_orders_sql(),
         "rel_suppliers_with_shipments": REL.suppliers_with_shipments_sql(),

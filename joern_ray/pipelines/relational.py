@@ -293,6 +293,52 @@ def running_order_total(sf_dir: str, *, n_buckets: int = 1024):
             .groupby("bucket").map_groups(window, batch_format="pyarrow"))
 
 
+TOPK_PER_GROUP = 3
+
+
+def topk_orders_per_customer(sf_dir: str, *, n_buckets: int = 1024):
+    """Top-k orders per customer (the per-group head pattern): customers
+    hash into buckets (whole history per bucket), one vectorized pandas
+    sort + groupby-head per bucket — never a per-customer Ray group."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def key(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t.column("o_custkey").to_numpy())
+        return t.append_column(
+            "bucket", pa.array((h % n_buckets).astype("int64")))
+
+    def head(group: pa.Table) -> pa.Table:
+        df = (group.drop_columns(["bucket"]).to_pandas()
+              .sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                           ascending=[True, False, True], kind="mergesort"))
+        out = df.groupby("o_custkey", sort=False).head(TOPK_PER_GROUP)
+        r = (out.groupby("o_custkey", sort=False).cumcount() + 1)
+        return pa.table({
+            "o_custkey": pa.array(out["o_custkey"].to_numpy(), pa.int64()),
+            "rank": pa.array(r.to_numpy(), pa.int64()),
+            "o_orderkey": pa.array(out["o_orderkey"].to_numpy(), pa.int64()),
+        })
+
+    return (ds.map_batches(key, batch_format="pyarrow")
+            .groupby("bucket").map_groups(head, batch_format="pyarrow"))
+
+
+def topk_orders_per_customer_sql() -> str:
+    return f"""
+    SELECT o_custkey, rank, o_orderkey FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders) t
+    WHERE rank <= {TOPK_PER_GROUP}
+    """
+
+
 def running_order_total_sql() -> str:
     return """
     SELECT o_orderkey, o_custkey,

@@ -1,0 +1,123 @@
+"""PageRank over the entity FACT graph — the iterative graph-centrality
+operator (SURVEY §2.10 family; the reference's closest analogs are the
+bounded-iteration passes and the engine's task-parallel traversals).
+
+Scale shape: the ENTITY set is vocabulary-sized (≪ corpus), so the node
+index and rank vector broadcast each round (`ray.put` once per iteration);
+the EDGE multiset is corpus-sized and is factorized ONCE into int node
+ids (materialized), after which every iteration is pure numpy per batch —
+`bincount` of contributions — emitting sparse per-batch partials that the
+driver folds (|vocab|-bounded, canonically sorted so float accumulation
+order, hence the result, is deterministic).  Same loop discipline as
+frontier BFS (`reach.py`) and k-means (`ann.py`)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .link import normalize_arrays
+
+DAMPING = 0.85
+PAGERANK_ITERS = 15
+
+
+def _entity_edges(triples_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Triples → directed weighted (src, dst, w) composite-key edge rows
+    (kind:norm, normalized; per-batch combined)."""
+    def fn(t: pa.Table) -> pa.Table:
+        src = pc.binary_join_element_wise(
+            pc.cast(t.column("subj_kind"), pa.string()),
+            normalize_arrays(t.column("subj_kind"), t.column("subj")), ":")
+        dst = pc.binary_join_element_wise(
+            pc.cast(t.column("obj_kind"), pa.string()),
+            normalize_arrays(t.column("obj_kind"), t.column("obj")), ":")
+        out = pa.table({"src": src, "dst": dst})
+        return (out.group_by(["src", "dst"]).aggregate([("dst", "count")])
+                .rename_columns(["src", "dst", "w"]))
+    return triples_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pagerank(triples_ds: "ray.data.Dataset", *, iters: int = PAGERANK_ITERS,
+             damping: float = DAMPING) -> "ray.data.Dataset":
+    """(entity, rank) — weighted PageRank on the mention-fact multigraph."""
+    edges = _entity_edges(triples_ds).materialize()
+
+    # vocabulary (node set): distinct endpoints via per-batch combiner
+    node_parts = edges.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays([
+            t.column("src").combine_chunks().cast(pa.string()),
+            t.column("dst").combine_chunks().cast(pa.string())])})
+        .group_by("node").aggregate([]),
+        batch_format="pyarrow").take_all()
+    nodes = sorted({r["node"] for r in node_parts})
+    n = len(nodes)
+    if n == 0:
+        return ray.data.from_arrow(pa.schema(
+            [("entity", pa.string()), ("rank", pa.float64())]).empty_table())
+    iref = ray.put({v: i for i, v in enumerate(nodes)})
+
+    def to_idx(t: pa.Table) -> pa.Table:
+        idx = ray.get(iref)
+        si = np.fromiter((idx[s] for s in t.column("src").to_pylist()),
+                         dtype=np.int64, count=t.num_rows)
+        di = np.fromiter((idx[d] for d in t.column("dst").to_pylist()),
+                         dtype=np.int64, count=t.num_rows)
+        return pa.table({"si": pa.array(si), "di": pa.array(di),
+                         "w": t.column("w").cast(pa.float64())})
+
+    iedges = edges.map_batches(to_idx, batch_format="pyarrow").materialize()
+
+    # weighted out-degree vector: sparse per-batch bincounts, driver fold
+    ow = np.zeros(n)
+    parts = iedges.map_batches(
+        lambda t: _sparse(np.bincount(t.column("si").to_numpy(),
+                                      weights=t.column("w").to_numpy(),
+                                      minlength=n)),
+        batch_format="pyarrow").take_all()
+    for r in sorted(parts, key=lambda r: (r["i"], r["c"])):
+        ow[r["i"]] += r["c"]
+
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        rref = ray.put((ranks, ow))
+
+        def contrib(t: pa.Table, _r=rref) -> pa.Table:
+            rk, ow_ = ray.get(_r)
+            si = t.column("si").to_numpy()
+            di = t.column("di").to_numpy()
+            w = t.column("w").to_numpy()
+            valid = ow_[si] > 0
+            c = np.zeros(len(si))
+            c[valid] = rk[si[valid]] * w[valid] / ow_[si[valid]]
+            return _sparse(np.bincount(di, weights=c, minlength=len(rk)))
+
+        parts = iedges.map_batches(contrib,
+                                   batch_format="pyarrow").take_all()
+        agg = np.zeros(n)
+        for r in sorted(parts, key=lambda r: (r["i"], r["c"])):
+            agg[r["i"]] += r["c"]
+        dangling = ranks[ow == 0].sum()
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = base + damping * agg
+
+    return ray.data.from_arrow(pa.table({
+        "entity": pa.array(nodes, pa.string()),
+        "rank": pa.array(ranks, pa.float64())}))
+
+
+def _sparse(vec: np.ndarray) -> pa.Table:
+    nz = np.nonzero(vec)[0]
+    return pa.table({"i": pa.array(nz, pa.int64()),
+                     "c": pa.array(vec[nz], pa.float64())})
+
+
+def pagerank_query(sf_dir: str):
+    from .. import synth
+    from .extract import extract_triples
+    tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
+    return pagerank(extract_triples(tds))
