@@ -10,8 +10,9 @@ exactly the overlay discipline.
 
 ``snippets`` is the CodeDumper analog (``semanticcpg/.../codedumper/
 CodeDumper.scala``): joins a finding back to its surrounding turns by
-(conv_id, turn_idx±1).  The findings side is broadcast (small), the
-transcript side streams — never the reverse.
+(conv_id, turn_idx±1) via a fully distributed conversation-bucket cogroup
+join — findings scale WITH the corpus, so nothing is ever collected on the
+driver.
 """
 
 from __future__ import annotations

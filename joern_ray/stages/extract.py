@@ -239,15 +239,16 @@ def _resolve_group(group: pa.Table) -> pa.Table:
 
 def _resolve_bucket(group: pa.Table,
                     cap: int | None = None) -> pa.Table:
-    """Vectorized resolver for a BUCKET of whole conversations: sort by
-    (conv_id, turn_idx), forward-fill each conversation's last person
-    mention, substitute into pronoun rows.  Emits ONLY the resolved pronoun
-    triples — non-pronoun triples take the shuffle-free passthrough in
-    ``extract_triples``.  Input is the narrow ``_resolve_subset`` schema
-    (state rows carry just the person value; pronoun rows carry the triple
-    payload).  Semantics match ``_resolve_group`` (the per-conversation
-    reference implementation, kept for tests) with the per-group overhead
-    amortized across ~thousands of conversations."""
+    """Vectorized resolver for a BUCKET of whole conversations: per-turn
+    max person state keyed by (conv_code << 32 | turn) ints, referent via
+    one searchsorted (strictly-earlier turn), substituted into pronoun
+    rows.  Emits ONLY the resolved pronoun triples — non-pronoun triples
+    take the shuffle-free passthrough in ``extract_triples``.  Input is the
+    narrow ``_resolve_subset`` schema (state rows carry just the person
+    value; pronoun rows carry the triple payload).  Semantics match
+    ``_resolve_group`` (the per-conversation reference implementation, kept
+    for tests); pathological conversations (> cap rows) divert to the
+    deterministic pandas path."""
     import numpy as np
     import pandas as pd
 
