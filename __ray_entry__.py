@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q1_pricing": REL.q1_pricing,
         "rel_topk_orders": REL.topk_orders,
         "rel_topk_per_customer": REL.topk_orders_per_customer,
+        "rel_price_quantiles": REL.price_quantiles_by_segment,
         "rel_orders_by_segment": REL.orders_by_segment,
         "rel_customers_without_orders": REL.customers_without_orders,
         "rel_suppliers_with_shipments": REL.suppliers_with_shipments,
@@ -251,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vectors_hashed": T.hashed_vectors,
         "dedup_exact": T.dedup_exact,
         "text_clean_corpus": T.clean_corpus,
+        "text_model_scores": T.model_scores,
         "dedup_minhash": T.dedup_minhash,
         "dedup_simhash": T.dedup_simhash,
         "dedup_simhash_clusters": T.simhash_clusters,
@@ -342,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q1_pricing": REL.q1_pricing_sql(),
         "rel_topk_orders": REL.topk_orders_sql(),
         "rel_topk_per_customer": REL.topk_orders_per_customer_sql(),
+        "rel_price_quantiles": REL.price_quantiles_by_segment_sql(),
         "rel_orders_by_segment": REL.orders_by_segment_sql(),
         "rel_customers_without_orders": REL.customers_without_orders_sql(),
         "rel_suppliers_with_shipments": REL.suppliers_with_shipments_sql(),

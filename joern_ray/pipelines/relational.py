@@ -339,6 +339,66 @@ def topk_orders_per_customer_sql() -> str:
     """
 
 
+QUANTILES = (25, 50, 75)
+
+
+def price_quantiles_by_segment(sf_dir: str):
+    """Exact discrete per-segment price quantiles at 100-TB shape: the
+    full order stream collapses to a (segment, cents) VALUE HISTOGRAM via
+    two-phase counting (bounded by the price domain, not the row count),
+    then one tiny per-segment pass selects the smallest value whose
+    cumulative count ≥ q·n — byte-identical to DuckDB ``quantile_disc``
+    (probed: its rule is exactly this cum≥q·n selection)."""
+    import numpy as np
+
+    cust = table_of(_p(sf_dir, "customer"),
+                    columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, keys=["o_custkey"],
+                            right_keys=["c_custkey"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        return (pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                          "cents": _cents(t.column("o_totalprice"))})
+                .group_by(["c_mktsegment", "cents"])
+                .aggregate([("cents", "count")])
+                .rename_columns(["c_mktsegment", "cents", "n"]))
+
+    from ray.data.aggregate import Sum
+
+    def select(group: pa.Table) -> pa.Table:
+        g = group.sort_by("cents")
+        seg = g.column("c_mktsegment")[0].as_py()
+        cents = g.column("cents").to_numpy()
+        cum = np.cumsum(g.column("n").to_numpy())
+        total = cum[-1]
+        out_q, out_v = [], []
+        for q in QUANTILES:
+            idx = int(np.searchsorted(cum, q * total / 100.0))
+            out_q.append(q)
+            out_v.append(int(cents[min(idx, len(cents) - 1)]))
+        return pa.table({"c_mktsegment": pa.array([seg] * len(out_q)),
+                         "q_pct": pa.array(out_q, pa.int64()),
+                         "cents": pa.array(out_v, pa.int64())})
+
+    return (joined.map_batches(hist, batch_format="pyarrow")
+            .groupby(["c_mktsegment", "cents"])
+            .aggregate(Sum(on="n", alias_name="n"))
+            .groupby("c_mktsegment")
+            .map_groups(select, batch_format="pyarrow"))
+
+
+def price_quantiles_by_segment_sql() -> str:
+    parts = [f"""
+    SELECT c_mktsegment, CAST({q} AS BIGINT) AS q_pct,
+           quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT),
+                         {q / 100.0}) AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment""" for q in QUANTILES]
+    return " UNION ALL ".join(parts)
+
+
 def running_order_total_sql() -> str:
     return """
     SELECT o_orderkey, o_custkey,

@@ -227,6 +227,49 @@ def hashed_vectors(sf_dir: str, *, dim: int = HASH_DIM):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+class TextModelScorer:
+    """Actor-pool batched model-inference stage — the NER/quality-model
+    scoring discipline every training-data pipeline needs: the "model"
+    (a deterministic logistic head over the HASH_DIM feature-hash space)
+    loads ONCE per actor in ``__init__``; ``__call__`` scores a whole
+    batch with one matmul.  Swap the fake weights for real model weights
+    and nothing else changes (same contract as the multimodal stages).
+
+    Use: ds.map_batches(TextModelScorer, concurrency=(2, 8),
+                        batch_size=2048, num_cpus=1, batch_format="pyarrow")
+    """
+
+    def __init__(self, *, dim: int = HASH_DIM, seed: int = 23):
+        self.dim = dim
+        self.w = np.random.default_rng(seed).standard_normal(dim)
+        self.b = -0.5
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pandas as pd
+        trimmed = ascii_trim(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, _WS_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(t.num_rows), lengths)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        buckets = (pd.util.hash_array(flat) % self.dim).astype("int64")
+        feats = np.zeros((t.num_rows, self.dim))
+        np.add.at(feats, (rows, buckets), 1.0)
+        logits = feats @ self.w + self.b
+        score = 1.0 / (1.0 + np.exp(-logits))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "model_score": pa.array(score, pa.float64())})
+
+
+def model_scores(sf_dir: str):
+    """documents → per-doc model score via the actor-pool scorer."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(TextModelScorer, concurrency=(1, 4),
+                          batch_size=2048, num_cpus=1,
+                          batch_format="pyarrow")
+
+
 def doc_fingerprint(sf_dir: str):
     """Content fingerprint (md5 — matches DuckDB's md5() for the oracle)."""
     ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])

@@ -149,3 +149,15 @@ def test_kmeans_planted_clusters(ray_session, tmp_path):
     g0 = {out[i] for i in range(20)}
     g1 = {out[i] for i in range(20, 40)}
     assert len(g0) == 1 and len(g1) == 1 and g0 != g1
+
+
+def test_model_scores_deterministic(ray_session):
+    from joern_ray.pipelines import text as T
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted((r["doc_id"], r["model_score"])
+               for r in T.model_scores(sf).take_all())
+    b = sorted((r["doc_id"], r["model_score"])
+               for r in T.model_scores(sf).take_all())
+    assert a == b and len(a) > 0
+    assert all(0.0 <= s <= 1.0 for _, s in a)
