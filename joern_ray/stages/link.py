@@ -101,13 +101,36 @@ def vocab_from_mentions(mentions_ds: "ray.data.Dataset", *,
 
 
 def _lsh_keys_batch(batch: pa.Table) -> pa.Table:
-    """Fuzzy-kind vocab rows → (bucket, kind, norm) LSH band rows."""
+    """Fuzzy-kind vocab rows → (bucket, kind, norm) LSH band rows.
+
+    Batch-vectorized: ALL rows' shingles hash in ONE pd.hash_array call and
+    the per-row MinHash folds via np.minimum.at over an (n, N_PERMS)
+    matrix — byte-identical to the scalar ``H.minhash_signature`` path
+    (asserted by the driver-vs-distributed entity equality test), without
+    its per-row hash-call overhead."""
+    import numpy as np
+
     kinds = batch.column("kind").to_pylist()
     norms = batch.column("norm").to_pylist()
+    n = len(norms)
+    if n == 0:
+        return pa.table({"bucket": pa.array([], pa.string()),
+                         "kind": pa.array([], pa.string()),
+                         "norm": pa.array([], pa.string())})
+    all_sh: list[str] = []
+    owner: list[int] = []
+    for i, norm in enumerate(norms):
+        sh = R.char_shingles(norm)
+        all_sh.extend(sh)
+        owner.extend([i] * len(sh))
+    hs = H.hash_strings(all_sh)
+    vals = (hs[:, None] * H._A[None, :] + H._B[None, :]) \
+        % np.uint64(H.MERSENNE_P)
+    sigs = np.full((n, H.N_PERMS), H.MERSENNE_P, dtype=np.uint64)
+    np.minimum.at(sigs, np.asarray(owner), vals)
     out_bucket, out_kind, out_norm = [], [], []
-    for kind, norm in zip(kinds, norms):
-        sig = H.minhash_signature(R.char_shingles(norm))
-        for bk in H.band_keys(sig):
+    for i, (kind, norm) in enumerate(zip(kinds, norms)):
+        for bk in H.band_keys(sigs[i]):
             out_bucket.append(f"{kind}|{bk}")
             out_kind.append(kind)
             out_norm.append(norm)
