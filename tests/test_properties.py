@@ -116,3 +116,48 @@ def test_bucketed_resolution_matches_per_conversation(data):
     def key(tab):
         return sorted(map(tuple, zip(*[c.to_pylist() for c in tab.columns])))
     assert key(got) == key(ref)
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["c1", "c2", "c3"]),          # conv_id
+              st.integers(0, 12),                            # turn_idx
+              st.sampled_from([None, "Alice", "Bob", "Zed"]),  # person
+              st.booleans(),                                 # is_pronoun
+              st.integers(0, 2)),                            # sent_idx
+    min_size=0, max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_resolve_bucket_fast_equals_slow(rows):
+    """The int-key fast resolver and the pandas slow path must agree on
+    ANY input set (duplicate turns, pronoun-only convs, missing state)."""
+    import pyarrow as pa
+
+    from joern_ray import schema as S
+    from joern_ray.stages import extract as X
+
+    cols = {
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "person": [None if r[3] else r[2] for r in rows],
+        "pred": ["works_at" if r[3] else None for r in rows],
+        "obj": ["Acme" if r[3] else None for r in rows],
+        "obj_kind": ["org" if r[3] else None for r in rows],
+        "sent_idx": pa.array([r[4] for r in rows], pa.int32()),
+        "negated": [False] * len(rows),
+        "in_question": [False] * len(rows),
+        "bucket": pa.array([0] * len(rows), pa.int64()),
+    }
+    t = pa.Table.from_pydict(cols)
+    # drop rows that are neither state nor pronoun (the subset filter
+    # guarantees this in production)
+    import pyarrow.compute as pc
+    keep = pc.or_(pc.is_valid(t.column("person")),
+                  pc.is_valid(t.column("pred")))
+    t = t.filter(keep)
+
+    def key(tab):
+        return sorted(map(tuple, zip(*[c.to_pylist() for c in tab.columns])))
+
+    fast = X._resolve_bucket(t, None)
+    slow = X._resolve_bucket_slow(t.drop_columns(["bucket"]),
+                                  X.MAX_RESOLVE_EVENTS_PER_CONV)
+    assert key(fast) == key(slow)
