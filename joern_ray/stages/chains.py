@@ -156,17 +156,28 @@ def cooccurrence_query(sf_dir: str):
 
 
 def cooccurrence_sql(rel: str) -> str:
+    # Mirrors the engine's COOCCUR_MAX_ENTITIES_PER_CONV bail-out cap (the
+    # engine keeps the first 64 entities per conversation in ascending
+    # entity order before pair explosion) so engine and oracle cannot
+    # silently diverge on a >64-entity conversation.
     from ..extract import sqlgen as G
     ne = G._norm_expr
     return f"""
     WITH resolved AS ({G.resolved_triples_sql(rel)}),
-    m AS (
+    m0 AS (
       SELECT DISTINCT conv_id,
              subj_kind || ':' || {ne('subj', 'subj_kind')} AS entity
       FROM resolved
       UNION
       SELECT DISTINCT conv_id,
-             obj_kind || ':' || {ne('obj', 'obj_kind')} FROM resolved)
+             obj_kind || ':' || {ne('obj', 'obj_kind')} FROM resolved),
+    m AS (
+      SELECT conv_id, entity FROM (
+        SELECT conv_id, entity,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY entity) AS rn
+        FROM m0)
+      WHERE rn <= {COOCCUR_MAX_ENTITIES_PER_CONV})
     SELECT x.entity AS a, y.entity AS b,
            CAST(count(*) AS BIGINT) AS n_convs
     FROM m x JOIN m y ON x.conv_id = y.conv_id AND x.entity < y.entity
