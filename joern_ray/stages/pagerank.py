@@ -20,16 +20,30 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions import rules as R
 from .link import normalize_arrays
 
 DAMPING = 0.85
 PAGERANK_ITERS = 15
 
+_NONLINK_ARR = pa.array(sorted(R.NONLINK_KINDS))
+
 
 def _entity_edges(triples_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Triples → directed weighted (src, dst, w) composite-key edge rows
-    (kind:norm, normalized; per-batch combined)."""
+    (kind:norm, normalized; per-batch combined).
+
+    Natural-key NONLINK kinds ('conv') are excluded from BOTH slots: they
+    are corpus-sized, not vocabulary-sized, and would grow the driver-side
+    node index / per-iteration rank broadcast with the corpus — the
+    module's stated 100-TB shape requires an entity-vocabulary node set."""
     def fn(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(pc.is_in(t.column("subj_kind"),
+                               value_set=_NONLINK_ARR)),
+            pc.invert(pc.is_in(t.column("obj_kind"),
+                               value_set=_NONLINK_ARR)))
+        t = t.filter(keep)
         src = pc.binary_join_element_wise(
             pc.cast(t.column("subj_kind"), pa.string()),
             normalize_arrays(t.column("subj_kind"), t.column("subj")), ":")
@@ -59,15 +73,18 @@ def pagerank(triples_ds: "ray.data.Dataset", *, iters: int = PAGERANK_ITERS,
     if n == 0:
         return ray.data.from_arrow(pa.schema(
             [("entity", pa.string()), ("rank", pa.float64())]).empty_table())
-    iref = ray.put({v: i for i, v in enumerate(nodes)})
+    # factorize corpus-sized edges with ONE vectorized hash-lookup kernel
+    # per batch (pc.index_in against the broadcast sorted node array) —
+    # never a Python dict lookup per edge row
+    nref = ray.put(pa.array(nodes, pa.string()))
 
     def to_idx(t: pa.Table) -> pa.Table:
-        idx = ray.get(iref)
-        si = np.fromiter((idx[s] for s in t.column("src").to_pylist()),
-                         dtype=np.int64, count=t.num_rows)
-        di = np.fromiter((idx[d] for d in t.column("dst").to_pylist()),
-                         dtype=np.int64, count=t.num_rows)
-        return pa.table({"si": pa.array(si), "di": pa.array(di),
+        nodes_ = ray.get(nref)
+        si = pc.index_in(t.column("src").cast(pa.string()),
+                         value_set=nodes_).cast(pa.int64())
+        di = pc.index_in(t.column("dst").cast(pa.string()),
+                         value_set=nodes_).cast(pa.int64())
+        return pa.table({"si": si, "di": di,
                          "w": t.column("w").cast(pa.float64())})
 
     iedges = edges.map_batches(to_idx, batch_format="pyarrow").materialize()

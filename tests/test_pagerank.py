@@ -67,3 +67,24 @@ def test_pagerank_deterministic(ray_session):
     b = sorted((r["entity"], r["rank"])
                for r in pagerank(_triples(rows)).take_all())
     assert a == b
+
+
+def test_pagerank_excludes_nonlink_conv_nodes(ray_session):
+    """'invoked' triples carry a conv-kind subject; conv keys are
+    corpus-sized natural keys and must not enter the (vocabulary-sized)
+    PageRank node set (ADVICE r2)."""
+    n = 2
+    tds = ray.data.from_arrow(pa.table({
+        "conv_id": ["c1"] * n,
+        "turn_idx": pa.array(range(n), pa.int32()),
+        "subj": ["c1", "Alice"],
+        "pred": ["invoked", "met"],
+        "obj": ["search", "Bob"],
+        "subj_kind": ["conv", "person"],
+        "obj_kind": ["tool", "person"],
+        "sent_idx": pa.array([0] * n, pa.int32()),
+        "negated": [False] * n,
+        "in_question": [False] * n,
+    }).cast(S.TRIPLES_SURFACE))
+    out = {r["entity"]: r["rank"] for r in pagerank(tds).take_all()}
+    assert set(out) == {"person:alice", "person:bob"}
