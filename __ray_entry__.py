@@ -172,6 +172,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             M.next_turn_edges, batch_format="pyarrow")
         return D.post_dominators(edges)
 
+    def kg_cdg(sf_dir):
+        """Control-dependence edges (Ferrante via post-dominators) over the
+        NEXT_TURN chain augmented with deterministic skip-edge diamonds
+        (``materialize.skip_edges``) so the CDG is non-vacuous — on a pure
+        linear chain it is empty by construction."""
+        from joern_ray.stages import dom as D
+        from joern_ray.stages import materialize as M
+        tds = _transcripts(sf_dir)
+        edges = tds.map_batches(
+            M.next_turn_edges, batch_format="pyarrow").union(
+            tds.map_batches(M.skip_edges, batch_format="pyarrow"))
+        return D.control_dependence(edges)
+
     def kg_export_graphml(sf_dir):
         from joern_ray.stages.export import graphml_per_conversation
         return graphml_per_conversation(_graph(sf_dir)["edges"])
@@ -210,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_next_turn_edges": kg_next_turn_edges,
         "kg_dominators": kg_dominators,
         "kg_post_dominators": kg_post_dominators,
+        "kg_cdg": kg_cdg,
         "kg_entities_exact": kg_entities_exact,
         # conversation-local enrichment (use-chain analog)
         "kg_mention_chains": CH.mention_chains_query,
@@ -356,6 +370,20 @@ def oracle_sql() -> dict[str, str]:
                          max(turn_idx) OVER (PARTITION BY conv_id) AS max_t
                   FROM turns)
             WHERE conv_id IN (SELECT conv_id FROM multi)""",
+        # control dependence over chain + skip-edge diamonds: each skip
+        # source s ((s % 5) = 2, s+2 ≤ max turn) yields exactly the CDG
+        # edge (s, s+1) — closed form validated against the Ferrante
+        # implementation on branching goldens (tests/test_dom.py)
+        "kg_cdg": f"""
+            WITH turns AS (SELECT DISTINCT conv_id, turn_idx FROM {tr}),
+            mx AS (SELECT conv_id, max(turn_idx) AS max_t
+                   FROM turns GROUP BY conv_id)
+            SELECT t.conv_id,
+                   t.conv_id || '#' || CAST(t.turn_idx AS VARCHAR) AS ctrl,
+                   t.conv_id || '#' || CAST(t.turn_idx + 1 AS VARCHAR)
+                     AS node
+            FROM turns t JOIN mx ON t.conv_id = mx.conv_id
+            WHERE t.turn_idx % 5 = 2 AND t.turn_idx + 2 <= mx.max_t""",
         "rel_q1_pricing": REL.q1_pricing_sql(),
         "rel_topk_orders": REL.topk_orders_sql(),
         "rel_topk_per_customer": REL.topk_orders_per_customer_sql(),

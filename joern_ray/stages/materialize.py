@@ -299,6 +299,32 @@ def next_turn_edges(batch: pa.Table) -> pa.Table:
         schema=S.EDGES)
 
 
+def skip_edges(batch: pa.Table) -> pa.Table:
+    """Deterministic branch edges for the dominator/CDG operators: turn
+    t-2 → t for every turn t ≥ 2 with (t-2) % 5 == 2.  Emitted from the
+    DESTINATION row, so existence is per-row derivable (no grouping): on
+    contiguous turn indices both endpoints and the bypassed middle turn
+    exist whenever t ≥ 2.  The fixed modulus keeps skip sources ≥ 5 apart,
+    so each forms an isolated diamond whose control-dependence closed form
+    ((s, s+1) per source s) is exactly SQL-expressible — the kg_cdg
+    oracle's contract."""
+    tidx_np = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+    mask = pa.array((tidx_np >= 2) & ((tidx_np - 2) % 5 == 2))
+    sub = batch.filter(mask)
+    n = sub.num_rows
+    conv = sub.column("conv_id")
+    tidx = sub.column("turn_idx")
+    prev2 = pc.subtract(tidx, 2).cast(pa.int32())
+    return pa.Table.from_arrays(
+        [_turn_key(conv, prev2),
+         _turn_key(conv, tidx),
+         pa.array(["SKIP"] * n, pa.string()),
+         pa.nulls(n, pa.string()),
+         conv.cast(pa.string()),
+         tidx.cast(pa.int32())],
+        schema=S.EDGES)
+
+
 def replies_to_edges(batch: pa.Table) -> pa.Table:
     """Assistant turn t → preceding turn t-1 (REPLIES_TO, the REF analog).
     Per-row derivable like NEXT_TURN — no grouping."""
