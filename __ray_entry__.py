@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence": CH.cooccurrence_query,
         # frontier-BFS reachability (reachableBy analog) + slice
         "kg_reachable": RCH.reachable_query,
+        "kg_paths": RCH.paths_query,
         "kg_slice": RCH.slice_query,
         # import-resolver + config side-table analogs
         "kg_tool_imports": kg_tool_imports,
@@ -322,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_chains": CH.mention_chains_sql(tr),
         "kg_cooccurrence": CH.cooccurrence_sql(tr),
         "kg_reachable": RCH.reachable_sql(tr),
+        "kg_paths": RCH.paths_sql(tr),
         "kg_slice": RCH.slice_sql(tr),
         "kg_tool_imports": f"""
             SELECT conv_id, turn_idx,

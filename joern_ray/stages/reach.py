@@ -29,6 +29,13 @@ REACH = pa.schema([
     ("depth", pa.int32()),
 ])
 
+PATHS = pa.schema([
+    ("kind", pa.string()),
+    ("norm", pa.string()),
+    ("depth", pa.int32()),
+    ("via", pa.string()),            # null for seeds
+])
+
 
 def _norm_edges(triples_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Triples → undirected (kind, norm) adjacency rows (narrow)."""
@@ -106,6 +113,114 @@ def reachable(triples_ds: "ray.data.Dataset", seeds: list[tuple[str, str]],
         "norm": pa.array([n for (_, n), _d in out], pa.string()),
         "depth": pa.array([d for _kn, d in out], pa.int32()),
     }).cast(REACH))
+
+
+def reachable_paths(triples_ds: "ray.data.Dataset",
+                    seeds: list[tuple[str, str]], *, max_depth: int = 3
+                    ) -> "ray.data.Dataset":
+    """``reachable`` with a path WITNESS: for every reached node, also the
+    predecessor ("kind:norm") it was first reached through — the
+    lexicographically smallest frontier predecessor, a deterministic
+    choice independent of partitioning.  The per-element path-evidence
+    analog of the reference engine's result paths
+    (``Engine.scala:120-150``, ``TaskSolver.scala``): following ``via``
+    links walks an actual shortest path back to a seed.
+
+    Same loop shape as ``reachable`` (broadcast frontier, per-batch
+    vectorized expansion, distributed min-combine BEFORE the driver sees
+    anything); the exchange carries one extra narrow string column."""
+    from ray.data.aggregate import Min
+
+    edges = _norm_edges(triples_ds).materialize()
+    seen: dict[tuple[str, str], tuple[int, str | None]] = {
+        s: (0, None) for s in seeds}
+    frontier = set(seeds)
+    for depth in range(1, max_depth + 1):
+        fkeys = pa.array([f"{k}\x1f{n}" for k, n in sorted(frontier)],
+                         pa.string())
+        fref = ray.put(fkeys)
+
+        def expand(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return pa.table({"kind": pa.array([], pa.string()),
+                                 "norm": pa.array([], pa.string()),
+                                 "via": pa.array([], pa.string())})
+            fr = ray.get(fref)
+            key = pc.binary_join_element_wise(
+                pc.cast(t.column("a_kind"), pa.string()),
+                pc.cast(t.column("a_norm"), pa.string()), "\x1f")
+            sub = t.filter(pc.is_in(key, value_set=fr))
+            via = pc.binary_join_element_wise(
+                pc.cast(sub.column("a_kind"), pa.string()),
+                pc.cast(sub.column("a_norm"), pa.string()), ":")
+            out = pa.table({"kind": sub.column("b_kind"),
+                            "norm": sub.column("b_norm"), "via": via})
+            # local min-combiner: the exchange carries one candidate per
+            # (node, batch), not one per edge
+            return (out.group_by(["kind", "norm"])
+                    .aggregate([("via", "min")])
+                    .rename_columns(["kind", "norm", "via"]))
+
+        nxt_rows = (edges.map_batches(expand, batch_format="pyarrow")
+                    .groupby(["kind", "norm"])
+                    .aggregate(Min(on="via", alias_name="via"))
+                    .take_all())
+        new = {(r["kind"], r["norm"]): r["via"] for r in nxt_rows
+               if (r["kind"], r["norm"]) not in seen}
+        if not new:
+            break
+        for k, via in new.items():
+            seen[k] = (depth, via)
+        frontier = set(new)
+    out = sorted(seen.items())
+    return ray.data.from_arrow(pa.table({
+        "kind": pa.array([k for (k, _), _dv in out], pa.string()),
+        "norm": pa.array([n for (_, n), _dv in out], pa.string()),
+        "depth": pa.array([d for _kn, (d, _v) in out], pa.int32()),
+        "via": pa.array([v for _kn, (_d, v) in out], pa.string()),
+    }).cast(PATHS))
+
+
+def paths_query(sf_dir: str, *, seed_kind: str = "person",
+                seed_norm: str = "alice", max_depth: int = 2):
+    from .. import synth
+    tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
+    return reachable_paths(extract_triples(tds), [(seed_kind, seed_norm)],
+                           max_depth=max_depth)
+
+
+def paths_sql(rel: str, *, seed_kind: str = "person",
+              seed_norm: str = "alice", max_depth: int = 2) -> str:
+    """Recursive-CTE oracle for ``reachable_paths``.  Why the min-via
+    parity holds: a node first reached at depth d has walk rows at depth d
+    whose predecessors are precisely the nodes at distance d-1 adjacent to
+    it (a closer adjacent predecessor would contradict d's minimality, and
+    symmetric edge storage makes walk lengths ≥ distance with matching
+    parity available) — the same candidate set the engine's frontier
+    provides, so min-over-candidates agrees."""
+    from ..extract import sqlgen as G
+    ne = G._norm_expr
+    return f"""
+    WITH RECURSIVE resolved AS ({G.resolved_triples_sql(rel)}),
+    e0 AS (
+      SELECT subj_kind AS a_kind, {ne('subj', 'subj_kind')} AS a_norm,
+             obj_kind AS b_kind, {ne('obj', 'obj_kind')} AS b_norm
+      FROM resolved),
+    edges AS (SELECT * FROM e0
+              UNION SELECT b_kind, b_norm, a_kind, a_norm FROM e0),
+    walk(kind, norm, depth, via) AS (
+      SELECT '{seed_kind}', '{seed_norm}', 0, CAST(NULL AS VARCHAR)
+      UNION ALL
+      SELECT e.b_kind, e.b_norm, w.depth + 1, w.kind || ':' || w.norm
+      FROM walk w JOIN edges e
+        ON e.a_kind = w.kind AND e.a_norm = w.norm
+      WHERE w.depth < {max_depth})
+    SELECT kind, norm, CAST(depth AS INTEGER) AS depth, via FROM (
+      SELECT kind, norm, depth, via,
+             row_number() OVER (PARTITION BY kind, norm
+                                ORDER BY depth, via) AS rn
+      FROM walk) WHERE rn = 1
+    """
 
 
 def reachable_query(sf_dir: str, *, seed_kind: str = "person",

@@ -44,3 +44,18 @@ def test_props_k_stats_matches_oracle(ray_session):
     got = _norm(EV.props_k_stats(SF).to_pandas())
     want = _norm(con.execute(EV.props_k_stats_sql()).fetchdf())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_paths_matches_recursive_cte_and_witnesses_walk_to_seed(ray_session):
+    rel = f"read_parquet('{synth.transcripts_path(SF)}')"
+    got = _norm(RCH.paths_query(SF).to_pandas())
+    want = _norm(duckdb.sql(RCH.paths_sql(rel)).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the via chain is a real shortest path: via of a depth-d node is a
+    # depth-(d-1) node; seeds have no via
+    df = got.set_index(got["kind"] + ":" + got["norm"])
+    for _, row in got.iterrows():
+        if row["depth"] == 0:
+            assert row["via"] in (None, "None", "nan") or pd.isna(row["via"])
+        else:
+            assert df.loc[row["via"], "depth"] == row["depth"] - 1
