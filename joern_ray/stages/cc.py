@@ -92,34 +92,58 @@ def _msgs_broadcast(sym: "ray.data.Dataset", labels: "ray.data.Dataset"):
     return sym.map_batches(fn, batch_format="pyarrow")
 
 
-def _msgs_cogroup(sym: "ray.data.Dataset", labels: "ray.data.Dataset"):
+COGROUP_BUCKETS = 256
+
+
+def _msgs_cogroup(sym: "ray.data.Dataset", labels: "ray.data.Dataset",
+                  *, n_buckets: int = COGROUP_BUCKETS):
+    """Fully distributed message pass, bucketed shard-wise: label rows and
+    edge rows co-locate by hash(node) bucket — NOT per-node groups — and
+    each shard resolves with ONE vectorized Acero inner join (the
+    ``materialize._cogroup_resolve_pass`` discipline).  This is the
+    designated >BROADCAST_MAX_LABELS escape path, exactly the regime where
+    per-key Python groups would hurt most."""
+    import pandas as pd
+
+    def _bucket(arr) -> pa.Array:
+        h = pd.util.hash_array(arr.to_numpy(zero_copy_only=False))
+        return pa.array((h % n_buckets).astype("int64"))
+
+    union_schema = pa.schema(list(_MSG_IN) + [("bucket", pa.int64())])
+
     def tag_label(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return _MSG_IN.empty_table()
+        if t.num_columns == 0 or t.num_rows == 0:
+            return union_schema.empty_table()
         n = t.num_rows
         return pa.table({"node": t.column("node"),
                          "b": pa.nulls(n, pa.string()),
-                         "label": t.column("label")})
+                         "label": t.column("label"),
+                         "bucket": _bucket(t.column("node"))})
 
     def tag_edge(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return _MSG_IN.empty_table()
+        if t.num_columns == 0 or t.num_rows == 0:
+            return union_schema.empty_table()
         n = t.num_rows
         return pa.table({"node": t.column("a"), "b": t.column("b"),
-                         "label": pa.nulls(n, pa.string())})
+                         "label": pa.nulls(n, pa.string()),
+                         "bucket": _bucket(t.column("a"))})
 
-    def emit(group: pa.Table) -> pa.Table:
-        labs = group.filter(pc.is_valid(group.column("label")))
-        if labs.num_rows == 0:
+    def emit_shard(g: pa.Table) -> pa.Table:
+        is_lab = pc.is_valid(g.column("label"))
+        labs = g.filter(is_lab).select(["node", "label"])
+        edges = g.filter(pc.invert(is_lab)).select(["node", "b"])
+        if labs.num_rows == 0 or edges.num_rows == 0:
             return _LABELS.empty_table()
-        lab = labs.column("label")[0].as_py()
-        dsts = group.filter(pc.is_valid(group.column("b"))).column("b")
-        return pa.table({"node": dsts,
-                         "label": pa.array([lab] * len(dsts), pa.string())})
+        joined = edges.join(labs, keys=["node"], join_type="inner")
+        return pa.table({
+            "node": joined.column("b").combine_chunks().cast(pa.string()),
+            "label": joined.column("label").combine_chunks()
+            .cast(pa.string())})
 
     tagged = labels.map_batches(tag_label, batch_format="pyarrow").union(
         sym.map_batches(tag_edge, batch_format="pyarrow"))
-    return tagged.groupby("node").map_groups(emit, batch_format="pyarrow")
+    return tagged.groupby("bucket").map_groups(
+        emit_shard, batch_format="pyarrow")
 
 
 def _cc_driver(edges_ds: "ray.data.Dataset", labels: "ray.data.Dataset"
