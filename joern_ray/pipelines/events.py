@@ -36,27 +36,49 @@ def _p(sf_dir: str) -> str:
 # sessionization (per-user gap-based)
 # ---------------------------------------------------------------------------
 
-def sessionize(sf_dir: str):
+def sessionize(sf_dir: str, *, n_buckets: int = 256):
     """event_id → session_id ("<user_id>:<n>"); a new session starts when the
-    gap to the user's previous event exceeds SESSION_GAP_S."""
+    gap to the user's previous event exceeds SESSION_GAP_S.
+
+    Users co-locate into hash(user_id) bucket shards (never per-user
+    Python groups — 10^8 users at corpus scale); within a shard the whole
+    logic is ONE vectorized pass over the (user, ts, event_id)-sorted
+    rows: session boundaries = user change OR gap exceeded, session
+    numbers = global cumsum rebased at each user start."""
+    from ..functions.buckets import add_bucket
+
     ds = ray.data.read_parquet(_p(sf_dir),
                                columns=["event_id", "user_id", "ts"])
 
-    def per_user(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        ts = g.column("ts").cast(pa.int64()).to_numpy()  # microseconds
+    def shard(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = g.drop_columns(["bucket"]).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")])
+        if g.num_rows == 0:
+            return pa.schema([("event_id", g.schema.field("event_id").type),
+                              ("user_id", g.schema.field("user_id").type),
+                              ("session_id", pa.string())]).empty_table()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        new_user = np.empty(len(ts), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
         gap = np.empty(len(ts), dtype=np.int64)
-        gap[0] = np.iinfo(np.int64).max
+        gap[0] = 0
         gap[1:] = ts[1:] - ts[:-1]
-        new = (gap > SESSION_GAP_S * 1_000_000).astype(np.int64)
-        sess_n = np.cumsum(new)
-        uid = g.column("user_id")[0].as_py()
-        sid = pa.array([f"{uid}:{n}" for n in sess_n], pa.string())
+        new = new_user | (gap > SESSION_GAP_S * 1_000_000)
+        cum = np.cumsum(new)
+        base = np.maximum.accumulate(np.where(new_user, cum - 1, 0))
+        sess_n = cum - base
+        sid = pd.Series(uid).astype(str) + ":" + pd.Series(sess_n).astype(str)
         return pa.table({"event_id": g.column("event_id"),
                          "user_id": g.column("user_id"),
-                         "session_id": sid})
+                         "session_id": pa.array(sid, pa.string())})
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return (ds.map_batches(lambda t: add_bucket(t, "user_id", n_buckets),
+                           batch_format="pyarrow")
+            .groupby("bucket").map_groups(shard, batch_format="pyarrow"))
 
 
 def sessionize_sql() -> str:
@@ -137,34 +159,52 @@ def window_counts_sql() -> str:
 # as-of join (per purchase: the user's most recent strictly-prior view)
 # ---------------------------------------------------------------------------
 
-def asof_prior_view(sf_dir: str):
+def asof_prior_view(sf_dir: str, *, n_buckets: int = 256):
     """purchase events annotated with the ts of the same user's latest view
-    event strictly before them (NULL if none)."""
+    event strictly before them (NULL if none).
+
+    Same shard discipline as ``sessionize``; the running view-timestamp
+    maximum resets at user boundaries via cython segmented cummax/shift
+    (pandas groupby on integer codes) — no per-user Python groups."""
+    from ..functions.buckets import add_bucket
+
     ds = ray.data.read_parquet(
         _p(sf_dir), columns=["event_id", "user_id", "ts", "event_type"])
 
-    def per_user(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    def shard(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = g.drop_columns(["bucket"]).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")])
+        if g.num_rows == 0:
+            return pa.schema([("event_id", g.schema.field("event_id").type),
+                              ("user_id", g.schema.field("user_id").type),
+                              ("ts", g.schema.field("ts").type),
+                              ("prev_view_ts", pa.timestamp("us"))
+                              ]).empty_table()
         ts = g.column("ts").cast(pa.int64()).to_numpy()
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        codes = np.cumsum(
+            np.concatenate(([True], uid[1:] != uid[:-1])))
         is_view = pc.equal(g.column("event_type"), "view").to_numpy(
             zero_copy_only=False)
-        # running max of view timestamps over strictly-prior rows
-        view_ts = np.where(is_view, ts, np.int64(-1))
-        prior = np.empty(len(ts), dtype=np.int64)
-        prior[0] = -1
-        np.maximum.accumulate(view_ts[:-1], out=view_ts[:-1])
-        prior[1:] = view_ts[:-1]
+        view_ts = pd.Series(np.where(is_view, ts, np.int64(-1)))
+        # strictly-prior running max within user = shift-then-cummax
+        prior = (view_ts.groupby(codes).cummax()
+                 .groupby(codes).shift(1, fill_value=-1)
+                 .to_numpy(dtype=np.int64))
         mask = pc.equal(g.column("event_type"), "purchase")
-        out = pa.table({
+        return pa.table({
             "event_id": g.column("event_id"),
             "user_id": g.column("user_id"),
             "ts": g.column("ts"),
             "prev_view_ts": pa.Array.from_pandas(
                 np.where(prior >= 0, prior, None)).cast(pa.timestamp("us")),
         }).filter(mask)
-        return out
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return (ds.map_batches(lambda t: add_bucket(t, "user_id", n_buckets),
+                           batch_format="pyarrow")
+            .groupby("bucket").map_groups(shard, batch_format="pyarrow"))
 
 
 def asof_prior_view_sql() -> str:

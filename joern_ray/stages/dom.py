@@ -127,16 +127,35 @@ def _dom_table(group: pa.Table, reverse: bool) -> pa.Table:
         schema=DOM)
 
 
+def _edge_cols(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Narrow the exchange to the three columns the algorithms read."""
+    return edges_ds.map_batches(
+        lambda t: t.select(["conv_id", "src", "dst"])
+        if t.num_columns else t, batch_format="pyarrow")
+
+
+_EDGE_IN = pa.schema([("conv_id", pa.string()), ("src", pa.string()),
+                      ("dst", pa.string())])
+
+
 def dominators(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Per-conversation immediate-dominator table (CfgDominatorPass)."""
-    return edges_ds.groupby("conv_id").map_groups(
-        lambda g: _dom_table(g, reverse=False), batch_format="pyarrow")
+    """Per-conversation immediate-dominator table (CfgDominatorPass).
+
+    Conversations co-locate into hash(conv_id) bucket shards; the
+    sequential CHK algorithm runs as an in-shard loop over sorted
+    conversation slices — one Ray group per bucket, never per key."""
+    from ..functions.buckets import bucketed_group_map
+    return bucketed_group_map(
+        _edge_cols(edges_ds), "conv_id",
+        lambda g: _dom_table(g, reverse=False), DOM, in_schema=_EDGE_IN)
 
 
 def post_dominators(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Immediate post-dominators = dominators of the reversed graph."""
-    return edges_ds.groupby("conv_id").map_groups(
-        lambda g: _dom_table(g, reverse=True), batch_format="pyarrow")
+    from ..functions.buckets import bucketed_group_map
+    return bucketed_group_map(
+        _edge_cols(edges_ds), "conv_id",
+        lambda g: _dom_table(g, reverse=True), DOM, in_schema=_EDGE_IN)
 
 
 def _cdg_table(group: pa.Table) -> pa.Table:
@@ -169,5 +188,7 @@ def _cdg_table(group: pa.Table) -> pa.Table:
 
 
 def control_dependence(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    return edges_ds.groupby("conv_id").map_groups(
-        _cdg_table, batch_format="pyarrow")
+    from ..functions.buckets import bucketed_group_map
+    return bucketed_group_map(
+        _edge_cols(edges_ds), "conv_id", _cdg_table, CDG,
+        in_schema=_EDGE_IN)

@@ -16,6 +16,21 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..functions.buckets import bucketed_group_map
+
+_EDGE_IN = pa.schema([("conv_id", pa.string()), ("src", pa.string()),
+                      ("dst", pa.string()), ("label", pa.string())])
+
+
+def _conv_edges(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Narrow the exchange to the formatter's columns; drop conv-less
+    (entity-to-entity) edges."""
+    return edges_ds.map_batches(
+        lambda t: (t.filter(pc.is_valid(t.column("conv_id")))
+                   .select(["conv_id", "src", "dst", "label"]))
+        if t.num_columns else t,
+        batch_format="pyarrow")
+
 
 def write_jsonl(ds: "ray.data.Dataset", out_dir: str) -> None:
     ds.write_json(out_dir)
@@ -70,8 +85,14 @@ def conv_triples_json(canon_triples_ds: "ray.data.Dataset"
         return pa.table({"conv_id": pa.array([conv], pa.string()),
                          "json": pa.array([doc], pa.string())})
 
-    return canon_triples_ds.groupby("conv_id").map_groups(
-        fmt, batch_format="pyarrow")
+    cols = ["conv_id", "turn_idx", "subj_canonical", "pred",
+            "obj_canonical", "subj_id", "obj_id"]
+    narrowed = canon_triples_ds.map_batches(
+        lambda t: t.select(cols) if t.num_columns else t,
+        batch_format="pyarrow")
+    return bucketed_group_map(
+        narrowed, "conv_id", fmt,
+        pa.schema([("conv_id", pa.string()), ("json", pa.string())]))
 
 
 def _quote(s: str) -> str:
@@ -95,11 +116,10 @@ def dot_per_conversation(edges_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         return pa.table({"conv_id": pa.array([conv], pa.string()),
                          "dot": pa.array(["\n".join(lines)], pa.string())})
 
-    with_conv = edges_ds.map_batches(
-        lambda t: t.filter(pc.is_valid(t.column("conv_id"))),
-        batch_format="pyarrow")
-    return with_conv.groupby("conv_id").map_groups(
-        fmt, batch_format="pyarrow")
+    return bucketed_group_map(
+        _conv_edges(edges_ds), "conv_id", fmt,
+        pa.schema([("conv_id", pa.string()), ("dot", pa.string())]),
+        in_schema=_EDGE_IN)
 
 
 def _xml_escape(s: str) -> str:
@@ -138,11 +158,10 @@ def graphml_per_conversation(edges_ds: "ray.data.Dataset"
         return pa.table({"conv_id": pa.array([conv], pa.string()),
                          "graphml": pa.array(["\n".join(lines)], pa.string())})
 
-    with_conv = edges_ds.map_batches(
-        lambda t: t.filter(pc.is_valid(t.column("conv_id"))),
-        batch_format="pyarrow")
-    return with_conv.groupby("conv_id").map_groups(
-        fmt, batch_format="pyarrow")
+    return bucketed_group_map(
+        _conv_edges(edges_ds), "conv_id", fmt,
+        pa.schema([("conv_id", pa.string()), ("graphml", pa.string())]),
+        in_schema=_EDGE_IN)
 
 
 def graphson_per_conversation(edges_ds: "ray.data.Dataset"
@@ -168,8 +187,7 @@ def graphson_per_conversation(edges_ds: "ray.data.Dataset"
         return pa.table({"conv_id": pa.array([conv], pa.string()),
                          "graphson": pa.array([doc], pa.string())})
 
-    with_conv = edges_ds.map_batches(
-        lambda t: t.filter(pc.is_valid(t.column("conv_id"))),
-        batch_format="pyarrow")
-    return with_conv.groupby("conv_id").map_groups(
-        fmt, batch_format="pyarrow")
+    return bucketed_group_map(
+        _conv_edges(edges_ds), "conv_id", fmt,
+        pa.schema([("conv_id", pa.string()), ("graphson", pa.string())]),
+        in_schema=_EDGE_IN)
