@@ -36,13 +36,30 @@ FINDINGS = pa.schema([
 ])
 
 _ITEMS_RE = r"^result: ok \((?P<n>[0-9]+) items\)$"
+_TOOL_ANNOUNCE_RE = r"^Calling (?P<t>[a-z0-9_]+) now\.$"
 LARGE_RESULT_MIN = 90
 SMALL_RESULT_MAX = 5
 LONG_TURN_TOKENS = 12
+ASSISTANT_LONG_TOKENS = 14
+TERSE_TURN_TOKENS = 3
 REPEAT_CALLER_MIN = 4
 LONG_CONV_TURNS = 23
+SHORT_CONV_TURNS = 7
 QUESTION_HEAVY_MIN = 2
+NEGATION_HEAVY_MIN = 2
+TOOL_HEAVY_FACTOR = 3
 HOT_ENTITY_MIN = 200
+LONELY_ENTITY_MAX = 1
+MULTI_EMPLOYER_MIN = 3
+MODULE_HOTSPOT_MIN = 50
+
+
+def _token_counts(col):
+    """Whitespace token count on the ascii-trimmed text (0 for blank) —
+    the shared contract of long-turn / terse-turn / assistant-long."""
+    trimmed = ascii_trim(col)
+    return pc.if_else(pc.equal(trimmed, ""), 0,
+                      pc.add(pc.count_substring_regex(trimmed, r"\s+"), 1))
 
 
 def _table(rule, severity, conv, tidx, evidence, n) -> pa.Table:
@@ -68,17 +85,90 @@ def _rule_large_tool_result(batch: pa.Table) -> pa.Table:
 
 
 def _rule_long_turn(batch: pa.Table) -> pa.Table:
-    trimmed = ascii_trim(batch.column("text"))
-    n_tokens = pc.if_else(pc.equal(trimmed, ""), 0,
-                          pc.add(pc.count_substring_regex(trimmed, r"\s+"), 1))
-    mask = pc.greater(n_tokens, LONG_TURN_TOKENS)
+    mask = pc.greater(_token_counts(batch.column("text")), LONG_TURN_TOKENS)
     sub = batch.filter(mask)
-    ev = pc.cast(pc.if_else(pc.equal(ascii_trim(sub.column("text")), ""),
-                 0, pc.add(pc.count_substring_regex(
-                     ascii_trim(sub.column("text")), r"\s+"), 1)),
-                 pa.string())
+    ev = pc.cast(_token_counts(sub.column("text")), pa.string())
     return _table("long-turn", "info", sub.column("conv_id"),
                   sub.column("turn_idx").cast(pa.int32()), ev, sub.num_rows)
+
+
+def _rule_terse_turn(batch: pa.Table) -> pa.Table:
+    """Non-blank turn of at most TERSE_TURN_TOKENS whitespace tokens."""
+    nt = _token_counts(batch.column("text"))
+    mask = pc.and_(pc.greater(nt, 0), pc.less_equal(nt, TERSE_TURN_TOKENS))
+    sub = batch.filter(mask)
+    ev = pc.cast(_token_counts(sub.column("text")), pa.string())
+    return _table("terse-turn", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()), ev, sub.num_rows)
+
+
+def _rule_assistant_long_answer(batch: pa.Table) -> pa.Table:
+    mask = pc.fill_null(pc.and_(
+        pc.equal(batch.column("role"), "assistant"),
+        pc.greater(_token_counts(batch.column("text")),
+                   ASSISTANT_LONG_TOKENS)), False)
+    sub = batch.filter(mask)
+    ev = pc.cast(_token_counts(sub.column("text")), pa.string())
+    return _table("assistant-long-answer", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()), ev, sub.num_rows)
+
+
+def _rule_assistant_question(batch: pa.Table) -> pa.Table:
+    mask = pc.fill_null(pc.and_(
+        pc.equal(batch.column("role"), "assistant"),
+        pc.ends_with(batch.column("text"), "?")), False)
+    sub = batch.filter(mask)
+    return _table("assistant-question", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("text"), sub.num_rows)
+
+
+def _rule_pronoun_turn(batch: pa.Table) -> pa.Table:
+    """Turn opening with an unresolved-reference pronoun."""
+    mask = pc.fill_null(pc.match_substring_regex(
+        batch.column("text"), r"^(She|He) "), False)
+    sub = batch.filter(mask)
+    return _table("pronoun-turn", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("text"), sub.num_rows)
+
+
+def _rule_tool_announce(batch: pa.Table) -> pa.Table:
+    """Assistant tool-invocation announcement; evidence = the tool name."""
+    ex = pc.extract_regex(batch.column("text"), _TOOL_ANNOUNCE_RE)
+    tool = pc.struct_field(ex, "t")
+    mask = pc.fill_null(pc.is_valid(tool), False)
+    sub = batch.filter(mask)
+    return _table("tool-announce", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  tool.filter(mask), sub.num_rows)
+
+
+def _rule_numeric_turn(batch: pa.Table) -> pa.Table:
+    mask = pc.fill_null(pc.match_substring_regex(
+        batch.column("text"), r"[0-9]"), False)
+    sub = batch.filter(mask)
+    return _table("numeric-turn", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("text"), sub.num_rows)
+
+
+def _rule_clarification(batch: pa.Table) -> pa.Table:
+    mask = pc.fill_null(pc.match_substring(batch.column("text"),
+                                           "clarify"), False)
+    sub = batch.filter(mask)
+    return _table("clarification-request", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("text"), sub.num_rows)
+
+
+def _rule_deferred_followup(batch: pa.Table) -> pa.Table:
+    mask = pc.fill_null(pc.match_substring(
+        batch.column("text"), "follow up with more details"), False)
+    sub = batch.filter(mask)
+    return _table("deferred-followup", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("text"), sub.num_rows)
 
 
 def _rule_acquisition(batch: pa.Table) -> pa.Table:
@@ -181,101 +271,332 @@ def _repeat_caller(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def _conv_level_rules(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """All conversation-level rules off ONE two-phase aggregation pass:
-    per-batch partial counters (total turns / tool turns / question turns),
-    one global groupby, then per-rule thresholds — N rules, one shuffle."""
+    per-batch partial counters (turn / tool / question / negation counts,
+    max turn, max question-turn), one global groupby, then per-rule
+    thresholds — N rules, one shuffle."""
+    from ray.data.aggregate import Max
+
     def partial(t: pa.Table) -> pa.Table:
         is_tool = pc.cast(pc.fill_null(
             pc.equal(t.column("role"), "tool"), False), pa.int64())
-        is_q = pc.cast(pc.fill_null(pc.and_(
+        q_mask = pc.fill_null(pc.and_(
             pc.equal(t.column("role"), "user"),
-            pc.ends_with(t.column("text"), "?")), False), pa.int64())
+            pc.ends_with(t.column("text"), "?")), False)
+        is_q = pc.cast(q_mask, pa.int64())
+        is_neg = pc.cast(pc.fill_null(pc.match_substring(
+            t.column("text"), "no longer "), False), pa.int64())
+        tidx = t.column("turn_idx").cast(pa.int32())
+        qu_idx = pc.if_else(q_mask, tidx, pa.scalar(-1, pa.int32()))
         return (pa.table({"conv_id": t.column("conv_id"),
                           "n_turns": pa.array([1] * t.num_rows, pa.int64()),
-                          "n_tool": is_tool, "n_q": is_q})
+                          "n_tool": is_tool, "n_q": is_q, "n_neg": is_neg,
+                          "t_max": tidx, "qu_max": qu_idx})
                 .group_by("conv_id")
                 .aggregate([("n_turns", "sum"), ("n_tool", "sum"),
-                            ("n_q", "sum")])
-                .rename_columns(["conv_id", "n_turns", "n_tool", "n_q"]))
+                            ("n_q", "sum"), ("n_neg", "sum"),
+                            ("t_max", "max"), ("qu_max", "max")])
+                .rename_columns(["conv_id", "n_turns", "n_tool", "n_q",
+                                 "n_neg", "t_max", "qu_max"]))
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("conv_id")
            .aggregate(Sum(on="n_turns", alias_name="n_turns"),
                       Sum(on="n_tool", alias_name="n_tool"),
-                      Sum(on="n_q", alias_name="n_q")))
+                      Sum(on="n_q", alias_name="n_q"),
+                      Sum(on="n_neg", alias_name="n_neg"),
+                      Max(on="t_max", alias_name="t_max"),
+                      Max(on="qu_max", alias_name="qu_max")))
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
             return FINDINGS.empty_table()
         outs = []
-        rc = t.filter(pc.greater_equal(t.column("n_tool"),
-                                       REPEAT_CALLER_MIN))
-        outs.append(_table("repeat-caller", "info", rc.column("conv_id"),
-                           None, pc.cast(rc.column("n_tool"), pa.string()),
-                           rc.num_rows))
-        lc = t.filter(pc.greater_equal(t.column("n_turns"), LONG_CONV_TURNS))
-        outs.append(_table("long-conversation", "info", lc.column("conv_id"),
-                           None, pc.cast(lc.column("n_turns"), pa.string()),
-                           lc.num_rows))
-        nt = t.filter(pc.equal(t.column("n_tool"), 0))
-        outs.append(_table("no-tool-conversation", "info",
-                           nt.column("conv_id"), None,
-                           pc.cast(nt.column("n_turns"), pa.string()),
-                           nt.num_rows))
-        qh = t.filter(pc.greater_equal(t.column("n_q"), QUESTION_HEAVY_MIN))
-        outs.append(_table("question-heavy", "info", qh.column("conv_id"),
-                           None, pc.cast(qh.column("n_q"), pa.string()),
-                           qh.num_rows))
+
+        def emit(rule, sev, sub, ev_col):
+            outs.append(_table(rule, sev, sub.column("conv_id"), None,
+                               pc.cast(sub.column(ev_col), pa.string()),
+                               sub.num_rows))
+
+        emit("repeat-caller", "info",
+             t.filter(pc.greater_equal(t.column("n_tool"),
+                                       REPEAT_CALLER_MIN)), "n_tool")
+        emit("long-conversation", "info",
+             t.filter(pc.greater_equal(t.column("n_turns"),
+                                       LONG_CONV_TURNS)), "n_turns")
+        emit("no-tool-conversation", "info",
+             t.filter(pc.equal(t.column("n_tool"), 0)), "n_turns")
+        emit("question-heavy", "info",
+             t.filter(pc.greater_equal(t.column("n_q"),
+                                       QUESTION_HEAVY_MIN)), "n_q")
+        emit("short-conversation", "info",
+             t.filter(pc.less_equal(t.column("n_turns"),
+                                    SHORT_CONV_TURNS)), "n_turns")
+        emit("negation-heavy", "warning",
+             t.filter(pc.greater_equal(t.column("n_neg"),
+                                       NEGATION_HEAVY_MIN)), "n_neg")
+        emit("tool-heavy", "info",
+             t.filter(pc.and_(
+                 pc.greater_equal(t.column("n_tool"), 1),
+                 pc.greater_equal(
+                     pc.multiply(t.column("n_tool"),
+                                 pa.scalar(TOOL_HEAVY_FACTOR, pa.int64())),
+                     t.column("n_turns")))), "n_tool")
+        emit("ends-with-question", "info",
+             t.filter(pc.equal(t.column("qu_max").cast(pa.int32()),
+                               t.column("t_max").cast(pa.int32()))),
+             "t_max")
         return pa.concat_tables(outs)
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def hot_entity_rule(sf_dir: str) -> "ray.data.Dataset":
-    """Entity-level rule over the CANONICAL entity table: canonical
-    entities (exact-key kinds, so the DuckDB oracle is expressible) whose
-    total mention count across both triple slots ≥ HOT_ENTITY_MIN.
-    Counts are two-phase; the canonicalization join is a broadcast of the
-    vocabulary-sized directory."""
+def _dup_text_rule(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact repeated turn text within one conversation (dirty-input /
+    looping-agent signal).  Two-phase count keyed on (conv_id, text); the
+    per-batch combiner collapses duplicates before the exchange — the
+    text column is shuffled once, which is inherent: the repeated text IS
+    the finding's evidence."""
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.select(["conv_id", "text"])
+                .group_by(["conv_id", "text"])
+                .aggregate([("text", "count")])
+                .rename_columns(["conv_id", "text", "n"]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["conv_id", "text"])
+           .aggregate(Sum(on="n", alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return FINDINGS.empty_table()
+        sub = t.filter(pc.greater(t.column("n"), 1))
+        return _table("duplicate-turn-text", "warning",
+                      sub.column("conv_id"), None, sub.column("text"),
+                      sub.num_rows)
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _entity_table(rule: str, sev: str, ev, n: int) -> pa.Table:
+    """Conversation-less FINDINGS rows (entity-level rules)."""
+    if isinstance(ev, pa.ChunkedArray):
+        ev = ev.combine_chunks()
+    return pa.Table.from_arrays(
+        [pa.array([rule] * n, pa.string()),
+         pa.array([sev] * n, pa.string()),
+         pa.nulls(n, pa.string()),
+         pa.nulls(n, pa.int32()),
+         ev],
+        schema=FINDINGS)
+
+
+def entity_rules(sf_dir: str) -> "ray.data.Dataset":
+    """All entity-/graph-level rules off ONE triples materialization —
+    the graph-shaped half of the scan battery (canonical-entity,
+    aggregation and chain rules, not regex-on-turns):
+
+    - hot-entity / lonely-entity: mention-count extremes (skew-safe
+      salted counts, canonical directory broadcast once).
+    - multi-employer: person with ≥ MULTI_EMPLOYER_MIN distinct works_at
+      objects (conflicting-facts signal).
+    - work-contradiction: same (person, org) asserted both negated and
+      non-negated (retraction without cleanup).
+    - module-hotspot: module with ≥ MODULE_HOTSPOT_MIN bug reports.
+    - acquirer-acquired: org on both sides of 'acquired' (M&A chain).
+    - rapid-re-mention: entity mentioned in consecutive turns (off the
+      mention-chain operator — the use-chain analog).
+    Every aggregation is two-phase (per-batch combiner → small groupby)
+    over normalized keys; turn text never enters these exchanges."""
     from ..functions import rules as R
+    from ..functions.skew import salted_multikey_count
     from ..stages import extract as X
     from ..stages import link as L
-
-    from ..functions.skew import salted_multikey_count
+    from ..stages.chains import mention_chains
+    from ..stages.link import normalize_arrays
+    from ..stages.materialize import entity_lookup_ref
 
     tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
-    triples = X.extract_triples(tds)
+    triples = X.extract_triples(tds).materialize()
     mentions = triples.map_batches(L.mentions_from_triples,
                                    batch_format="pyarrow").materialize()
     counts = salted_multikey_count(mentions, ["kind", "norm"], "n")
 
     entities = L.build_entities(
         L.vocab_from_mentions(mentions)).materialize()
-    from ..stages.materialize import entity_lookup_ref
     eref = entity_lookup_ref(entities)
     exact_kinds = pa.array(sorted(
         {"person", "tool", "module"} - R.FUZZY_KINDS - R.NONLINK_KINDS))
 
-    def finish(t: pa.Table) -> pa.Table:
+    def count_rules(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:
             return FINDINGS.empty_table()
         ents = ray.get(eref)
         t = t.filter(pc.is_in(t.column("kind"), value_set=exact_kinds))
         joined = t.join(ents.select(["kind", "norm", "canonical"]),
                         keys=["kind", "norm"], join_type="inner")
-        hot = joined.filter(pc.greater_equal(joined.column("n"),
-                                             HOT_ENTITY_MIN))
+        outs = []
+        for rule, sub in (
+            ("hot-entity", joined.filter(pc.greater_equal(
+                joined.column("n"), HOT_ENTITY_MIN))),
+            ("lonely-entity", joined.filter(pc.less_equal(
+                joined.column("n"), LONELY_ENTITY_MAX))),
+        ):
+            ev = pc.binary_join_element_wise(
+                sub.column("kind").cast(pa.string()),
+                sub.column("canonical").cast(pa.string()),
+                pc.cast(sub.column("n"), pa.string()), ":")
+            outs.append(_entity_table(rule, "info", ev, sub.num_rows))
+        return pa.concat_tables(outs)
+
+    out = [counts.map_batches(count_rules, batch_format="pyarrow")]
+
+    # ---- works_at slices: multi-employer + work-contradiction ----------
+    def works_at_keys(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t.column("pred"), "works_at"))
+        return (pa.table({
+            "s": normalize_arrays(sub.column("subj_kind"),
+                                  sub.column("subj")),
+            "o": normalize_arrays(sub.column("obj_kind"),
+                                  sub.column("obj")),
+            "neg": sub.column("negated").cast(pa.int8()),
+        }).group_by(["s", "o", "neg"]).aggregate([]))
+
+    wa = (triples.map_batches(works_at_keys, batch_format="pyarrow")
+          .groupby(["s", "o", "neg"]).count()).materialize()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema([("s", pa.string()), ("o", pa.string()),
+                              ("n", pa.int64())]).empty_table()
+        return (t.select(["s", "o"]).group_by(["s", "o"])
+                .aggregate([("o", "count")])
+                .rename_columns(["s", "o", "n"]))
+
+    pairs = (wa.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["s", "o"]).aggregate(Sum(on="n", alias_name="n")))
+
+    def contradiction_finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return FINDINGS.empty_table()
+        sub = t.filter(pc.equal(t.column("n"), 2))  # negated ∈ {0,1} both
         ev = pc.binary_join_element_wise(
-            hot.column("kind").cast(pa.string()),
-            hot.column("canonical").cast(pa.string()),
-            pc.cast(hot.column("n"), pa.string()), ":")
-        n = hot.num_rows
+            "person", sub.column("s").cast(pa.string()),
+            "org", sub.column("o").cast(pa.string()), ":")
+        return _entity_table("work-contradiction", "warning", ev,
+                             sub.num_rows)
+
+    out.append(pairs.map_batches(contradiction_finish,
+                                 batch_format="pyarrow"))
+
+    # distinct (s, o) globally first (wa already distinct per (s,o,neg);
+    # collapse neg), then count per person
+    so = (wa.map_batches(
+        lambda t: t.select(["s", "o"]).group_by(["s", "o"]).aggregate([])
+        if t.num_columns else
+        pa.schema([("s", pa.string()), ("o", pa.string())]).empty_table(),
+        batch_format="pyarrow")
+        .groupby(["s", "o"]).count())
+    emp = (so.map_batches(
+        lambda t: (t.select(["s"]).group_by("s")
+                   .aggregate([("s", "count")]).rename_columns(["s", "n"]))
+        if t.num_columns else
+        pa.schema([("s", pa.string()), ("n", pa.int64())]).empty_table(),
+        batch_format="pyarrow")
+        .groupby("s").aggregate(Sum(on="n", alias_name="n")))
+
+    def employer_finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return FINDINGS.empty_table()
+        sub = t.filter(pc.greater_equal(t.column("n"), MULTI_EMPLOYER_MIN))
+        ev = pc.binary_join_element_wise(
+            "person", sub.column("s").cast(pa.string()),
+            pc.cast(sub.column("n"), pa.string()), ":")
+        return _entity_table("multi-employer", "warning", ev, sub.num_rows)
+
+    out.append(emp.map_batches(employer_finish, batch_format="pyarrow"))
+
+    # ---- module-hotspot: bug-report counts per module ------------------
+    def bug_partial(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t.column("pred"), "reported_bug"))
+        return (pa.table({"m": normalize_arrays(sub.column("obj_kind"),
+                                                sub.column("obj"))})
+                .group_by("m").aggregate([("m", "count")])
+                .rename_columns(["m", "n"]))
+
+    bugs = (triples.map_batches(bug_partial, batch_format="pyarrow")
+            .groupby("m").aggregate(Sum(on="n", alias_name="n")))
+
+    def bug_finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return FINDINGS.empty_table()
+        sub = t.filter(pc.greater_equal(t.column("n"), MODULE_HOTSPOT_MIN))
+        ev = pc.binary_join_element_wise(
+            "module", sub.column("m").cast(pa.string()),
+            pc.cast(sub.column("n"), pa.string()), ":")
+        return _entity_table("module-hotspot", "warning", ev, sub.num_rows)
+
+    out.append(bugs.map_batches(bug_finish, batch_format="pyarrow"))
+
+    # ---- acquirer-acquired: org on both sides of 'acquired' ------------
+    def acq_partial(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t.column("pred"), "acquired"))
+        sn = normalize_arrays(sub.column("subj_kind"), sub.column("subj"))
+        on = normalize_arrays(sub.column("obj_kind"), sub.column("obj"))
+        n_s, n_o = len(sn), len(on)
+        tab = pa.table({
+            "x": pa.concat_arrays([sn.combine_chunks()
+                                   if isinstance(sn, pa.ChunkedArray)
+                                   else sn,
+                                   on.combine_chunks()
+                                   if isinstance(on, pa.ChunkedArray)
+                                   else on]),
+            "is_s": pa.array([1] * n_s + [0] * n_o, pa.int64()),
+            "is_o": pa.array([0] * n_s + [1] * n_o, pa.int64()),
+        })
+        return (tab.group_by("x").aggregate([("is_s", "max"),
+                                             ("is_o", "max")])
+                .rename_columns(["x", "is_s", "is_o"]))
+
+    from ray.data.aggregate import Max
+    acq = (triples.map_batches(acq_partial, batch_format="pyarrow")
+           .groupby("x").aggregate(Max(on="is_s", alias_name="is_s"),
+                                   Max(on="is_o", alias_name="is_o")))
+
+    def acq_finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return FINDINGS.empty_table()
+        sub = t.filter(pc.and_(pc.equal(t.column("is_s"), 1),
+                               pc.equal(t.column("is_o"), 1)))
+        ev = pc.binary_join_element_wise(
+            "org", sub.column("x").cast(pa.string()), ":")
+        return _entity_table("acquirer-acquired", "info", ev, sub.num_rows)
+
+    out.append(acq.map_batches(acq_finish, batch_format="pyarrow"))
+
+    # ---- rapid-re-mention: chain edge spanning consecutive turns -------
+    def chain_finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return FINDINGS.empty_table()
+        sub = t.filter(pc.equal(t.column("to_turn"),
+                                pc.add(t.column("from_turn"), 1)))
+        ev = pc.binary_join_element_wise(
+            sub.column("kind").cast(pa.string()),
+            sub.column("norm").cast(pa.string()),
+            pc.cast(sub.column("from_turn"), pa.string()), ":")
+        n = sub.num_rows
         return pa.Table.from_arrays(
-            [pa.array(["hot-entity"] * n, pa.string()),
+            [pa.array(["rapid-re-mention"] * n, pa.string()),
              pa.array(["info"] * n, pa.string()),
-             pa.nulls(n, pa.string()),
+             sub.column("conv_id").cast(pa.string()),
              pa.nulls(n, pa.int32()),
              ev.combine_chunks() if isinstance(ev, pa.ChunkedArray) else ev],
             schema=FINDINGS)
-    return counts.map_batches(finish, batch_format="pyarrow")
+
+    out.append(mention_chains(triples).map_batches(
+        chain_finish, batch_format="pyarrow"))
+
+    res = out[0]
+    for ds_ in out[1:]:
+        res = res.union(ds_)
+    return res
 
 
 def scan(transcripts_ds: "ray.data.Dataset",
@@ -289,110 +610,209 @@ def scan(transcripts_ds: "ray.data.Dataset",
     fused into the same single pass."""
     builtin = [_rule_large_tool_result, _rule_long_turn, _rule_acquisition,
                _rule_question_turn, _rule_negated_fact, _rule_empty_turn,
-               _rule_meeting, _rule_small_tool_result, _rule_bug_report]
+               _rule_meeting, _rule_small_tool_result, _rule_bug_report,
+               _rule_terse_turn, _rule_assistant_long_answer,
+               _rule_assistant_question, _rule_pronoun_turn,
+               _rule_tool_announce, _rule_numeric_turn,
+               _rule_clarification, _rule_deferred_followup]
     rules = builtin + list(extra_rules or [])
     per_turn = transcripts_ds.map_batches(
         lambda t: pa.concat_tables([r(t) for r in rules]),
         batch_format="pyarrow", zero_copy_batch=True)
-    return per_turn.union(_conv_level_rules(transcripts_ds))
+    return (per_turn.union(_conv_level_rules(transcripts_ds))
+            .union(_dup_text_rule(transcripts_ds)))
 
 
 def findings(sf_dir: str):
-    """Full battery: transcript-level scan ∪ entity-level rules."""
+    """Full battery (33 rules): transcript-level scan ∪ entity/graph
+    rules — the 50-query scan-battery analog
+    (``querydb/src/main/scala/io/joern/scanners/**``)."""
     return scan(ray.data.read_parquet(synth.transcripts_path(sf_dir))) \
-        .union(hot_entity_rule(sf_dir))
+        .union(entity_rules(sf_dir))
 
 
 def findings_sql(transcripts_rel: str) -> str:
     from ..extract import sqlgen as G
+    from ..stages import chains as CH
+
+    tr = transcripts_rel
+    ws = "' ' || chr(9) || chr(10) || chr(12) || chr(13)"
+    ntok = (f"CASE WHEN trim(text, {ws}) = '' THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim(text, {ws}), '\\s+')) END")
+    ne = G._norm_expr
     return f"""
+    WITH resolved AS ({G.resolved_triples_sql(tr)}),
+    conv_agg AS (
+      SELECT conv_id, count(*) AS n_turns,
+             CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tool,
+             CAST(sum(CASE WHEN role = 'user' AND ends_with(text, '?')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_q,
+             CAST(sum(CASE WHEN contains(text, 'no longer ')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+             max(turn_idx) AS t_max,
+             max(CASE WHEN role = 'user' AND ends_with(text, '?')
+                 THEN turn_idx ELSE -1 END) AS qu_max
+      FROM {tr} GROUP BY conv_id),
+    works_at AS (
+      SELECT DISTINCT {ne('subj', 'subj_kind')} AS s,
+             {ne('obj', 'obj_kind')} AS o, negated
+      FROM resolved WHERE pred = 'works_at')
     SELECT 'large-tool-result' AS rule, 'warning' AS severity, conv_id,
            turn_idx, tool AS evidence
-    FROM {transcripts_rel}
+    FROM {tr}
     WHERE role = 'tool'
       AND regexp_matches(text, '^result: ok \\(([0-9]+) items\\)$')
       AND CAST(regexp_extract(text, '^result: ok \\(([0-9]+) items\\)$', 1)
                AS BIGINT) > {LARGE_RESULT_MIN}
     UNION ALL
     SELECT 'small-tool-result', 'info', conv_id, turn_idx, tool
-    FROM {transcripts_rel}
+    FROM {tr}
     WHERE role = 'tool'
       AND regexp_matches(text, '^result: ok \\(([0-9]+) items\\)$')
       AND CAST(regexp_extract(text, '^result: ok \\(([0-9]+) items\\)$', 1)
                AS BIGINT) < {SMALL_RESULT_MAX}
     UNION ALL
-    SELECT 'long-turn', 'info', conv_id, turn_idx,
-           CAST(len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\\s+')) AS VARCHAR)
-    FROM {transcripts_rel}
-    WHERE CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) = '' THEN 0
-               ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\\s+')) END
-          > {LONG_TURN_TOKENS}
+    SELECT 'long-turn', 'info', conv_id, turn_idx, CAST({ntok} AS VARCHAR)
+    FROM {tr} WHERE {ntok} > {LONG_TURN_TOKENS}
+    UNION ALL
+    SELECT 'terse-turn', 'info', conv_id, turn_idx, CAST({ntok} AS VARCHAR)
+    FROM {tr} WHERE {ntok} BETWEEN 1 AND {TERSE_TURN_TOKENS}
+    UNION ALL
+    SELECT 'assistant-long-answer', 'info', conv_id, turn_idx,
+           CAST({ntok} AS VARCHAR)
+    FROM {tr}
+    WHERE role = 'assistant' AND {ntok} > {ASSISTANT_LONG_TOKENS}
+    UNION ALL
+    SELECT 'assistant-question', 'info', conv_id, turn_idx, text
+    FROM {tr} WHERE role = 'assistant' AND ends_with(text, '?')
+    UNION ALL
+    SELECT 'pronoun-turn', 'info', conv_id, turn_idx, text
+    FROM {tr} WHERE regexp_matches(text, '^(She|He) ')
+    UNION ALL
+    SELECT 'tool-announce', 'info', conv_id, turn_idx,
+           regexp_extract(text, '^Calling ([a-z0-9_]+) now\\.$', 1)
+    FROM {tr} WHERE regexp_matches(text, '^Calling ([a-z0-9_]+) now\\.$')
+    UNION ALL
+    SELECT 'numeric-turn', 'info', conv_id, turn_idx, text
+    FROM {tr} WHERE regexp_matches(text, '[0-9]')
+    UNION ALL
+    SELECT 'clarification-request', 'info', conv_id, turn_idx, text
+    FROM {tr} WHERE contains(text, 'clarify')
+    UNION ALL
+    SELECT 'deferred-followup', 'info', conv_id, turn_idx, text
+    FROM {tr} WHERE contains(text, 'follow up with more details')
     UNION ALL
     SELECT 'org-acquisition', 'info', conv_id, turn_idx, text
-    FROM {transcripts_rel}
+    FROM {tr}
     WHERE regexp_matches(text, '^[A-Z][A-Za-z ]+ acquired ')
     UNION ALL
     SELECT 'question-turn', 'info', conv_id, turn_idx, text
-    FROM {transcripts_rel}
+    FROM {tr}
     WHERE role = 'user' AND ends_with(text, '?')
     UNION ALL
     SELECT 'negated-fact', 'warning', conv_id, turn_idx, text
-    FROM {transcripts_rel} WHERE contains(text, 'no longer ')
+    FROM {tr} WHERE contains(text, 'no longer ')
     UNION ALL
     SELECT 'empty-turn', 'warning', conv_id, turn_idx, role
-    FROM {transcripts_rel} WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) = ''
+    FROM {tr} WHERE trim(text, {ws}) = ''
     UNION ALL
     SELECT 'person-meeting', 'info', conv_id, turn_idx, text
-    FROM {transcripts_rel} WHERE contains(text, ' met with ')
+    FROM {tr} WHERE contains(text, ' met with ')
     UNION ALL
     SELECT 'bug-report', 'warning', conv_id, turn_idx,
            regexp_extract(text,
              ' reported a bug in ([a-z_]+(\\.[a-z_]+)*)[.?]$', 1)
-    FROM {transcripts_rel}
+    FROM {tr}
     WHERE regexp_matches(text,
             ' reported a bug in ([a-z_]+(\\.[a-z_]+)*)[.?]$')
     UNION ALL
     SELECT 'repeat-caller', 'info', conv_id, NULL, CAST(n_tool AS VARCHAR)
-    FROM (SELECT conv_id,
-                 CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
-                      AS BIGINT) AS n_tool
-          FROM {transcripts_rel} GROUP BY conv_id)
-    WHERE n_tool >= {REPEAT_CALLER_MIN}
+    FROM conv_agg WHERE n_tool >= {REPEAT_CALLER_MIN}
     UNION ALL
     SELECT 'long-conversation', 'info', conv_id, NULL,
            CAST(n_turns AS VARCHAR)
-    FROM (SELECT conv_id, count(*) AS n_turns
-          FROM {transcripts_rel} GROUP BY conv_id)
-    WHERE n_turns >= {LONG_CONV_TURNS}
+    FROM conv_agg WHERE n_turns >= {LONG_CONV_TURNS}
     UNION ALL
     SELECT 'no-tool-conversation', 'info', conv_id, NULL,
            CAST(n_turns AS VARCHAR)
-    FROM (SELECT conv_id, count(*) AS n_turns,
-                 CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
-                      AS BIGINT) AS n_tool
-          FROM {transcripts_rel} GROUP BY conv_id)
-    WHERE n_tool = 0
+    FROM conv_agg WHERE n_tool = 0
     UNION ALL
     SELECT 'question-heavy', 'info', conv_id, NULL, CAST(n_q AS VARCHAR)
-    FROM (SELECT conv_id,
-                 CAST(sum(CASE WHEN role = 'user' AND ends_with(text, '?')
-                          THEN 1 ELSE 0 END) AS BIGINT) AS n_q
-          FROM {transcripts_rel} GROUP BY conv_id)
-    WHERE n_q >= {QUESTION_HEAVY_MIN}
+    FROM conv_agg WHERE n_q >= {QUESTION_HEAVY_MIN}
+    UNION ALL
+    SELECT 'short-conversation', 'info', conv_id, NULL,
+           CAST(n_turns AS VARCHAR)
+    FROM conv_agg WHERE n_turns <= {SHORT_CONV_TURNS}
+    UNION ALL
+    SELECT 'negation-heavy', 'warning', conv_id, NULL,
+           CAST(n_neg AS VARCHAR)
+    FROM conv_agg WHERE n_neg >= {NEGATION_HEAVY_MIN}
+    UNION ALL
+    SELECT 'tool-heavy', 'info', conv_id, NULL, CAST(n_tool AS VARCHAR)
+    FROM conv_agg
+    WHERE n_tool >= 1 AND {TOOL_HEAVY_FACTOR} * n_tool >= n_turns
+    UNION ALL
+    SELECT 'ends-with-question', 'info', conv_id, NULL,
+           CAST(t_max AS VARCHAR)
+    FROM conv_agg WHERE qu_max = t_max
+    UNION ALL
+    SELECT 'duplicate-turn-text', 'warning', conv_id, NULL, text
+    FROM {tr} GROUP BY conv_id, text HAVING count(*) > 1
     UNION ALL
     SELECT 'hot-entity', 'info', NULL, NULL,
            kind || ':' || norm || ':' || CAST(n AS VARCHAR)
     FROM (
       SELECT kind, norm, CAST(count(*) AS BIGINT) AS n FROM (
         SELECT subj_kind AS kind,
-               {G._norm_expr('subj', 'subj_kind')} AS norm
-        FROM ({G.resolved_triples_sql(transcripts_rel)})
+               {ne('subj', 'subj_kind')} AS norm FROM resolved
         UNION ALL
-        SELECT obj_kind, {G._norm_expr('obj', 'obj_kind')}
-        FROM ({G.resolved_triples_sql(transcripts_rel)}))
+        SELECT obj_kind, {ne('obj', 'obj_kind')} FROM resolved)
       WHERE kind IN ('person', 'tool', 'module')
       GROUP BY kind, norm)
     WHERE n >= {HOT_ENTITY_MIN}
+    UNION ALL
+    SELECT 'lonely-entity', 'info', NULL, NULL,
+           kind || ':' || norm || ':' || CAST(n AS VARCHAR)
+    FROM (
+      SELECT kind, norm, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT subj_kind AS kind,
+               {ne('subj', 'subj_kind')} AS norm FROM resolved
+        UNION ALL
+        SELECT obj_kind, {ne('obj', 'obj_kind')} FROM resolved)
+      WHERE kind IN ('person', 'tool', 'module')
+      GROUP BY kind, norm)
+    WHERE n <= {LONELY_ENTITY_MAX}
+    UNION ALL
+    SELECT 'multi-employer', 'warning', NULL, NULL,
+           'person:' || s || ':' || CAST(n AS VARCHAR)
+    FROM (SELECT s, CAST(count(DISTINCT o) AS BIGINT) AS n
+          FROM works_at GROUP BY s)
+    WHERE n >= {MULTI_EMPLOYER_MIN}
+    UNION ALL
+    SELECT 'work-contradiction', 'warning', NULL, NULL,
+           'person:' || s || ':org:' || o
+    FROM (SELECT s, o, count(*) AS c FROM works_at GROUP BY s, o)
+    WHERE c = 2
+    UNION ALL
+    SELECT 'module-hotspot', 'warning', NULL, NULL,
+           'module:' || m || ':' || CAST(n AS VARCHAR)
+    FROM (SELECT {ne('obj', 'obj_kind')} AS m,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM resolved WHERE pred = 'reported_bug' GROUP BY 1)
+    WHERE n >= {MODULE_HOTSPOT_MIN}
+    UNION ALL
+    SELECT 'acquirer-acquired', 'info', NULL, NULL, 'org:' || x
+    FROM (SELECT {ne('subj', 'subj_kind')} AS x FROM resolved
+          WHERE pred = 'acquired'
+          INTERSECT
+          SELECT {ne('obj', 'obj_kind')} FROM resolved
+          WHERE pred = 'acquired')
+    UNION ALL
+    SELECT 'rapid-re-mention', 'info', conv_id, NULL,
+           kind || ':' || norm || ':' || CAST(from_turn AS VARCHAR)
+    FROM ({CH.mention_chains_sql(tr)})
+    WHERE to_turn = from_turn + 1
     """
 
 
