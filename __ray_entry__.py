@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": A.ann_lsh,
         "ann_kmeans": A.kmeans,
         "dedup_simhash_clusters": T.simhash_clusters,
+        "dedup_ngram_pairs": T.ngram_jaccard_pairs,
         "multimodal_features": multimodal_features,
         "multimodal_resized_features": MM.resized_features,
         "multimodal_sampled_frames": MM.sampled_frames,

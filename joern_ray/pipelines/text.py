@@ -758,11 +758,122 @@ def simhash_clusters(sf_dir: str):
         batch_format="pyarrow")
 
 
-def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5):
-    """All-pairs n-gram Jaccard above threshold via LSH blocking (never the
-    quadratic driver loop)."""
-    docs = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
-    clusters = minhash_clusters(docs, threshold=threshold)
-    # pairs = co-clustered docs (already verified >= threshold on an edge
-    # path; report cluster membership as the dedup decision)
-    return clusters
+NGRAM_K = 3
+
+
+def _char_ngram_hashes(text: str, k: int = NGRAM_K) -> np.ndarray:
+    """Sorted unique 64-bit hashes of padded character k-grams (^text$
+    padding so prefixes/suffixes weigh in, the ``rules.char_shingles``
+    convention)."""
+    p = f"^{text}$"
+    if len(p) <= k:
+        grams = {p}
+    else:
+        grams = {p[i:i + k] for i in range(len(p) - k + 1)}
+    return np.unique(H.hash_strings(grams))
+
+
+def ngram_jaccard_pairs(sf_dir: str, *, k: int = NGRAM_K,
+                        threshold: float = 0.8, n_buckets: int = 256):
+    """All (a, b, jaccard) doc pairs with EXACT character-k-gram Jaccard
+    ≥ threshold — a distinct operator from ``minhash_clusters``, not an
+    alias: the shingling unit is characters (robust to intra-word edits
+    word shingles miss), the verification metric is the exact n-gram
+    Jaccard value, and the output is scored pairs rather than cluster
+    labels.
+
+    Scale shape mirrors the minhash chain: per-doc char-gram hash arrays
+    travel once (narrow ints, never text), MinHash banding over the SAME
+    gram hashes blocks candidates (8 bands × 4 rows ⇒ ~0.98 recall at
+    J=0.8, the default threshold; capped buckets), exact Jaccard verifies
+    vectorized per pair.  threshold well below ~0.6 needs a wider banding
+    — documented, not silently degraded."""
+    docs_ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids, hashes, bands = [], [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            hs = _char_ngram_hashes(text, k)
+            ids.append(did)
+            hashes.append(hs.astype(np.int64).tolist())
+            bands.append(list(H.band_keys(H.minhash_from_hashes(hs))))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "hashes": pa.array(hashes, pa.list_(pa.int64())),
+                         "bands": pa.array(bands, pa.list_(pa.string()))})
+
+    hashed = docs_ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        bands = t.column("bands")
+        if isinstance(bands, pa.ChunkedArray):
+            bands = bands.combine_chunks()
+        parent = pc.list_parent_indices(bands)
+        return pa.table({"bucket": pc.list_flatten(bands),
+                         "doc_id": t.column("doc_id").take(parent)})
+
+    empty_pairs = pa.schema([("a", pa.int64()),
+                             ("b", pa.int64())]).empty_table()
+
+    def cand_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2 or \
+                pc.count_distinct(group.column("doc_id")).as_py() < 2:
+            return empty_pairs
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        ids = ids[:LSH_DOC_BUCKET_CAP]
+        a = [x for i, x in enumerate(ids) for _ in ids[i + 1:]]
+        b = [y for i, x in enumerate(ids) for y in ids[i + 1:]]
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    cand = (hashed.map_batches(band_rows, batch_format="pyarrow")
+            .groupby("bucket").map_groups(cand_pairs,
+                                          batch_format="pyarrow"))
+    with_a = _mh_attach_hashes(
+        cand, hashed, "a", [("a", pa.int64()), ("b", pa.int64())], "ha",
+        n_buckets=n_buckets, dedupe=True)
+    with_ab = _mh_attach_hashes(
+        with_a, hashed, "b",
+        [("a", pa.int64()), ("b", pa.int64()),
+         ("ha", pa.list_(pa.int64()))], "hb",
+        n_buckets=n_buckets, dedupe=False)
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        a_out, b_out, j_out = [], [], []
+        for a, b, ha, hb in zip(t.column("a").to_pylist(),
+                                t.column("b").to_pylist(),
+                                t.column("ha").to_pylist(),
+                                t.column("hb").to_pylist()):
+            x = np.asarray(ha, dtype=np.int64)
+            y = np.asarray(hb, dtype=np.int64)
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            denom = x.size + y.size - inter
+            j = inter / denom if denom else 1.0
+            if j >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(j)
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64()),
+                         "jaccard": pa.array(j_out, pa.float64())})
+
+    return (with_ab.map_batches(verify, batch_format="pyarrow")
+            .union(ray.data.from_arrow(out_schema.empty_table())))
+
+
+def ngram_jaccard_exact(a: str, b: str, k: int = NGRAM_K) -> float:
+    """Naive single-pair reference (tests' lockstep twin — independent of
+    the hashed set path up to hash collisions, which are negligible)."""
+    def grams(s: str) -> set[str]:
+        p = f"^{s}$"
+        return {p} if len(p) <= k else \
+            {p[i:i + k] for i in range(len(p) - k + 1)}
+    ga, gb = grams(a), grams(b)
+    inter = len(ga & gb)
+    denom = len(ga) + len(gb) - inter
+    return inter / denom if denom else 1.0
