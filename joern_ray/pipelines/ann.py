@@ -104,31 +104,47 @@ def ann_bruteforce_sql() -> str:
     """
 
 
-N_PLANES = 8
+N_PLANES = 16
 # multiprobe radius: buckets within this hamming distance of the query's
-# bucket are scanned.  3 of 8 bits ≈ 37% of vectors on uniform data (≈2.7x
-# pruning) — chosen from a measured recall/candidates sweep (recall≈0.7 on
-# the synthetic embeddings, which have little cluster structure; clustered
-# real data prunes far harder at the same radius).
-HAM_RADIUS = 3
+# 16-bit bucket are scanned.  Measured recall/candidates sweep on sf0.01
+# (structureless synthetic embeddings — clustered real data prunes far
+# harder at the same radius):
+#   radius 5: recall@10 0.42 @ 10.9% candidates
+#   radius 6: recall@10 0.66 @ 22.6%   <- chosen (old 8-plane design:
+#   radius 7: recall@10 0.88 @ 40.4%      0.70 @ 37%)
+# 2^16 buckets ⇒ at 10^9 vectors a bucket holds ~15k docs, and
+# radius-probing is per-QUERY work, so bucket occupancy no longer caps
+# recall the way the old 2^8 space did.
+HAM_RADIUS = 6
 PLANES_SEED = 77
 
+# 16-bit popcount lookup (module-level, built once per process)
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                  dtype=np.int8)
 
-def _planes(dim: int) -> np.ndarray:
+
+def _planes(dim: int, n_planes: int = N_PLANES,
+            seed: int = PLANES_SEED) -> np.ndarray:
     """Hyperplanes from a FIXED per-call seed: every invocation (in any
     order, any session) derives the identical LSH geometry — a shared
     module-level generator would make results depend on call order."""
-    return np.random.default_rng(PLANES_SEED).standard_normal((dim, N_PLANES))
+    return np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+
+def _sign_buckets(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """int64 bucket per row = packed sign bits of vecs @ planes."""
+    bits = (vecs @ planes) > 0
+    return bits.dot(1 << np.arange(planes.shape[1])).astype(np.int64)
 
 
 def ann_lsh(sf_dir: str, *, dim: int = 64):
     """LSH-bucketed ANN (scale path): random-hyperplane sign buckets prune
-    candidates; exact cosine only within the query's bucket ring."""
+    candidates; exact cosine only within the query's hamming-radius ring.
+    Hamming distances are one vectorized xor + popcount-table gather per
+    (batch, query) — no Python loop over rows."""
     planes = _planes(dim)
     qids, qmat = _query_matrix(sf_dir)
-    qsig = (qmat @ planes) > 0
-    qbuckets = {int(q): int(sig.dot(1 << np.arange(N_PLANES)))
-                for q, sig in zip(qids, qsig)}
+    qbuckets = _sign_buckets(qmat, planes)
     qref = ray.put((qids, qmat, qbuckets))
     pref = ray.put(planes)
     ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
@@ -137,13 +153,12 @@ def ann_lsh(sf_dir: str, *, dim: int = 64):
         qids_, qmat_, qb = ray.get(qref)
         planes_ = ray.get(pref)
         vecs = _norm_rows(_matrix(t))
-        sig = ((vecs @ planes_) > 0).dot(1 << np.arange(N_PLANES)).astype(int)
+        sig = _sign_buckets(vecs, planes_)
         vec_ids = t.column("vec_id").to_numpy()
         out_q, out_v, out_s = [], [], []
+        ham_all = _POP16[np.bitwise_xor(sig[:, None], qb[None, :])]
         for qi in range(len(qids_)):
-            qbucket = qb[int(qids_[qi])]
-            ham = np.array([bin(int(s) ^ qbucket).count("1") for s in sig])
-            cand = np.nonzero(ham <= HAM_RADIUS)[0]
+            cand = np.nonzero(ham_all[:, qi] <= HAM_RADIUS)[0]
             if len(cand) == 0:
                 continue
             s = vecs[cand] @ qmat_[qi]
@@ -165,39 +180,108 @@ def ann_lsh(sf_dir: str, *, dim: int = 64):
             .groupby("query_id").map_groups(topk, batch_format="pyarrow"))
 
 
-def embedding_neardup(sf_dir: str, *, threshold: float = 0.95):
-    """Embedding-cosine near-duplicate pairs via sign-LSH blocking."""
-    planes = _planes(64)
-    pref = ray.put(planes)
-    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+N_VEC_BANDS = 16
+NEARDUP_BUCKET_CAP = 256
 
-    def bucket(t: pa.Table) -> pa.Table:
+
+def _band_planes(dim: int) -> np.ndarray:
+    return _planes(dim, N_VEC_BANDS * N_PLANES, PLANES_SEED)
+
+
+def _neardup_pairs(ds: "ray.data.Dataset", *, threshold: float,
+                   with_sim: bool, dim: int = 64, n_buckets: int = 256):
+    """Banded sign-LSH near-dup blocking + exact cosine verification.
+
+    The round-2 design used ONE 8-bit bucket (recall at cos 0.95 ≈ 0.43,
+    and 256 total buckets ⇒ corpus-scale caps destroy recall).  Now the
+    signature is 16 BANDS × 16 planes OR-composed MinHash-style: a pair is
+    a candidate if ANY band matches.  Per-plane agreement at cos ≥ 0.95 is
+    p = 1 - acos(0.95)/π ≈ 0.90 ⇒ band match p¹⁶ ≈ 0.18, any-of-16 ⇒
+    blocking recall ≈ 0.96; exact duplicates agree on every band by
+    construction.  Bucket space per band is 2^16 (bucket key carries the
+    band id), buckets are capped at NEARDUP_BUCKET_CAP (deterministic
+    sorted prefix — at 10^9 vectors a band bucket averages ~15k docs, so
+    the cap trades tail recall for bounded n² work; raise bands, not the
+    cap, to recover it).  Band rows carry (bucket, vec_id) only — 16 B;
+    embeddings attach to surviving candidate pairs via two bucketed
+    cogroup joins (the minhash-chain discipline), with cross-band pair
+    dedup riding the first join."""
+    from .text import _mh_attach_hashes
+
+    planes = _band_planes(dim)
+    pref = ray.put(planes)
+    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+
+    def band_rows(t: pa.Table) -> pa.Table:
         planes_ = ray.get(pref)
         vecs = _norm_rows(_matrix(t))
-        sig = ((vecs @ planes_) > 0).dot(1 << np.arange(N_PLANES)).astype(np.int64)
-        return pa.table({"bucket": pa.array(sig, pa.int64()),
-                         "vec_id": t.column("vec_id"),
-                         "embedding": t.column("embedding")})
+        bits = (vecs @ planes_) > 0
+        n = len(vecs)
+        buckets = np.empty((n, N_VEC_BANDS), np.int64)
+        for b in range(N_VEC_BANDS):
+            buckets[:, b] = (
+                bits[:, b * N_PLANES:(b + 1) * N_PLANES] @ weights
+                | (b << N_PLANES))
+        ids = np.repeat(t.column("vec_id").to_numpy(), N_VEC_BANDS)
+        return pa.table({"bucket": pa.array(buckets.ravel(), pa.int64()),
+                         "vec_id": pa.array(ids, pa.int64())})
 
-    def pairs(group: pa.Table) -> pa.Table:
-        g = group.sort_by("vec_id")
-        if g.num_rows > 256:
-            g = g.slice(0, 256)  # bucket cap (bail-out guard)
-        vecs = _norm_rows(_matrix(g))
-        ids = g.column("vec_id").to_numpy()
-        sims = vecs @ vecs.T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pa.table({"a": pa.array(ids[ii], pa.int64()),
-                         "b": pa.array(ids[jj], pa.int64()),
-                         "sim": pa.array(sims[ii, jj], pa.float64())})
+    _EMPTY_PAIRS = pa.schema([("a", pa.int64()),
+                              ("b", pa.int64())]).empty_table()
 
-    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                            ("sim", pa.float64())])
-    result = (ds.map_batches(bucket, batch_format="pyarrow")
-              .groupby("bucket").map_groups(pairs, batch_format="pyarrow"))
-    # union a typed empty block so a no-near-dup corpus still yields a
-    # stable schema downstream
-    return result.union(ray.data.from_arrow(out_schema.empty_table()))
+    def cand_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return _EMPTY_PAIRS
+        ids = sorted(set(group.column("vec_id").to_pylist()))
+        ids = ids[:NEARDUP_BUCKET_CAP]     # deterministic bail-out cap
+        a = [x for i, x in enumerate(ids) for _ in ids[i + 1:]]
+        b = [y for i, x in enumerate(ids) for y in ids[i + 1:]]
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    cand = (ds.map_batches(band_rows, batch_format="pyarrow")
+            .groupby("bucket").map_groups(cand_pairs,
+                                          batch_format="pyarrow"))
+    emb = ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("vec_id").cast(pa.int64()),
+            "vec": t.column("embedding").cast(pa.list_(pa.float64()))}),
+        batch_format="pyarrow").materialize()
+    vt = pa.list_(pa.float64())
+    with_a = _mh_attach_hashes(
+        cand, emb, "a", [("a", pa.int64()), ("b", pa.int64())], "va",
+        n_buckets=n_buckets, dedupe=True, val_col="vec", val_type=vt)
+    with_ab = _mh_attach_hashes(
+        with_a, emb, "b",
+        [("a", pa.int64()), ("b", pa.int64()), ("va", vt)], "vb",
+        n_buckets=n_buckets, dedupe=False, val_col="vec", val_type=vt)
+
+    fields = [("a", pa.int64()), ("b", pa.int64())]
+    if with_sim:
+        fields.append(("sim", pa.float64()))
+    out_schema = pa.schema(fields)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        va = _norm_rows(np.asarray(t.column("va").to_pylist(), np.float64))
+        vb = _norm_rows(np.asarray(t.column("vb").to_pylist(), np.float64))
+        sims = (va * vb).sum(axis=1)
+        keep = sims >= threshold
+        cols = {"a": t.column("a").filter(pa.array(keep)),
+                "b": t.column("b").filter(pa.array(keep))}
+        if with_sim:
+            cols["sim"] = pa.array(sims[keep], pa.float64())
+        return pa.table(cols)
+
+    return (with_ab.map_batches(verify, batch_format="pyarrow")
+            .union(ray.data.from_arrow(out_schema.empty_table())))
+
+
+def embedding_neardup(sf_dir: str, *, threshold: float = 0.95):
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+    return _neardup_pairs(ds, threshold=threshold, with_sim=True)
 
 
 KMEANS_K = 8
@@ -274,13 +358,13 @@ def embedding_neardup_planted(sf_dir: str, *, threshold: float = 0.95):
     The raw synthetic embeddings carry no pairs above any sane threshold
     (max off-diagonal cosine ≈0.51), so the un-augmented operator
     (``embedding_neardup``) can only ever prove "found nothing".  Planting
-    exact copies makes recall provable: an exact copy shares every LSH
-    sign-bucket with its original, so blocking cannot miss it, and the pair
-    set equals the exact all-pairs oracle (`embedding_neardup_planted_sql`).
-    Output is (a, b) pairs only — similarity values would differ in float
+    exact copies makes recall provable: an exact copy agrees with its
+    original on EVERY band of the sign signature, so banded blocking
+    cannot miss it (and at sf scales the capped buckets hold ~n/2^16 ≪
+    cap docs, so the cap provably never binds), and the pair set equals
+    the exact all-pairs oracle (`embedding_neardup_planted_sql`).  Output
+    is (a, b) pairs only — similarity values would differ in float
     rounding between numpy float64 and DuckDB's float32 kernels."""
-    planes = _planes(64)
-    pref = ray.put(planes)
     ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
 
     def augment(t: pa.Table) -> pa.Table:
@@ -297,28 +381,8 @@ def embedding_neardup_planted(sf_dir: str, *, threshold: float = 0.95):
             pc.add(keep.column("vec_id"), PLANT_OFFSET))
         return pa.concat_tables([t, dup])
 
-    def bucket(t: pa.Table) -> pa.Table:
-        planes_ = ray.get(pref)
-        vecs = _norm_rows(_matrix(t))
-        sig = ((vecs @ planes_) > 0).dot(1 << np.arange(N_PLANES)).astype(np.int64)
-        return pa.table({"bucket": pa.array(sig, pa.int64()),
-                         "vec_id": t.column("vec_id"),
-                         "embedding": t.column("embedding")})
-
-    def pairs(group: pa.Table) -> pa.Table:
-        g = group.sort_by("vec_id")
-        vecs = _norm_rows(_matrix(g))
-        ids = g.column("vec_id").to_numpy()
-        sims = vecs @ vecs.T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pa.table({"a": pa.array(ids[ii], pa.int64()),
-                         "b": pa.array(ids[jj], pa.int64())})
-
-    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-    result = (ds.map_batches(augment, batch_format="pyarrow")
-              .map_batches(bucket, batch_format="pyarrow")
-              .groupby("bucket").map_groups(pairs, batch_format="pyarrow"))
-    return result.union(ray.data.from_arrow(out_schema.empty_table()))
+    return _neardup_pairs(ds.map_batches(augment, batch_format="pyarrow"),
+                          threshold=threshold, with_sim=False)
 
 
 def embedding_neardup_planted_sql(*, threshold: float = 0.95) -> str:

@@ -388,7 +388,9 @@ def _mh_attach_hashes(pairs_ds: "ray.data.Dataset",
                       hashed_ds: "ray.data.Dataset", key: str,
                       carry: list[tuple[str, "pa.DataType"]],
                       out_col: str, *, n_buckets: int,
-                      dedupe: bool) -> "ray.data.Dataset":
+                      dedupe: bool,
+                      val_col: str = "hashes",
+                      val_type: "pa.DataType" = None) -> "ray.data.Dataset":
     """Bucketed cogroup join attaching the ``key`` side's shingle-hash
     array to each candidate pair: both sides co-locate by hash(doc_id)
     bucket, each shard runs one Acero join.  Identical (a, b) pairs from
@@ -397,10 +399,12 @@ def _mh_attach_hashes(pairs_ds: "ray.data.Dataset",
     pass)."""
     import pandas as pd
 
+    if val_type is None:
+        val_type = pa.list_(pa.int64())
     union_schema = pa.schema(carry + [("h_doc_id", pa.int64()),
-                                      ("h_hashes", pa.list_(pa.int64())),
+                                      ("h_hashes", val_type),
                                       ("bucket", pa.int64())])
-    out_schema = pa.schema(carry + [(out_col, pa.list_(pa.int64()))])
+    out_schema = pa.schema(carry + [(out_col, val_type)])
     carry_names = [n for n, _ in carry]
 
     def _b(col) -> pa.Array:
@@ -413,13 +417,14 @@ def _mh_attach_hashes(pairs_ds: "ray.data.Dataset",
         n = t.num_rows
         cols = [t.column(nm).cast(ty) for nm, ty in carry]
         cols += [pa.nulls(n, pa.int64()),
-                 pa.nulls(n, pa.list_(pa.int64())), _b(t.column(key))]
+                 pa.nulls(n, val_type), _b(t.column(key))]
         return pa.Table.from_arrays(cols, schema=union_schema)
 
     def hash_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols = [pa.nulls(n, ty) for _, ty in carry]
-        cols += [t.column("doc_id").cast(pa.int64()), t.column("hashes"),
+        cols += [t.column("doc_id").cast(pa.int64()),
+                 t.column(val_col).cast(val_type),
                  _b(t.column("doc_id"))]
         return pa.Table.from_arrays(cols, schema=union_schema)
 
