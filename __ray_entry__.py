@@ -98,7 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = ds.map_batches(X.extract_events, batch_format="pyarrow",
                             zero_copy_batch=True)
         return ev.map_batches(
-            lambda t: t.filter(pc.equal(t.column("etype"), "triple"))
+            lambda t: X._passthrough_triples(t)
                        .select(["conv_id", "turn_idx", "subj", "pred", "obj"]),
             batch_format="pyarrow")
 

@@ -27,15 +27,24 @@ TRANSCRIPTS = pa.schema([
 # the fork's DependencyJsonGenerator per-relation attributes
 # (is_modified/used_in_branch/used_in_index,
 # ``DependencyJsonGenerator.scala:278-292``).
+#
+# This table is the single biggest object-store resident of the headline
+# build (materialized once, read by both the passthrough and resolve
+# branches), so its layout is store-optimized: there is NO etype column —
+# the invariant ``subj IS NULL ⇔ pronoun event`` carries that bit — and the
+# vocabulary-sized categorical columns (pred / kinds) are
+# dictionary-encoded (int32 index + tiny dictionary per chunk) instead of
+# repeating their strings per row.  Downstream schemas (TRIPLES_SURFACE on)
+# decode back to plain strings at the passthrough map, after the store hop.
+EVENTS_DICT = pa.dictionary(pa.int32(), pa.string())
 EVENTS = pa.schema([
     ("conv_id", pa.string()),
     ("turn_idx", pa.int32()),
-    ("etype", pa.string()),          # 'triple' | 'pronoun'
-    ("subj", pa.string()),           # null for etype='pronoun'
-    ("pred", pa.string()),
+    ("subj", pa.string()),           # NULL ⇔ pronoun event
+    ("pred", EVENTS_DICT),
     ("obj", pa.string()),
-    ("subj_kind", pa.string()),
-    ("obj_kind", pa.string()),
+    ("subj_kind", EVENTS_DICT),
+    ("obj_kind", EVENTS_DICT),
     ("sent_idx", pa.int32()),        # sentence position within the turn
     ("negated", pa.bool_()),         # 'no longer' modifier present
     ("in_question", pa.bool_()),     # sentence ends with '?'

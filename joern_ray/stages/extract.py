@@ -41,17 +41,29 @@ _TEMPLATE_LITERALS = {
 }
 
 
-def _events_table(n: int, conv, turn_idx, etype, subj, pred, obj, sk, ok,
+def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
                   sent_idx=0, negated=False, in_question=False) -> pa.Table:
+    """One template's matches as an EVENTS table.  subj=None rows are
+    pronoun events (schema invariant — there is no etype column); the
+    categorical pred/kind columns are dictionary-encoded so the
+    materialized events store copy carries int32 indices, not repeated
+    strings."""
     def col(v, typ):
         if isinstance(v, (pa.Array, pa.ChunkedArray)):
             return v.cast(typ) if v.type != typ else v
         return pa.array([v] * n, type=typ)
+
+    def dcol(v):
+        if isinstance(v, (pa.Array, pa.ChunkedArray)):
+            return v if pa.types.is_dictionary(v.type) \
+                else pc.dictionary_encode(v).cast(S.EVENTS_DICT)
+        # scalar: n identical values = one dictionary entry, n zero indices
+        return pa.DictionaryArray.from_arrays(
+            pa.array([0] * n, pa.int32()), pa.array([v], pa.string()))
     return pa.Table.from_arrays(
         [col(conv, pa.string()), col(turn_idx, pa.int32()),
-         col(etype, pa.string()), col(subj, pa.string()),
-         col(pred, pa.string()), col(obj, pa.string()),
-         col(sk, pa.string()), col(ok, pa.string()),
+         col(subj, pa.string()), dcol(pred), col(obj, pa.string()),
+         dcol(sk), dcol(ok),
          col(sent_idx, pa.int32()), col(negated, pa.bool_()),
          col(in_question, pa.bool_())],
         schema=S.EVENTS)
@@ -132,7 +144,7 @@ def extract_events(batch: pa.Table,
         sub = batch.filter(tool_mask)
         outs.append(_events_table(
             sub.num_rows, sub.column("conv_id"), sub.column("turn_idx"),
-            "triple", sub.column("conv_id"), R.INVOKED_PRED,
+            sub.column("conv_id"), R.INVOKED_PRED,
             sub.column("tool"), "conv", "tool"))
 
     import numpy as np
@@ -160,7 +172,7 @@ def extract_events(batch: pa.Table,
         pron_matched_np[idx.to_numpy(zero_copy_only=False)] = True
         neg, inq = _attrs(text.take(idx))
         outs.append(_events_table(
-            len(idx), conv.take(idx), tidx.take(idx), "pronoun",
+            len(idx), conv.take(idx), tidx.take(idx),
             pa.array([None] * len(idx), pa.string()), pred,
             pc.struct_field(ex, "obj").take(local), "person", ok,
             sidx.take(idx), neg, inq))
@@ -189,7 +201,7 @@ def extract_events(batch: pa.Table,
         idx = idx0.take(local)
         neg, inq = _attrs(text.take(idx))
         outs.append(_events_table(
-            len(idx), conv.take(idx), tidx.take(idx), "triple",
+            len(idx), conv.take(idx), tidx.take(idx),
             subj.take(local), pred,
             pc.struct_field(ex, "obj").take(local), sk, ok,
             sidx.take(idx), neg, inq))
@@ -207,10 +219,10 @@ def _resolve_group(group: pa.Table) -> pa.Table:
     multi-match turns resolve deterministically regardless of block arrival
     order."""
     group = group.sort_by([("turn_idx", "ascending")])
-    etypes = group.column("etype")
-    has_pronoun = pc.any(pc.equal(etypes, "pronoun")).as_py()
+    # pronoun events are the rows with NULL subj (EVENTS invariant)
+    has_pronoun = pc.any(pc.is_null(group.column("subj"))).as_py()
     if not has_pronoun:
-        return group.drop_columns(["etype"])
+        return group.cast(S.TRIPLES_SURFACE)   # decode dict categoricals
     rows = group.to_pylist()
     keep: list[dict] = []
     last_person: str | None = None   # committed: from strictly-earlier turns
@@ -222,7 +234,7 @@ def _resolve_group(group: pa.Table) -> pa.Table:
                 last_person = cur_person
             cur_turn = r["turn_idx"]
             cur_person = None
-        if r["etype"] == "pronoun":
+        if r["subj"] is None:
             if last_person is not None:
                 keep.append(dict(r, subj=last_person))
             continue
@@ -233,8 +245,7 @@ def _resolve_group(group: pa.Table) -> pa.Table:
             cur_person = p
     if not keep:
         return S.TRIPLES_SURFACE.empty_table()
-    t = pa.Table.from_pylist(keep, schema=S.EVENTS)
-    return t.drop_columns(["etype"])
+    return pa.Table.from_pylist(keep, schema=S.TRIPLES_SURFACE)
 
 
 def _resolve_bucket(group: pa.Table,
@@ -378,9 +389,12 @@ def _with_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
 
 
 def _passthrough_triples(t: pa.Table) -> pa.Table:
-    """Non-pronoun events are already final surface triples."""
-    return t.filter(pc.equal(t.column("etype"), "triple")) \
-            .drop_columns(["etype"])
+    """Non-pronoun events (subj NOT NULL) are already final surface
+    triples; decoding the dictionary categoricals back to plain strings
+    happens here, AFTER the store hop, so the materialized events stay in
+    their compact layout."""
+    return t.filter(pc.is_valid(t.column("subj"))) \
+            .cast(S.TRIPLES_SURFACE)
 
 
 def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
@@ -389,10 +403,14 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
     person-carrying triples collapse to a single ``person`` state value.
     Everything else skips the shuffle entirely, and no wide or redundant
     column ever enters it."""
-    is_pron = pc.equal(t.column("etype"), "pronoun")
+    is_pron = pc.is_null(t.column("subj"))
+    # decode the dictionary categoricals once per batch (post store hop)
+    pred_s = t.column("pred").cast(pa.string())
+    sk_s = t.column("subj_kind").cast(pa.string())
+    ok_s = t.column("obj_kind").cast(pa.string())
     person_val = pc.if_else(
-        pc.equal(t.column("obj_kind"), "person"), t.column("obj"),
-        pc.if_else(pc.equal(t.column("subj_kind"), "person"),
+        pc.equal(ok_s, "person"), t.column("obj"),
+        pc.if_else(pc.equal(sk_s, "person"),
                    t.column("subj"), pa.nulls(t.num_rows, pa.string())))
     # pronoun rows never contribute state (resolution rule)
     person_val = pc.if_else(is_pron, pa.nulls(t.num_rows, pa.string()),
@@ -403,9 +421,9 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
         "conv_id": t.column("conv_id"),
         "turn_idx": t.column("turn_idx"),
         "person": person_val,
-        "pred": pc.if_else(is_pron, t.column("pred"), nulls),
+        "pred": pc.if_else(is_pron, pred_s, nulls),
         "obj": pc.if_else(is_pron, t.column("obj"), nulls),
-        "obj_kind": pc.if_else(is_pron, t.column("obj_kind"), nulls),
+        "obj_kind": pc.if_else(is_pron, ok_s, nulls),
         "sent_idx": t.column("sent_idx"),
         "negated": t.column("negated"),
         "in_question": t.column("in_question"),

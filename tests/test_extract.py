@@ -18,7 +18,7 @@ def test_extract_events_vectorized_matches_oracle_without_pronouns():
     ev = X.extract_events(t)
     # non-pronoun events must match oracle's non-pronoun triples exactly
     got = {(r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
-           for r in ev.to_pylist() if r["etype"] == "triple"}
+           for r in ev.to_pylist() if r["subj"] is not None}
     ora = oracle.extract_all(t.to_pylist())
     # drop oracle triples that came from pronoun turns: identified by re-run
     # on events — easier: pronoun-derived triples have subj resolved; rebuild
