@@ -86,13 +86,19 @@ def build_graph(transcripts_ds: "ray.data.Dataset", *,
     vocab = L.vocab_from_mentions(mentions)
     entities = L.build_entities(vocab).materialize()
     # canonical triples are narrow (ids + kinds, no text): one store copy
-    # here saves a full chain replay for each of its two consumers
+    # here saves a full chain replay for each of its two consumers.  The
+    # store copy is dictionary-encoded (vocabulary-sized columns as int32
+    # indices); consumers replay only the decode map over stored blocks.
     if entities.count() > M.BROADCAST_MAX_ENTITIES:
         # directory too big to broadcast → fully distributed cogroup path
-        canon = M.canonical_triples_cogroup(triples, entities).materialize()
+        canon_raw = M.canonical_triples_cogroup(triples, entities)
     else:
-        canon = M.canonical_triples(
-            triples, M.entity_lookup_ref(entities)).materialize()
+        canon_raw = M.canonical_triples(
+            triples, M.entity_lookup_ref(entities))
+    canon_store = canon_raw.map_batches(
+        M.encode_canonical_store, batch_format="pyarrow").materialize()
+    canon = canon_store.map_batches(
+        M.decode_canonical_store, batch_format="pyarrow")
     nodes = (turn_text_ds.map_batches(M.turn_nodes, batch_format="pyarrow")
              .union(conversation_nodes(turn_keys_ds))
              .union(M.entity_nodes(entities)))

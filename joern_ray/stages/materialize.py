@@ -204,6 +204,32 @@ def canonical_triples(triples_ds: "ray.data.Dataset", lookup_ref
     return triples_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def encode_canonical_store(t: pa.Table) -> pa.Table:
+    """Compact object-store layout for a canonical-triples batch: every
+    column except conv_id/turn_idx draws its values from the entity /
+    predicate vocabulary (ids are blake2b(kind:canonical) — also
+    vocabulary-sized), so each is dictionary-encoded to int32 indices +
+    a tiny per-chunk dictionary for the materialized copy.  Pair with
+    ``decode_canonical_store`` on the read side; consumers replay only
+    that cheap decode map over the stored narrow blocks."""
+    cols, names = [], []
+    for f in S.TRIPLES_CANONICAL:
+        c = t.column(f.name)
+        if f.name in ("conv_id", "turn_idx"):
+            cols.append(c)
+        else:
+            cols.append(pc.dictionary_encode(
+                c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c))
+        names.append(f.name)
+    return pa.Table.from_arrays(cols, names=names)
+
+
+def decode_canonical_store(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0 or t.num_columns == 0:
+        return S.TRIPLES_CANONICAL.empty_table()
+    return t.cast(S.TRIPLES_CANONICAL)
+
+
 def _turn_key(conv, tidx) -> pa.Array:
     out = pc.binary_join_element_wise(
         conv.cast(pa.string()), pc.cast(tidx, pa.string()), "#")
