@@ -113,7 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         analog (``DependencyJsonGenerator.scala:278-292``)."""
         return X.extract_triples(_transcripts(sf_dir)).map_batches(
             lambda t: t.select(["conv_id", "turn_idx", "sent_idx", "subj",
-                                "pred", "obj", "negated", "in_question"]),
+                                "pred", "obj", "negated", "in_question",
+                                "slot_idx", "clause"]),
             batch_format="pyarrow")
 
     def kg_next_turn_edges(sf_dir):
@@ -315,7 +316,7 @@ def oracle_sql() -> dict[str, str]:
                                 f"FROM ({G.resolved_triples_sql(tr)})"),
         "kg_triples_attributed": (
             "SELECT conv_id, turn_idx, sent_idx, subj, pred, obj, "
-            "negated, in_question "
+            "negated, in_question, slot_idx, clause "
             f"FROM ({G.resolved_triples_sql(tr)})"),
         "kg_findings": FND.findings_sql(tr),
         "kg_snippets": FND.snippets_sql(tr),

@@ -59,10 +59,18 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                                         subj=last_person, pred=pred,
                                         obj=m.group("obj"),
                                         subj_kind="person",
-                                        obj_kind=obj_kind, **attrs))
+                                        obj_kind=obj_kind, **attrs,
+                                        slot_idx=R.DEFAULT_SLOT_IDX,
+                                        clause=R.DEFAULT_CLAUSE))
                     break
             if matched:
                 continue
+
+            def _commit(p):
+                nonlocal cur_person
+                if p is not None and (cur_person is None or p > cur_person):
+                    cur_person = p
+
             for pred, rx, sk, ok in R.COMPILED_TEMPLATES:
                 m = rx.match(sent)
                 if m is None:
@@ -72,14 +80,31 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                     continue
                 out.append(dict(conv_id=conv_id, turn_idx=t, subj=subj,
                                 pred=pred, obj=obj, subj_kind=sk,
-                                obj_kind=ok, **attrs))
+                                obj_kind=ok, **attrs,
+                                slot_idx=R.DEFAULT_SLOT_IDX,
+                                clause=R.DEFAULT_CLAUSE))
                 # referent update: per-sentence person slot (obj shadows
                 # subj), committed at the next turn boundary; ties within a
                 # turn take the lexicographic max (rules.py contract)
-                p = (obj if ok == "person"
-                     else subj if sk == "person" else None)
-                if p is not None and (cur_person is None or p > cur_person):
-                    cur_person = p
+                _commit(obj if ok == "person"
+                        else subj if sk == "person" else None)
+                break
+            # multi-relation templates (disjoint from single templates by
+            # anchors): every emitted slot feeds referent state per-row
+            for name, rx, emissions in R.COMPILED_MULTI_TEMPLATES:
+                m = rx.match(sent)
+                if m is None:
+                    continue
+                for pred, subj_g, sk, obj_g, ok, slot, clause in emissions:
+                    subj, obj = m.group(subj_g), m.group(obj_g)
+                    if subj in R.PRONOUNS:
+                        continue
+                    out.append(dict(conv_id=conv_id, turn_idx=t, subj=subj,
+                                    pred=pred, obj=obj, subj_kind=sk,
+                                    obj_kind=ok, **attrs,
+                                    slot_idx=slot, clause=clause))
+                    _commit(obj if ok == "person"
+                            else subj if sk == "person" else None)
                 break
     return out
 

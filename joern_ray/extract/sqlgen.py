@@ -14,10 +14,11 @@ from ..functions import rules as R
 
 
 def _plain(rx: str) -> str:
-    """Named capture groups → plain groups (group 1 = subj, 2 = obj for
-    templates; group 1 = obj for pronoun templates)."""
-    return (rx.replace("(?P<subj>", "(").replace("(?P<obj>", "(")
-            .replace("'", "''"))
+    """Named capture groups → plain groups (regexp_extract indexes by
+    number; rule-pack regexes use ONLY named captures, so group N = Nth
+    named group by appearance — see rules.named_group_numbers)."""
+    import re as _re
+    return _re.sub(r"\(\?P<[a-z0-9]+>", "(", rx).replace("'", "''")
 
 
 def _sents_cte(rel: str) -> str:
@@ -57,7 +58,9 @@ def events_sql(rel: str) -> str:
         SELECT conv_id, turn_idx, 'pronoun' AS etype,
                CAST(NULL AS VARCHAR) AS subj, '{pred}' AS pred,
                regexp_extract(sent, '{rxs}', 1) AS obj,
-               'person' AS subj_kind, '{ok}' AS obj_kind, {_attr_cols()}
+               'person' AS subj_kind, '{ok}' AS obj_kind, {_attr_cols()},
+               {R.DEFAULT_SLOT_IDX} AS slot_idx,
+               '{R.DEFAULT_CLAUSE}' AS clause
         FROM {sents} WHERE regexp_matches(sent, '{rxs}')""")
     for pred, rx, sk, ok in R.TEMPLATES:
         rxs = _plain(rx)
@@ -65,14 +68,32 @@ def events_sql(rel: str) -> str:
         SELECT conv_id, turn_idx, 'triple',
                regexp_extract(sent, '{rxs}', 1), '{pred}',
                regexp_extract(sent, '{rxs}', 2), '{sk}', '{ok}',
-               {_attr_cols()}
+               {_attr_cols()}, {R.DEFAULT_SLOT_IDX}, '{R.DEFAULT_CLAUSE}'
         FROM {sents}
         WHERE regexp_matches(sent, '{rxs}')
           AND regexp_extract(sent, '{rxs}', 1) NOT IN ('She', 'He')
           AND NOT ({pron_any})""")
+    # multi-relation templates: one arm per EMISSION (groups by number via
+    # rules.named_group_numbers — the Ray side extracts named groups from
+    # the identical regex, so the pattern text has one source of truth)
+    for name, rx, emissions in R.MULTI_TEMPLATES:
+        rxs = _plain(rx)
+        nums = R.named_group_numbers(rx)
+        for pred, subj_g, sk, obj_g, ok, slot, clause in emissions:
+            parts.append(f"""
+        SELECT conv_id, turn_idx, 'triple',
+               regexp_extract(sent, '{rxs}', {nums[subj_g]}), '{pred}',
+               regexp_extract(sent, '{rxs}', {nums[obj_g]}), '{sk}', '{ok}',
+               {_attr_cols()}, {slot}, '{clause}'
+        FROM {sents}
+        WHERE regexp_matches(sent, '{rxs}')
+          AND regexp_extract(sent, '{rxs}', {nums[subj_g]})
+              NOT IN ('She', 'He')
+          AND NOT ({pron_any})""")
     parts.append(f"""
         SELECT conv_id, turn_idx, 'triple', conv_id, '{R.INVOKED_PRED}',
-               tool, 'conv', 'tool', 0, FALSE, FALSE
+               tool, 'conv', 'tool', 0, FALSE, FALSE,
+               {R.DEFAULT_SLOT_IDX}, '{R.DEFAULT_CLAUSE}'
         FROM {rel} WHERE role = 'tool' AND tool IS NOT NULL""")
     return " UNION ALL ".join(parts)
 
@@ -106,7 +127,8 @@ def resolved_triples_sql(rel: str) -> str:
     SELECT st.conv_id, st.turn_idx,
            CASE WHEN etype = 'pronoun' THEN tr.prev_person ELSE st.subj END
              AS subj,
-           pred, obj, subj_kind, obj_kind, sent_idx, negated, in_question
+           pred, obj, subj_kind, obj_kind, sent_idx, negated, in_question,
+           slot_idx, clause
     FROM st JOIN tr
       ON st.conv_id = tr.conv_id AND st.turn_idx = tr.turn_idx
     WHERE etype = 'triple' OR tr.prev_person IS NOT NULL

@@ -113,6 +113,74 @@ TEMPLATES = [
      "org", "org"),
 ]
 
+# Multi-relation sentence templates (the nested-AST analog: coordination,
+# appositive, relative clause, quoted speech — one sentence, several
+# relations).  Each entry: (name, regex, emissions) where every emission is
+# (pred, subj_group, subj_kind, obj_group, obj_kind, slot_idx, clause):
+#   slot_idx — position of the subject in a coordinated list (0 default);
+#   clause   — containing-clause kind: main | appositive | relative | quoted.
+# These two are the slot-position / containing-clause relation attributes
+# (the fork's used_in_index / offset_in_base structural-attribute analog,
+# ``DependencyJsonGenerator.scala:278-292``).
+# Shared contract notes:
+#   * attribute kernels (negated / in_question) stay SENTENCE-level — every
+#     emission of a sentence carries the same attrs;
+#   * every EMITTED event row feeds pronoun-referent state by the usual
+#     per-row rule (obj person shadows subj person; turn max wins) — the
+#     speaker of a quoted sentence is NOT an emitted slot and contributes
+#     no state;
+#   * all capture groups in these regexes must be NAMED (group numbers in
+#     the SQL mirror are derived from the order of appearance).
+MULTI_TEMPLATES = [
+    ("coord_works_at",
+     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) work at '
+     r'(?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
+     [("works_at", "subj", "person", "obj", "org", 0, "main"),
+      ("works_at", "subj2", "person", "obj", "org", 1, "main")]),
+    ("coord_uses",
+     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) use '
+     r'(?P<obj>[a-z0-9_]+) daily[.?]$',
+     [("uses", "subj", "person", "obj", "tool", 0, "main"),
+      ("uses", "subj2", "person", "obj", "tool", 1, "main")]),
+    ("appos_maintainer",
+     r'^(?P<subj>[A-Z][a-z]+), the maintainer of '
+     r'(?P<app>[a-z_]+(?:\.[a-z_]+)*), (?:no longer )?works at '
+     r'(?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
+     [("maintains", "subj", "person", "app", "module", 0, "appositive"),
+      ("works_at", "subj", "person", "obj", "org", 0, "main")]),
+    ("relative_manages",
+     r'^(?P<subj>[A-Z][a-z]+), who manages (?P<rel>[A-Z][a-z]+), joined '
+     r'(?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
+     [("manages", "subj", "person", "rel", "person", 0, "relative"),
+      ("joined", "subj", "person", "obj", "org", 0, "main")]),
+    ("quoted_uses",
+     r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) uses '
+     r'(?P<obj>[a-z0-9_]+) daily\."$',
+     [("uses", "subj", "person", "obj", "tool", 0, "quoted")]),
+]
+
+# literal prefilters for the multi-relation templates (same discipline as
+# _TEMPLATE_LITERALS: memchr scan before the RE2 kernel)
+MULTI_TEMPLATE_LITERALS = {
+    "coord_works_at": " work at ",
+    "coord_uses": " use ",
+    "appos_maintainer": ", the maintainer of ",
+    "relative_manages": ", who manages ",
+    "quoted_uses": ' said "',
+}
+
+DEFAULT_SLOT_IDX = 0
+DEFAULT_CLAUSE = "main"
+
+
+def named_group_numbers(rx: str) -> dict[str, int]:
+    """name → 1-based capture-group number, by order of appearance.  Valid
+    because rule-pack regexes use ONLY named capture groups (non-capturing
+    ``(?:`` aside) — the SQL mirror indexes groups by number."""
+    return {m.group(1): i + 1
+            for i, m in enumerate(re.finditer(r"\(\?P<([a-z0-9]+)>", rx))}
+
+
 # Pronoun templates: subject is an unresolved pronoun; it resolves to the most
 # recently mentioned person (see resolution rule below).
 PRONOUN_TEMPLATES = [
@@ -144,6 +212,10 @@ COMPILED_TEMPLATES = [
 ]
 COMPILED_PRONOUN_TEMPLATES = [
     (pred, re.compile(rx), ok) for pred, rx, ok in PRONOUN_TEMPLATES
+]
+COMPILED_MULTI_TEMPLATES = [
+    (name, re.compile(rx), emissions)
+    for name, rx, emissions in MULTI_TEMPLATES
 ]
 
 # Tool-invocation fact: every role='tool' turn yields

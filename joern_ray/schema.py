@@ -48,6 +48,8 @@ EVENTS = pa.schema([
     ("sent_idx", pa.int32()),        # sentence position within the turn
     ("negated", pa.bool_()),         # 'no longer' modifier present
     ("in_question", pa.bool_()),     # sentence ends with '?'
+    ("slot_idx", pa.int32()),        # subject position in a coordinated list
+    ("clause", EVENTS_DICT),         # main | appositive | relative | quoted
 ])
 
 # Surface-level triples (post pronoun resolution; surfaces not yet canonical)
@@ -62,6 +64,8 @@ TRIPLES_SURFACE = pa.schema([
     ("sent_idx", pa.int32()),
     ("negated", pa.bool_()),
     ("in_question", pa.bool_()),
+    ("slot_idx", pa.int32()),
+    ("clause", pa.string()),
 ])
 
 # Mentions: one row per entity slot occurrence

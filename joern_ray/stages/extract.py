@@ -42,7 +42,8 @@ _TEMPLATE_LITERALS = {
 
 
 def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
-                  sent_idx=0, negated=False, in_question=False) -> pa.Table:
+                  sent_idx=0, negated=False, in_question=False,
+                  slot_idx=0, clause=R.DEFAULT_CLAUSE) -> pa.Table:
     """One template's matches as an EVENTS table.  subj=None rows are
     pronoun events (schema invariant — there is no etype column); the
     categorical pred/kind columns are dictionary-encoded so the
@@ -65,7 +66,8 @@ def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
          col(subj, pa.string()), dcol(pred), col(obj, pa.string()),
          dcol(sk), dcol(ok),
          col(sent_idx, pa.int32()), col(negated, pa.bool_()),
-         col(in_question, pa.bool_())],
+         col(in_question, pa.bool_()),
+         col(slot_idx, pa.int32()), dcol(clause)],
         schema=S.EVENTS)
 
 
@@ -206,6 +208,43 @@ def extract_events(batch: pa.Table,
             pc.struct_field(ex, "obj").take(local), sk, ok,
             sidx.take(idx), neg, inq))
 
+    # multi-relation templates (coordination / appositive / relative /
+    # quoted): ONE RE2 extract per template, N emissions per match — the
+    # nested-AST multi-relation analog.  Each emission checks its own
+    # subject against the pronoun set (a coordinated 'She' slot must not
+    # leak an unresolved pronoun as a subject surface).
+    for name, rx, emissions in R.MULTI_TEMPLATES:
+        lit = R.MULTI_TEMPLATE_LITERALS.get(name)
+        pre = pc.match_substring(text, lit) if lit is not None else None
+        idx0 = (pc.indices_nonzero(pc.fill_null(pre, False))
+                if pre is not None
+                else pa.array(range(len(text)), pa.int64()))
+        if len(idx0) == 0:
+            continue
+        sub = text.take(idx0)
+        ex = pc.extract_regex(sub, rx)
+        base_mask = pc.is_valid(ex)
+        not_pm = pc.invert(pa.array(
+            pron_matched_np[idx0.to_numpy(zero_copy_only=False)]))
+        base_mask = pc.and_(base_mask, not_pm)
+        if not pc.any(base_mask).as_py():
+            continue
+        for pred, subj_g, sk, obj_g, ok, slot, clause in emissions:
+            subj = pc.struct_field(ex, subj_g)
+            not_pron = pc.invert(pc.fill_null(
+                pc.is_in(subj, value_set=_PRONOUN_SET), False))
+            mask = pc.and_(base_mask, not_pron)
+            if not pc.any(mask).as_py():
+                continue
+            local = pc.indices_nonzero(mask)
+            idx = idx0.take(local)
+            neg, inq = _attrs(text.take(idx))
+            outs.append(_events_table(
+                len(idx), conv.take(idx), tidx.take(idx),
+                subj.take(local), pred,
+                pc.struct_field(ex, obj_g).take(local), sk, ok,
+                sidx.take(idx), neg, inq, slot, clause))
+
     if not outs:
         return S.EVENTS.empty_table()
     return pa.concat_tables(outs)
@@ -317,7 +356,10 @@ def _resolve_bucket(group: pa.Table,
          sub.column("obj_kind").cast(pa.string()),
          sub.column("sent_idx").cast(pa.int32()),
          sub.column("negated").cast(pa.bool_()),
-         sub.column("in_question").cast(pa.bool_())],
+         sub.column("in_question").cast(pa.bool_()),
+         # pronoun sentences are single-relation main clauses by grammar
+         pa.array([R.DEFAULT_SLOT_IDX] * n, pa.int32()),
+         pa.array([R.DEFAULT_CLAUSE] * n, pa.string())],
         schema=S.TRIPLES_SURFACE)
 
 
@@ -360,7 +402,9 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
          pa.array(out["obj_kind"].to_numpy(object), pa.string()),
          pa.array(out["sent_idx"].to_numpy(), pa.int32()),
          pa.array(out["negated"].to_numpy(bool), pa.bool_()),
-         pa.array(out["in_question"].to_numpy(bool), pa.bool_())],
+         pa.array(out["in_question"].to_numpy(bool), pa.bool_()),
+         pa.array([R.DEFAULT_SLOT_IDX] * n, pa.int32()),
+         pa.array([R.DEFAULT_CLAUSE] * n, pa.string())],
         schema=S.TRIPLES_SURFACE)
 
 

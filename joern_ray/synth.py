@@ -23,7 +23,9 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v3"  # v3: 10-template grammar; v2: multi-sentence + modifiers
+CORPUS_VERSION = "v4"  # v4: multi-relation sentences (coordination /
+#                         appositive / relative clause / quoted speech);
+#                         v3: 10-template grammar; v2: multi-sentence
 BASE_EPOCH = 1_767_225_600  # 2026-01-01T00:00:00Z
 CORPUS_ROOT = "/tmp/joern_ray_corpus"
 
@@ -75,10 +77,73 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         gts.append(dict(conv_id=conv_id, turn_idx=t, subj_kind=sk, subj=s,
                         pred=p, obj_kind=ok, obj=o))
 
-    def gen_sentence(rng):
-        """One template sentence → (text, gt tuple, person_slot_surface).
+    def gen_multi_sentence(rng, allow_quoted: bool):
+        """One MULTI-relation sentence (coordination / appositive /
+        relative clause / quoted speech) → (text, [gt tuples],
+        person_slot_surface).  person_slot mirrors the engine contract:
+        max over each emitted row's person contribution (obj shadows
+        subj per row)."""
+        kinds = ["coord_works_at", "coord_uses", "appos_maintainer",
+                 "relative_manages"] + (["quoted_uses"] if allow_quoted
+                                        else [])
+        kind = kinds[int(rng.integers(0, len(kinds)))]
+        end = "?" if (rng.random() < 0.05 and kind != "quoted_uses") else "."
+        if kind == "coord_works_at":
+            a = _pick_person(rng)
+            b = _pick_person(rng)
+            while b == a:
+                b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+            obj_surface, obj_canon = _pick_org(rng)
+            text = f"{a} and {b} work at {obj_surface}{end}"
+            gts = [("person", a.lower(), "works_at", "org", obj_canon),
+                   ("person", b.lower(), "works_at", "org", obj_canon)]
+            return text, gts, max(a, b)
+        if kind == "coord_uses":
+            a = _pick_person(rng)
+            b = _pick_person(rng)
+            while b == a:
+                b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+            tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
+            text = f"{a} and {b} use {tool} daily{end}"
+            gts = [("person", a.lower(), "uses", "tool", tool),
+                   ("person", b.lower(), "uses", "tool", tool)]
+            return text, gts, max(a, b)
+        if kind == "appos_maintainer":
+            a = _pick_person(rng)
+            mod = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
+            obj_surface, obj_canon = _pick_org(rng)
+            neg = "no longer " if rng.random() < 0.08 else ""
+            text = (f"{a}, the maintainer of {mod}, {neg}works at "
+                    f"{obj_surface}{end}")
+            gts = [("person", a.lower(), "maintains", "module", mod),
+                   ("person", a.lower(), "works_at", "org", obj_canon)]
+            return text, gts, a
+        if kind == "relative_manages":
+            a = _pick_person(rng)
+            b = _pick_person(rng)
+            while b == a:
+                b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+            obj_surface, obj_canon = _pick_org(rng)
+            text = f"{a}, who manages {b}, joined {obj_surface}{end}"
+            gts = [("person", a.lower(), "manages", "person", b.lower()),
+                   ("person", a.lower(), "joined", "org", obj_canon)]
+            return text, gts, max(a, b)
+        # quoted_uses — must be the FINAL sentence of its turn (the '."'
+        # terminator carries no sentence boundary)
+        speaker = _pick_person(rng)
+        d = _pick_person(rng)
+        tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
+        text = f'{speaker} said "{d} uses {tool} daily."'
+        gts = [("person", d.lower(), "uses", "tool", tool)]
+        return text, gts, d
+
+    def gen_sentence(rng, allow_quoted: bool = True):
+        """One template sentence → (text, [gt tuples], person_slot_surface).
         Modifiers: 8% 'no longer' (works_at/uses), 5% '?' terminator —
-        exercised so the attributed-triples path has real positives."""
+        exercised so the attributed-triples path has real positives.
+        15% of sentences are multi-relation constructs."""
+        if rng.random() < 0.15:
+            return gen_multi_sentence(rng, allow_quoted)
         ti = int(rng.integers(0, len(R.TEMPLATES)))
         pred, _, sk, ok = R.TEMPLATES[ti]
         person_slot = None
@@ -139,7 +204,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             while obj_canon == subj_canon:
                 obj_surface, obj_canon = _pick_org(rng)
             text = f"{s_surface} partnered with {obj_surface}{end}"
-        return text, (sk, subj_canon, pred, ok, obj_canon), person_slot
+        return text, [(sk, subj_canon, pred, ok, obj_canon)], person_slot
 
     t = 0
     while t < n:
@@ -160,28 +225,34 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             add_row(t, role, text)
             add_gt(t, "person", last_person.lower(), pred, obj_kind, obj_canon)
         elif r < 0.40:
-            text, (sk, subj_canon, pred, ok, obj_canon), slot = gen_sentence(rng)
+            text, gts2, slot = gen_sentence(rng)
             add_row(t, role, text)
-            add_gt(t, sk, subj_canon, pred, ok, obj_canon)
+            for gt in gts2:
+                add_gt(t, *gt)
             if slot is not None:
                 last_person = slot
         elif r < 0.45:
             # multi-sentence turn: filler + template, or two templates —
             # referent commit is turn-level, ties take the lexicographic max
-            # (the engine/oracle resolution contract)
+            # (the engine/oracle resolution contract).  Quoted-speech
+            # sentences may only appear in the FINAL slot (their '."'
+            # terminator carries no sentence boundary).
             slots = []
             texts = []
             if rng.random() < 0.5:
                 texts.append(R.FILLERS[int(rng.integers(0, len(R.FILLERS)))])
-                s_text, gt, slot = gen_sentence(rng)
+                s_text, gts2, slot = gen_sentence(rng)
                 texts.append(s_text)
-                add_gt(t, *gt)
+                for gt in gts2:
+                    add_gt(t, *gt)
                 slots.append(slot)
             else:
-                for _ in range(2):
-                    s_text, gt, slot = gen_sentence(rng)
+                for last in (False, True):
+                    s_text, gts2, slot = gen_sentence(
+                        rng, allow_quoted=last)
                     texts.append(s_text)
-                    add_gt(t, *gt)
+                    for gt in gts2:
+                        add_gt(t, *gt)
                     slots.append(slot)
             add_row(t, role, " ".join(texts))
             persons = [s for s in slots if s is not None]

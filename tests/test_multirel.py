@@ -1,0 +1,106 @@
+"""Multi-relation grammar constructs (coordination / appositive / relative
+clause / quoted speech): explicit per-construct semantics, engine vs oracle
+lockstep, and referent-state interaction.
+
+Reference analog: nested-AST extraction — one statement, several relations
+(``DependencyJsonGenerator.scala:83-140`` emits one JSON relation per
+dependency edge of a statement).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from joern_ray import schema as S
+from joern_ray.extract import oracle as O
+from joern_ray.stages import extract as X
+
+
+def _turns(texts, conv="c1", role="user"):
+    n = len(texts)
+    return pa.table({
+        "conv_id": [conv] * n,
+        "turn_idx": pa.array(range(n), pa.int32()),
+        "role": [role] * n,
+        "text": texts,
+        "tool": pa.nulls(n, pa.string()),
+        "ts": pa.nulls(n, pa.timestamp("us")),
+    }, schema=S.TRANSCRIPTS)
+
+
+def _rows(t):
+    return sorted(
+        (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"],
+         r["slot_idx"], r["clause"])
+        for r in t.to_pylist() if r["subj"] is not None)
+
+
+def test_coordination_two_triples_with_slots():
+    ev = X.extract_events(_turns(["Alice and Bob work at Acme Corp."]))
+    assert _rows(ev) == [
+        ("c1", 0, "Alice", "works_at", "Acme Corp", 0, "main"),
+        ("c1", 0, "Bob", "works_at", "Acme Corp", 1, "main"),
+    ]
+
+
+def test_appositive_emits_both_clauses():
+    ev = X.extract_events(_turns(
+        ["Carol, the maintainer of db.index, no longer works at Initech Labs."]))
+    assert _rows(ev) == [
+        ("c1", 0, "Carol", "maintains", "db.index", 0, "appositive"),
+        ("c1", 0, "Carol", "works_at", "Initech Labs", 0, "main"),
+    ]
+    # sentence-level attrs apply to every emission
+    assert all(r["negated"] for r in ev.to_pylist())
+
+
+def test_relative_clause_emits_both():
+    ev = X.extract_events(_turns(["Dave, who manages Erin, joined Hooli Inc."]))
+    assert _rows(ev) == [
+        ("c1", 0, "Dave", "joined", "Hooli Inc", 0, "main"),
+        ("c1", 0, "Dave", "manages", "Erin", 0, "relative"),
+    ]
+
+
+def test_quoted_speech_inner_triple_only():
+    ev = X.extract_events(_turns(['Frank said "Grace uses search daily."']))
+    # the speaker is not an emitted slot — only the inner relation, marked
+    assert _rows(ev) == [
+        ("c1", 0, "Grace", "uses", "search", 0, "quoted"),
+    ]
+
+
+def test_quoted_inner_subject_feeds_referent_state():
+    # Grace (inner subject, emitted slot) — not Frank — is the referent
+    t = _turns(['Frank said "Grace uses search daily."',
+                "She works at Globex Corp."])
+    got = _rows(X._resolve_group(X.extract_events(t)))
+    assert ("c1", 1, "Grace", "works_at", "Globex Corp", 0, "main") in got
+
+
+def test_coordination_referent_is_lexicographic_max():
+    t = _turns(["Bob and Zach work at Acme Corp.",
+                "He uses compiler daily."])
+    got = _rows(X._resolve_group(X.extract_events(t)))
+    assert ("c1", 1, "Zach", "uses", "compiler", 0, "main") in got
+
+
+def test_multirel_engine_oracle_lockstep():
+    texts = [
+        "Alice and Bob work at Acme Corp.",
+        "Carol, the maintainer of fs.cache, works at Wonka Inc?",
+        "Dave, who manages Erin, joined Stark Labs.",
+        'Heidi said "Ivan uses browser daily."',
+        "She works at Tyrell Corp.",
+        "Judy and Karl use terminal daily.",
+        "Thanks, that makes sense. Laura and Nina work at Oscorp Inc.",
+    ]
+    t = _turns(texts)
+    eng = _rows(X._resolve_group(X.extract_events(t)))
+    ora = sorted(
+        (d["conv_id"], d["turn_idx"], d["subj"], d["pred"], d["obj"],
+         d["slot_idx"], d["clause"])
+        for d in O.extract_conversation(t.to_pylist()))
+    assert eng == ora
+    # multi-sentence turn: coordination matched after the filler sentence
+    assert ("c1", 6, "Laura", "works_at", "Oscorp Inc", 0, "main") in eng

@@ -23,6 +23,8 @@ def _triples(rows):
         "sent_idx": pa.array([0] * n, pa.int32()),
         "negated": [False] * n,
         "in_question": [False] * n,
+        "slot_idx": pa.array([0] * n, pa.int32()),
+        "clause": ["main"] * n,
     }).cast(S.TRIPLES_SURFACE))
 
 
@@ -85,6 +87,8 @@ def test_pagerank_excludes_nonlink_conv_nodes(ray_session):
         "sent_idx": pa.array([0] * n, pa.int32()),
         "negated": [False] * n,
         "in_question": [False] * n,
+        "slot_idx": pa.array([0] * n, pa.int32()),
+        "clause": ["main"] * n,
     }).cast(S.TRIPLES_SURFACE))
     out = {r["entity"]: r["rank"] for r in pagerank(tds).take_all()}
     assert set(out) == {"person:alice", "person:bob"}
