@@ -102,6 +102,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        .select(["conv_id", "turn_idx", "subj", "pred", "obj"]),
             batch_format="pyarrow")
 
+    def kg_triples_surface_exttool(sf_dir):
+        """Surface triples via the EXTERNAL-TOOL actor pool (per-actor
+        subprocess + JSONL pipe — the AstGenRunner subprocess analog,
+        ``AstGenRunner.scala:120-210``); verified against the same SQL
+        oracle as the in-process kernel."""
+        from joern_ray.stages.external_tool import extract_events_external
+        ev = extract_events_external(_transcripts(sf_dir))
+        return ev.map_batches(
+            lambda t: X._passthrough_triples(t)
+                       .select(["conv_id", "turn_idx", "subj", "pred", "obj"]),
+            batch_format="pyarrow")
+
     def kg_triples_resolved(sf_dir):
         return X.extract_triples(_transcripts(sf_dir)).map_batches(
             lambda t: t.select(["conv_id", "turn_idx", "subj", "pred", "obj"]),
@@ -219,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG construction (SURVEY.md §2.2/2.4/2.6)
         "kg_turns": kg_turns,
         "kg_triples_surface": kg_triples_surface,
+        "kg_triples_surface_exttool": kg_triples_surface_exttool,
         "kg_triples_resolved": kg_triples_resolved,
         "kg_triples_attributed": kg_triples_attributed,
         "kg_next_turn_edges": kg_next_turn_edges,
@@ -312,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_turns": f"SELECT conv_id, turn_idx, role, text FROM {tr}",
         "kg_triples_surface": _surface_triples_sql(tr),
+        "kg_triples_surface_exttool": _surface_triples_sql(tr),
         "kg_triples_resolved": ("SELECT conv_id, turn_idx, subj, pred, obj "
                                 f"FROM ({G.resolved_triples_sql(tr)})"),
         "kg_triples_attributed": (
