@@ -220,6 +220,43 @@ def _rule_meeting(batch: pa.Table) -> pa.Table:
                   sub.column("text"), sub.num_rows)
 
 
+def _rule_quoted_claim(batch: pa.Table) -> pa.Table:
+    """Second-hand (quoted-speech) facts — provenance-weakening signal;
+    the claim's subject is inside the quote, not the speaker (the
+    multi-relation grammar's ``clause='quoted'`` construct)."""
+    mask = pc.fill_null(pc.match_substring(batch.column("text"),
+                                           ' said "'), False)
+    sub = batch.filter(mask)
+    return _table("quoted-claim", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("text"), sub.num_rows)
+
+
+_COORD_RE = r"(^| )[A-Z][a-z]+ and [A-Z][a-z]+ (work at|use) "
+
+
+def _rule_coordinated_subjects(batch: pa.Table) -> pa.Table:
+    """Coordinated-subject sentences (one sentence, several relation
+    rows with distinct slot_idx)."""
+    mask = pc.fill_null(pc.match_substring_regex(batch.column("text"),
+                                                 _COORD_RE), False)
+    sub = batch.filter(mask)
+    return _table("coordinated-subjects", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("text"), sub.num_rows)
+
+
+def _rule_appositive_role(batch: pa.Table) -> pa.Table:
+    """Appositive role assertions (', the maintainer of ') — the
+    sentence carries a second, clause-scoped relation."""
+    mask = pc.fill_null(pc.match_substring(batch.column("text"),
+                                           ", the maintainer of "), False)
+    sub = batch.filter(mask)
+    return _table("appositive-role", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("text"), sub.num_rows)
+
+
 def _rule_small_tool_result(batch: pa.Table) -> pa.Table:
     ex = pc.extract_regex(batch.column("text"), _ITEMS_RE)
     items = pc.cast(pc.struct_field(ex, "n"), pa.int64())
@@ -614,7 +651,9 @@ def scan(transcripts_ds: "ray.data.Dataset",
                _rule_terse_turn, _rule_assistant_long_answer,
                _rule_assistant_question, _rule_pronoun_turn,
                _rule_tool_announce, _rule_numeric_turn,
-               _rule_clarification, _rule_deferred_followup]
+               _rule_clarification, _rule_deferred_followup,
+               _rule_quoted_claim, _rule_coordinated_subjects,
+               _rule_appositive_role]
     rules = builtin + list(extra_rules or [])
     per_turn = transcripts_ds.map_batches(
         lambda t: pa.concat_tables([r(t) for r in rules]),
@@ -624,7 +663,7 @@ def scan(transcripts_ds: "ray.data.Dataset",
 
 
 def findings(sf_dir: str):
-    """Full battery (33 rules): transcript-level scan ∪ entity/graph
+    """Full battery (36 rules): transcript-level scan ∪ entity/graph
     rules — the 50-query scan-battery analog
     (``querydb/src/main/scala/io/joern/scanners/**``)."""
     return scan(ray.data.read_parquet(synth.transcripts_path(sf_dir))) \
@@ -716,6 +755,16 @@ def findings_sql(transcripts_rel: str) -> str:
     UNION ALL
     SELECT 'empty-turn', 'warning', conv_id, turn_idx, role
     FROM {tr} WHERE trim(text, {ws}) = ''
+    UNION ALL
+    SELECT 'quoted-claim', 'info', conv_id, turn_idx, text
+    FROM {tr} WHERE contains(text, ' said "')
+    UNION ALL
+    SELECT 'coordinated-subjects', 'info', conv_id, turn_idx, text
+    FROM {tr}
+    WHERE regexp_matches(text, '(^| )[A-Z][a-z]+ and [A-Z][a-z]+ (work at|use) ')
+    UNION ALL
+    SELECT 'appositive-role', 'info', conv_id, turn_idx, text
+    FROM {tr} WHERE contains(text, ', the maintainer of ')
     UNION ALL
     SELECT 'person-meeting', 'info', conv_id, turn_idx, text
     FROM {tr} WHERE contains(text, ' met with ')
