@@ -52,6 +52,53 @@ def _norm_edges(triples_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return triples_ds.map_batches(fn, batch_format="pyarrow")
 
 
+# Driver fast path bound: when the deduped edge table is at most this many
+# rows (entity-VOCABULARY-pair-sized, ≪ corpus), the whole BFS runs on the
+# driver off one collect — zero per-round exchange latency.  Beyond it the
+# per-round distributed dedup/min-combine path runs (the corpus-scale
+# shape).  Same discipline as the MinHash driver fast path
+# (text.DRIVER_MAX_DOCS) and the broadcast bound
+# (materialize.BROADCAST_MAX_ENTITIES); equivalence is pytest-asserted.
+DRIVER_MAX_REACH_EDGES = 200_000
+
+
+def _collect_small_edges(edges: "ray.data.Dataset") -> list | None:
+    """Edge rows if the materialized edge table is under the driver bound,
+    else None (cross-batch duplicates are deduped here)."""
+    if edges.count() > DRIVER_MAX_REACH_EDGES:
+        return None
+    seen = set()
+    for r in edges.take_all():
+        seen.add((r["a_kind"], r["a_norm"], r["b_kind"], r["b_norm"]))
+    return sorted(seen)
+
+
+def _driver_bfs(edge_rows: list, seeds: list[tuple[str, str]],
+                max_depth: int, with_via: bool) -> dict:
+    """Serial BFS over a collected edge list — byte-identical semantics to
+    the distributed loop: per-depth frontier, min-via tie-break."""
+    adj: dict[tuple[str, str], list] = {}
+    for ak, an, bk, bn in edge_rows:
+        adj.setdefault((ak, an), []).append((bk, bn))
+    seen: dict = {s: (0, None) for s in seeds}
+    frontier = set(seeds)
+    for depth in range(1, max_depth + 1):
+        cand: dict = {}
+        for (ak, an) in frontier:
+            via = f"{ak}:{an}"
+            for nb in adj.get((ak, an), ()):
+                if nb in seen:
+                    continue
+                if nb not in cand or via < cand[nb]:
+                    cand[nb] = via
+        if not cand:
+            break
+        for nb, via in cand.items():
+            seen[nb] = (depth, via if with_via else None)
+        frontier = set(cand)
+    return seen
+
+
 def reachable(triples_ds: "ray.data.Dataset", seeds: list[tuple[str, str]],
               *, max_depth: int = 3,
               extra_flows: list[tuple[str, str, str, str]] | None = None
@@ -74,6 +121,15 @@ def reachable(triples_ds: "ray.data.Dataset", seeds: list[tuple[str, str]],
             "b_norm": pa.array([r[3] for r in rows], pa.string())})
         edges = edges.union(ray.data.from_arrow(extra))
     edges = edges.materialize()
+    small = _collect_small_edges(edges)
+    if small is not None:
+        bfs = _driver_bfs(small, seeds, max_depth, with_via=False)
+        out = sorted((kn, d) for kn, (d, _v) in bfs.items())
+        return ray.data.from_arrow(pa.table({
+            "kind": pa.array([k for (k, _), _d in out], pa.string()),
+            "norm": pa.array([n for (_, n), _d in out], pa.string()),
+            "depth": pa.array([d for _kn, d in out], pa.int32()),
+        }).cast(REACH))
     seen: dict[tuple[str, str], int] = {s: 0 for s in seeds}
     frontier = set(seeds)
     for depth in range(1, max_depth + 1):
@@ -132,6 +188,16 @@ def reachable_paths(triples_ds: "ray.data.Dataset",
     from ray.data.aggregate import Min
 
     edges = _norm_edges(triples_ds).materialize()
+    small = _collect_small_edges(edges)
+    if small is not None:
+        bfs = _driver_bfs(small, seeds, max_depth, with_via=True)
+        out = sorted(bfs.items())
+        return ray.data.from_arrow(pa.table({
+            "kind": pa.array([k for (k, _), _dv in out], pa.string()),
+            "norm": pa.array([n for (_, n), _dv in out], pa.string()),
+            "depth": pa.array([d for _kn, (d, _v) in out], pa.int32()),
+            "via": pa.array([v for _kn, (_d, v) in out], pa.string()),
+        }).cast(PATHS))
     seen: dict[tuple[str, str], tuple[int, str | None]] = {
         s: (0, None) for s in seeds}
     frontier = set(seeds)

@@ -59,3 +59,15 @@ def test_paths_matches_recursive_cte_and_witnesses_walk_to_seed(ray_session):
             assert row["via"] in (None, "None", "nan") or pd.isna(row["via"])
         else:
             assert df.loc[row["via"], "depth"] == row["depth"] - 1
+
+
+def test_reach_driver_fast_path_equals_distributed(ray_session, monkeypatch):
+    # fast path (default at this scale) vs the distributed per-round
+    # dedup/min-combine loop forced via a zero driver bound
+    fast_r = _norm(RCH.reachable_query(SF).to_pandas())
+    fast_p = _norm(RCH.paths_query(SF).to_pandas())
+    monkeypatch.setattr(RCH, "DRIVER_MAX_REACH_EDGES", 0)
+    dist_r = _norm(RCH.reachable_query(SF).to_pandas())
+    dist_p = _norm(RCH.paths_query(SF).to_pandas())
+    pd.testing.assert_frame_equal(fast_r, dist_r, check_dtype=False)
+    pd.testing.assert_frame_equal(fast_p, dist_p, check_dtype=False)
