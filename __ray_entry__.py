@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": A.embedding_neardup_planted,
         # ---- rows-only, no driver row yet (next in the window) ----
         "ann_lsh": A.ann_lsh,
+        "ann_ivf": A.ann_ivf,
         "ann_kmeans": A.kmeans,
         "dedup_simhash_clusters": T.simhash_clusters,
         "dedup_ngram_pairs": T.ngram_jaccard_pairs,

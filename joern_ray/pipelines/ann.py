@@ -288,14 +288,13 @@ KMEANS_K = 8
 KMEANS_ITERS = 8
 
 
-def kmeans(sf_dir: str, *, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
-    """Distributed Lloyd's k-means over the embedding column — the
-    bounded-iteration fixed-point pattern (SURVEY §2.10): per-batch
+def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
+    """Bounded Lloyd's over the embedding column → (k, dim) centroids —
+    the bounded-iteration fixed-point pattern (SURVEY §2.10): per-batch
     assignment + per-cluster partial (sum, count) combiners stream through
     the cluster; the driver folds only k×n_blocks tiny partials per round
     (sorted canonically so float accumulation order — hence the result —
-    is deterministic).  Init = embeddings of the k smallest vec_ids.
-    Returns (vec_id, cluster) assignments."""
+    is deterministic).  Init = embeddings of the k smallest vec_ids."""
     import pyarrow.parquet as pq
 
     seedt = pq.read_table(_p(sf_dir), columns=["vec_id", "embedding"],
@@ -334,7 +333,14 @@ def kmeans(sf_dir: str, *, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
         nonempty = counts > 0
         centroids = centroids.copy()
         centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return centroids
 
+
+def kmeans(sf_dir: str, *, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Distributed Lloyd's k-means: (vec_id, cluster) assignments (see
+    ``_kmeans_centroids`` for the iteration shape)."""
+    centroids = _kmeans_centroids(sf_dir, k, iters)
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
     cref = ray.put(centroids)
 
     def final_assign(t: pa.Table) -> pa.Table:
@@ -345,6 +351,79 @@ def kmeans(sf_dir: str, *, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
                          "cluster": pa.array(d.argmin(axis=1), pa.int64())})
 
     return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+IVF_NLIST = 64
+IVF_NPROBE = 8
+
+
+def ann_ivf(sf_dir: str, *, nlist: int = IVF_NLIST,
+            nprobe: int = IVF_NPROBE, iters: int = KMEANS_ITERS):
+    """IVF ANN — the coarse-quantizer scale path (FAISS IVF-flat shape):
+    Lloyd's centroids partition the corpus into ``nlist`` inverted lists;
+    each query probes its ``nprobe`` nearest lists and scores exact cosine
+    only against their members.
+
+    Distribution shape: centroids train via the streaming partial-combine
+    loop (tiny driver fold), then ONE broadcast of (centroids, queries,
+    probe mask) serves every batch — a batch computes its rows' list
+    assignment with one matmul and masks rows against each query's probe
+    set; the exchange carries only local top-k rows per (query, batch).
+    Probe selection uses the same (euclidean) metric as assignment, so a
+    query vector that exists in the corpus always probes its own list —
+    self-retrieval is exact by construction (pytest-asserted).  Expected
+    recall on structureless data ≈ nprobe/nlist; clustered real data
+    concentrates neighbors into the probed lists."""
+    cents = _kmeans_centroids(sf_dir, nlist, iters)
+    import pyarrow.parquet as pq
+    qt = pq.read_table(_p(sf_dir), columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", N_QUERIES)]).sort_by("vec_id")
+    qids = qt.column("vec_id").to_numpy()
+    qraw = _matrix(qt)
+    qmat = _norm_rows(qraw)
+    qd = ((qraw[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1)[:, :nprobe]          # (q, nprobe)
+    pmask = np.zeros((len(cents), len(qids)), dtype=bool)
+    for qi in range(len(qids)):
+        pmask[probes[qi], qi] = True
+    ref = ray.put((cents, qids, qmat, pmask))
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        cents_, qids_, qmat_, pm = ray.get(ref)
+        raw = _matrix(t)
+        lab = ((raw[:, None, :] - cents_[None, :, :]) ** 2).sum(
+            axis=2).argmin(axis=1)
+        vecs = _norm_rows(raw)
+        vec_ids = t.column("vec_id").to_numpy()
+        cand_mask = pm[lab]                              # (n, q)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            cand = np.nonzero(cand_mask[:, qi])[0]
+            if len(cand) == 0:
+                continue
+            s = vecs[cand] @ qmat_[qi]
+            k = min(TOP_K, len(cand))
+            idx = (np.argpartition(-s, k - 1)[:k] if len(s) > k
+                   else np.arange(len(s)))
+            out_q.extend([int(qids_[qi])] * len(idx))
+            out_v.extend(vec_ids[cand[idx]].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    def topk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("sim", "descending"), ("vec_id", "ascending")])
+        g = g.slice(0, TOP_K)
+        n = g.num_rows
+        return pa.table({"query_id": g.column("query_id"),
+                         "rank": pa.array(range(1, n + 1), pa.int64()),
+                         "vec_id": g.column("vec_id"),
+                         "sim": g.column("sim")})
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .groupby("query_id").map_groups(topk, batch_format="pyarrow"))
 
 
 N_PLANT = 50

@@ -161,3 +161,39 @@ def test_model_scores_deterministic(ray_session):
                for r in T.model_scores(sf).take_all())
     assert a == b and len(a) > 0
     assert all(0.0 <= s <= 1.0 for _, s in a)
+
+
+def test_ann_ivf_self_retrieval_and_recall(ray_session):
+    from joern_ray.pipelines.ann import (TOP_K, ann_bruteforce, ann_ivf,
+                                         IVF_NLIST, IVF_NPROBE)
+    sf = "/root/testdata/sf0.001"
+    ivf = ann_ivf(sf).take_all()
+    # probe metric == assignment metric ⇒ a query that exists in the
+    # corpus always probes its own list: rank-1 self match, sim ≈ 1
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q, "no IVF results"
+    for q, rows in by_q.items():
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["vec_id"] == q and abs(top["sim"] - 1.0) < 1e-9
+    # recall@k vs brute force is at least ballpark nprobe/nlist on
+    # structureless data (use half as a safe floor)
+    bf = ann_bruteforce(sf).take_all()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for q, want in bf_sets.items():
+        got = {r["vec_id"] for r in by_q.get(q, [])}
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.5 * IVF_NPROBE / IVF_NLIST
+
+
+def test_ann_ivf_deterministic(ray_session):
+    from joern_ray.pipelines.ann import ann_ivf
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, (r.values() for r in ann_ivf(sf).take_all())))
+    b = sorted(map(tuple, (r.values() for r in ann_ivf(sf).take_all())))
+    assert a == b
