@@ -57,3 +57,20 @@ def test_registry_checkpoint_skips_on_rerun(ray_session, sf_small, tmp_path):
     reg2.run({"transcripts": ds}, targets=["triples_canonical"],
              out_dir=out_dir)
     assert os.path.getmtime(rec) == m1
+
+
+def test_query_cli_runs_and_writes_parquet(tmp_path):
+    # the joern --script analog: run a named query from the command line
+    # in a fresh process (owns its own Ray session)
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+    out = str(tmp_path / "reg.parquet")
+    p = subprocess.run(
+        [sys.executable, "scripts/query_cli.py", "kg_tool_registry",
+         "--sf", "/root/testdata/sf0.001", "--out", out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "[kg_tool_registry]" in p.stdout
+    assert pq.read_table(out).num_rows > 0
