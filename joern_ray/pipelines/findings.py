@@ -47,6 +47,7 @@ LONG_CONV_TURNS = 23
 SHORT_CONV_TURNS = 7
 QUESTION_HEAVY_MIN = 2
 NEGATION_HEAVY_MIN = 2
+QUOTE_HEAVY_MIN = 2
 TOOL_HEAVY_FACTOR = 3
 HOT_ENTITY_MIN = 200
 LONELY_ENTITY_MAX = 1
@@ -283,6 +284,77 @@ def _rule_bug_report(batch: pa.Table) -> pa.Table:
                   mod.filter(mask), sub.num_rows)
 
 
+def _substring_rule(rule: str, severity: str, needle: str):
+    """Factory for contains-substring per-turn rules (evidence = text)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.match_substring(batch.column("text"),
+                                               needle), False)
+        sub = batch.filter(mask)
+        return _table(rule, severity, sub.column("conv_id"),
+                      sub.column("turn_idx").cast(pa.int32()),
+                      sub.column("text"), sub.num_rows)
+    fn.__name__ = f"_rule_{rule.replace('-', '_')}"
+    return fn
+
+
+def _regex_rule(rule: str, severity: str, pattern: str):
+    """Factory for RE2 per-turn rules (same pattern mirrored in the
+    DuckDB oracle — both engines are RE2-syntax)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.match_substring_regex(batch.column("text"),
+                                                     pattern), False)
+        sub = batch.filter(mask)
+        return _table(rule, severity, sub.column("conv_id"),
+                      sub.column("turn_idx").cast(pa.int32()),
+                      sub.column("text"), sub.num_rows)
+    fn.__name__ = f"_rule_{rule.replace('-', '_')}"
+    return fn
+
+
+# grammar-construct coverage: one scan rule per relation template the
+# extractor understands (the querydb discipline of one query per code
+# construct, `querydb/src/main/scala/io/joern/scanners/**`)
+_rule_org_departure = _regex_rule(
+    "org-departure", "warning", r"(^| )[A-Z][a-z]+ left [A-Z]")
+_rule_org_join = _regex_rule(
+    "org-join", "info", r"(^| )[A-Z][a-z]+ joined [A-Z]")
+_rule_org_partnership = _substring_rule(
+    "org-partnership", "info", " partnered with ")
+_rule_management_edge = _regex_rule(
+    "management-edge", "info", r"(^| )[A-Z][a-z]+ manages [A-Z]")
+_rule_relative_clause = _substring_rule(
+    "relative-clause", "info", ", who manages ")
+_rule_maintainer_claim = _regex_rule(
+    "maintainer-claim", "info", r"(^| )[A-Z][a-z]+ maintains ")
+_rule_daily_usage = _substring_rule("daily-usage", "info", " daily")
+_rule_dotted_module = _regex_rule(
+    "dotted-module-mention", "info", r"[a-z_]+\.[a-z_]+")
+
+
+def _rule_negated_question(batch: pa.Table) -> pa.Table:
+    """Retraction phrased as a question — ambiguous-assertion signal
+    (both the `negated` and `in_question` attribute kernels fire)."""
+    mask = pc.fill_null(pc.and_(
+        pc.match_substring(batch.column("text"), "no longer "),
+        pc.ends_with(batch.column("text"), "?")), False)
+    sub = batch.filter(mask)
+    return _table("negated-question", "warning", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("text"), sub.num_rows)
+
+
+def _rule_first_turn_question(batch: pa.Table) -> pa.Table:
+    """Conversation opened by a direct user question."""
+    mask = pc.fill_null(pc.and_(pc.and_(
+        pc.equal(batch.column("role"), "user"),
+        pc.equal(batch.column("turn_idx").cast(pa.int32()), 0)),
+        pc.ends_with(batch.column("text"), "?")), False)
+    sub = batch.filter(mask)
+    return _table("first-turn-question", "info", sub.column("conv_id"),
+                  sub.column("turn_idx").cast(pa.int32()),
+                  sub.column("text"), sub.num_rows)
+
+
 def _repeat_caller(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Conversation-level rule: > REPEAT_CALLER_MIN-1 tool invocations.
     Two-phase count (per-batch partial, then small groupby sum)."""
@@ -322,18 +394,32 @@ def _conv_level_rules(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         is_q = pc.cast(q_mask, pa.int64())
         is_neg = pc.cast(pc.fill_null(pc.match_substring(
             t.column("text"), "no longer "), False), pa.int64())
+        is_asst = pc.cast(pc.fill_null(
+            pc.equal(t.column("role"), "assistant"), False), pa.int64())
+        is_user = pc.cast(pc.fill_null(
+            pc.equal(t.column("role"), "user"), False), pa.int64())
+        is_quote = pc.cast(pc.fill_null(pc.match_substring(
+            t.column("text"), ' said "'), False), pa.int64())
+        is_acq = pc.cast(pc.fill_null(pc.match_substring_regex(
+            t.column("text"), r"^[A-Z][A-Za-z ]+ acquired "), False),
+            pa.int64())
         tidx = t.column("turn_idx").cast(pa.int32())
         qu_idx = pc.if_else(q_mask, tidx, pa.scalar(-1, pa.int32()))
         return (pa.table({"conv_id": t.column("conv_id"),
                           "n_turns": pa.array([1] * t.num_rows, pa.int64()),
                           "n_tool": is_tool, "n_q": is_q, "n_neg": is_neg,
+                          "n_asst": is_asst, "n_user": is_user,
+                          "n_quote": is_quote, "n_acq": is_acq,
                           "t_max": tidx, "qu_max": qu_idx})
                 .group_by("conv_id")
                 .aggregate([("n_turns", "sum"), ("n_tool", "sum"),
                             ("n_q", "sum"), ("n_neg", "sum"),
+                            ("n_asst", "sum"), ("n_user", "sum"),
+                            ("n_quote", "sum"), ("n_acq", "sum"),
                             ("t_max", "max"), ("qu_max", "max")])
                 .rename_columns(["conv_id", "n_turns", "n_tool", "n_q",
-                                 "n_neg", "t_max", "qu_max"]))
+                                 "n_neg", "n_asst", "n_user", "n_quote",
+                                 "n_acq", "t_max", "qu_max"]))
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("conv_id")
@@ -341,6 +427,10 @@ def _conv_level_rules(ds: "ray.data.Dataset") -> "ray.data.Dataset":
                       Sum(on="n_tool", alias_name="n_tool"),
                       Sum(on="n_q", alias_name="n_q"),
                       Sum(on="n_neg", alias_name="n_neg"),
+                      Sum(on="n_asst", alias_name="n_asst"),
+                      Sum(on="n_user", alias_name="n_user"),
+                      Sum(on="n_quote", alias_name="n_quote"),
+                      Sum(on="n_acq", alias_name="n_acq"),
                       Max(on="t_max", alias_name="t_max"),
                       Max(on="qu_max", alias_name="qu_max")))
 
@@ -382,6 +472,14 @@ def _conv_level_rules(ds: "ray.data.Dataset") -> "ray.data.Dataset":
              t.filter(pc.equal(t.column("qu_max").cast(pa.int32()),
                                t.column("t_max").cast(pa.int32()))),
              "t_max")
+        emit("assistant-heavy", "info",
+             t.filter(pc.greater(t.column("n_asst"), t.column("n_user"))),
+             "n_asst")
+        emit("quote-heavy", "info",
+             t.filter(pc.greater_equal(t.column("n_quote"),
+                                       QUOTE_HEAVY_MIN)), "n_quote")
+        emit("acquisition-conversation", "info",
+             t.filter(pc.greater_equal(t.column("n_acq"), 1)), "n_acq")
         return pa.concat_tables(outs)
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -630,6 +728,44 @@ def entity_rules(sf_dir: str) -> "ray.data.Dataset":
     out.append(mention_chains(triples).map_batches(
         chain_finish, batch_format="pyarrow"))
 
+    # ---- bidirectional-management: A manages B and B manages A ---------
+    # Same unordered-pair shape as acquirer-acquired: one groupby over the
+    # distinct manages pairs keyed (least, greatest) with direction flags.
+    def mgmt_partial(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t.column("pred"), "manages"))
+        s = normalize_arrays(sub.column("subj_kind"), sub.column("subj"))
+        o = normalize_arrays(sub.column("obj_kind"), sub.column("obj"))
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        o = o.combine_chunks() if isinstance(o, pa.ChunkedArray) else o
+        ne_mask = pc.not_equal(s, o)
+        s, o = s.filter(ne_mask), o.filter(ne_mask)
+        fwd = pc.less(s, o)
+        tab = pa.table({
+            "a": pc.if_else(fwd, s, o), "b": pc.if_else(fwd, o, s),
+            "f": pc.cast(fwd, pa.int64()),
+            "r": pc.cast(pc.invert(fwd), pa.int64()),
+        })
+        return (tab.group_by(["a", "b"])
+                .aggregate([("f", "max"), ("r", "max")])
+                .rename_columns(["a", "b", "f", "r"]))
+
+    mgmt = (triples.map_batches(mgmt_partial, batch_format="pyarrow")
+            .groupby(["a", "b"]).aggregate(Max(on="f", alias_name="f"),
+                                           Max(on="r", alias_name="r")))
+
+    def mgmt_finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return FINDINGS.empty_table()
+        sub = t.filter(pc.and_(pc.equal(t.column("f"), 1),
+                               pc.equal(t.column("r"), 1)))
+        ev = pc.binary_join_element_wise(
+            "person", sub.column("a").cast(pa.string()),
+            "person", sub.column("b").cast(pa.string()), ":")
+        return _entity_table("bidirectional-management", "warning", ev,
+                             sub.num_rows)
+
+    out.append(mgmt.map_batches(mgmt_finish, batch_format="pyarrow"))
+
     res = out[0]
     for ds_ in out[1:]:
         res = res.union(ds_)
@@ -653,7 +789,11 @@ def scan(transcripts_ds: "ray.data.Dataset",
                _rule_tool_announce, _rule_numeric_turn,
                _rule_clarification, _rule_deferred_followup,
                _rule_quoted_claim, _rule_coordinated_subjects,
-               _rule_appositive_role]
+               _rule_appositive_role, _rule_org_departure, _rule_org_join,
+               _rule_org_partnership, _rule_management_edge,
+               _rule_relative_clause, _rule_maintainer_claim,
+               _rule_daily_usage, _rule_dotted_module,
+               _rule_negated_question, _rule_first_turn_question]
     rules = builtin + list(extra_rules or [])
     per_turn = transcripts_ds.map_batches(
         lambda t: pa.concat_tables([r(t) for r in rules]),
@@ -663,9 +803,11 @@ def scan(transcripts_ds: "ray.data.Dataset",
 
 
 def findings(sf_dir: str):
-    """Full battery (36 rules): transcript-level scan ∪ entity/graph
-    rules — the 50-query scan-battery analog
-    (``querydb/src/main/scala/io/joern/scanners/**``)."""
+    """Full battery (50 rules: 30 per-turn + 12 conversation-level +
+    8 entity/graph): transcript-level scan ∪ entity/graph rules —
+    matches the reference's 50-query scan battery rule-for-rule in count
+    (``querydb/src/main/scala/io/joern/scanners/**``, 50 Query.make
+    sites)."""
     return scan(ray.data.read_parquet(synth.transcripts_path(sf_dir))) \
         .union(entity_rules(sf_dir))
 
@@ -689,6 +831,15 @@ def findings_sql(transcripts_rel: str) -> str:
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_q,
              CAST(sum(CASE WHEN contains(text, 'no longer ')
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+             CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_asst,
+             CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_user,
+             CAST(sum(CASE WHEN contains(text, ' said "') THEN 1 ELSE 0
+                      END) AS BIGINT) AS n_quote,
+             CAST(sum(CASE WHEN regexp_matches(text,
+                      '^[A-Z][A-Za-z ]+ acquired ') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_acq,
              max(turn_idx) AS t_max,
              max(CASE WHEN role = 'user' AND ends_with(text, '?')
                  THEN turn_idx ELSE -1 END) AS qu_max
@@ -766,6 +917,38 @@ def findings_sql(transcripts_rel: str) -> str:
     SELECT 'appositive-role', 'info', conv_id, turn_idx, text
     FROM {tr} WHERE contains(text, ', the maintainer of ')
     UNION ALL
+    SELECT 'org-departure', 'warning', conv_id, turn_idx, text
+    FROM {tr} WHERE regexp_matches(text, '(^| )[A-Z][a-z]+ left [A-Z]')
+    UNION ALL
+    SELECT 'org-join', 'info', conv_id, turn_idx, text
+    FROM {tr} WHERE regexp_matches(text, '(^| )[A-Z][a-z]+ joined [A-Z]')
+    UNION ALL
+    SELECT 'org-partnership', 'info', conv_id, turn_idx, text
+    FROM {tr} WHERE contains(text, ' partnered with ')
+    UNION ALL
+    SELECT 'management-edge', 'info', conv_id, turn_idx, text
+    FROM {tr} WHERE regexp_matches(text, '(^| )[A-Z][a-z]+ manages [A-Z]')
+    UNION ALL
+    SELECT 'relative-clause', 'info', conv_id, turn_idx, text
+    FROM {tr} WHERE contains(text, ', who manages ')
+    UNION ALL
+    SELECT 'maintainer-claim', 'info', conv_id, turn_idx, text
+    FROM {tr} WHERE regexp_matches(text, '(^| )[A-Z][a-z]+ maintains ')
+    UNION ALL
+    SELECT 'daily-usage', 'info', conv_id, turn_idx, text
+    FROM {tr} WHERE contains(text, ' daily')
+    UNION ALL
+    SELECT 'dotted-module-mention', 'info', conv_id, turn_idx, text
+    FROM {tr} WHERE regexp_matches(text, '[a-z_]+\\.[a-z_]+')
+    UNION ALL
+    SELECT 'negated-question', 'warning', conv_id, turn_idx, text
+    FROM {tr}
+    WHERE contains(text, 'no longer ') AND ends_with(text, '?')
+    UNION ALL
+    SELECT 'first-turn-question', 'info', conv_id, turn_idx, text
+    FROM {tr}
+    WHERE role = 'user' AND turn_idx = 0 AND ends_with(text, '?')
+    UNION ALL
     SELECT 'person-meeting', 'info', conv_id, turn_idx, text
     FROM {tr} WHERE contains(text, ' met with ')
     UNION ALL
@@ -805,6 +988,17 @@ def findings_sql(transcripts_rel: str) -> str:
     SELECT 'ends-with-question', 'info', conv_id, NULL,
            CAST(t_max AS VARCHAR)
     FROM conv_agg WHERE qu_max = t_max
+    UNION ALL
+    SELECT 'assistant-heavy', 'info', conv_id, NULL,
+           CAST(n_asst AS VARCHAR)
+    FROM conv_agg WHERE n_asst > n_user
+    UNION ALL
+    SELECT 'quote-heavy', 'info', conv_id, NULL, CAST(n_quote AS VARCHAR)
+    FROM conv_agg WHERE n_quote >= {QUOTE_HEAVY_MIN}
+    UNION ALL
+    SELECT 'acquisition-conversation', 'info', conv_id, NULL,
+           CAST(n_acq AS VARCHAR)
+    FROM conv_agg WHERE n_acq >= 1
     UNION ALL
     SELECT 'duplicate-turn-text', 'warning', conv_id, NULL, text
     FROM {tr} GROUP BY conv_id, text HAVING count(*) > 1
@@ -857,6 +1051,18 @@ def findings_sql(transcripts_rel: str) -> str:
           INTERSECT
           SELECT {ne('obj', 'obj_kind')} FROM resolved
           WHERE pred = 'acquired')
+    UNION ALL
+    SELECT 'bidirectional-management', 'warning', NULL, NULL,
+           'person:' || a || ':person:' || b
+    FROM (
+      SELECT least(s, o) AS a, greatest(s, o) AS b,
+             max(CASE WHEN s < o THEN 1 ELSE 0 END) AS f,
+             max(CASE WHEN s > o THEN 1 ELSE 0 END) AS r
+      FROM (SELECT DISTINCT {ne('subj', 'subj_kind')} AS s,
+                   {ne('obj', 'obj_kind')} AS o
+            FROM resolved WHERE pred = 'manages')
+      WHERE s <> o GROUP BY 1, 2)
+    WHERE f = 1 AND r = 1
     UNION ALL
     SELECT 'rapid-re-mention', 'info', conv_id, NULL,
            kind || ':' || norm || ':' || CAST(from_turn AS VARCHAR)
