@@ -157,6 +157,18 @@ MULTI_TEMPLATES = [
      r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) uses '
      r'(?P<obj>[a-z0-9_]+) daily\."$',
      [("uses", "subj", "person", "obj", "tool", 0, "quoted")]),
+    # passive voice: the agent (grammatical subject of the relation) appears
+    # AFTER the patient in the surface text — exercises the name-based (not
+    # position-based) capture-group contract end-to-end
+    ("passive_maintains",
+     r'^(?P<obj>[a-z_]+(?:\.[a-z_]+)*) is maintained by '
+     r'(?P<subj>[A-Z][a-z]+)[.?]$',
+     [("maintains", "subj", "person", "obj", "module", 0, "passive")]),
+    # possessive construct: "<B>'s manager is <A>" ⇒ manages(A, B); the
+    # relation's subject is the LAST surface mention
+    ("possessive_manager",
+     r"^(?P<obj>[A-Z][a-z]+)'s manager is (?P<subj>[A-Z][a-z]+)[.?]$",
+     [("manages", "subj", "person", "obj", "person", 0, "possessive")]),
 ]
 
 # literal prefilters for the multi-relation templates (same discipline as
@@ -167,6 +179,8 @@ MULTI_TEMPLATE_LITERALS = {
     "appos_maintainer": ", the maintainer of ",
     "relative_manages": ", who manages ",
     "quoted_uses": ' said "',
+    "passive_maintains": " is maintained by ",
+    "possessive_manager": "'s manager is ",
 }
 
 DEFAULT_SLOT_IDX = 0

@@ -23,7 +23,8 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v4"  # v4: multi-relation sentences (coordination /
+CORPUS_VERSION = "v5"  # v5: passive voice + possessive constructs;
+#                         v4: multi-relation sentences (coordination /
 #                         appositive / relative clause / quoted speech);
 #                         v3: 10-template grammar; v2: multi-sentence
 BASE_EPOCH = 1_767_225_600  # 2026-01-01T00:00:00Z
@@ -84,8 +85,9 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         max over each emitted row's person contribution (obj shadows
         subj per row)."""
         kinds = ["coord_works_at", "coord_uses", "appos_maintainer",
-                 "relative_manages"] + (["quoted_uses"] if allow_quoted
-                                        else [])
+                 "relative_manages", "passive_maintains",
+                 "possessive_manager"] + (["quoted_uses"] if allow_quoted
+                                          else [])
         kind = kinds[int(rng.integers(0, len(kinds)))]
         end = "?" if (rng.random() < 0.05 and kind != "quoted_uses") else "."
         if kind == "coord_works_at":
@@ -128,6 +130,20 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             gts = [("person", a.lower(), "manages", "person", b.lower()),
                    ("person", a.lower(), "joined", "org", obj_canon)]
             return text, gts, max(a, b)
+        if kind == "passive_maintains":
+            a = _pick_person(rng)
+            mod = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
+            text = f"{mod} is maintained by {a}{end}"
+            gts = [("person", a.lower(), "maintains", "module", mod)]
+            return text, gts, a   # subj person commits (obj not a person)
+        if kind == "possessive_manager":
+            a = _pick_person(rng)          # manager = relation subject
+            b = _pick_person(rng)
+            while b == a:
+                b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+            text = f"{b}'s manager is {a}{end}"
+            gts = [("person", a.lower(), "manages", "person", b.lower())]
+            return text, gts, b   # obj person shadows subj (slot contract)
         # quoted_uses — must be the FINAL sentence of its turn (the '."'
         # terminator carries no sentence boundary)
         speaker = _pick_person(rng)
