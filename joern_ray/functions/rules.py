@@ -169,6 +169,15 @@ MULTI_TEMPLATES = [
     ("possessive_manager",
      r"^(?P<obj>[A-Z][a-z]+)'s manager is (?P<subj>[A-Z][a-z]+)[.?]$",
      [("manages", "subj", "person", "obj", "person", 0, "possessive")]),
+    # OBJECT-side coordination ("works at both Y and Z"): slot_idx is the
+    # position in whichever list is coordinated (objects here).  The
+    # lowercase "both" keeps the single works_at template from partially
+    # matching (the plural-verb trick of coord_works_at).
+    ("coord_orgs",
+     r'^(?P<subj>[A-Z][a-z]+) works at both (?P<obj>[A-Z][A-Za-z ]+?) and '
+     r'(?P<obj2>[A-Z][A-Za-z ]+?)[.?]$',
+     [("works_at", "subj", "person", "obj", "org", 0, "main"),
+      ("works_at", "subj", "person", "obj2", "org", 1, "main")]),
 ]
 
 # literal prefilters for the multi-relation templates (same discipline as
@@ -181,6 +190,7 @@ MULTI_TEMPLATE_LITERALS = {
     "quoted_uses": ' said "',
     "passive_maintains": " is maintained by ",
     "possessive_manager": "'s manager is ",
+    "coord_orgs": " works at both ",
 }
 
 DEFAULT_SLOT_IDX = 0

@@ -23,7 +23,8 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v5"  # v5: passive voice + possessive constructs;
+CORPUS_VERSION = "v6"  # v6: object-side coordination ("works at both");
+#                         v5: passive voice + possessive constructs;
 #                         v4: multi-relation sentences (coordination /
 #                         appositive / relative clause / quoted speech);
 #                         v3: 10-template grammar; v2: multi-sentence
@@ -86,8 +87,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         subj per row)."""
         kinds = ["coord_works_at", "coord_uses", "appos_maintainer",
                  "relative_manages", "passive_maintains",
-                 "possessive_manager"] + (["quoted_uses"] if allow_quoted
-                                          else [])
+                 "possessive_manager", "coord_orgs"] \
+            + (["quoted_uses"] if allow_quoted else [])
         kind = kinds[int(rng.integers(0, len(kinds)))]
         end = "?" if (rng.random() < 0.05 and kind != "quoted_uses") else "."
         if kind == "coord_works_at":
@@ -136,6 +137,16 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             text = f"{mod} is maintained by {a}{end}"
             gts = [("person", a.lower(), "maintains", "module", mod)]
             return text, gts, a   # subj person commits (obj not a person)
+        if kind == "coord_orgs":
+            a = _pick_person(rng)
+            o1s, o1c = _pick_org(rng)
+            o2s, o2c = _pick_org(rng)
+            while o2c == o1c:
+                o2s, o2c = _pick_org(rng)
+            text = f"{a} works at both {o1s} and {o2s}{end}"
+            gts = [("person", a.lower(), "works_at", "org", o1c),
+                   ("person", a.lower(), "works_at", "org", o2c)]
+            return text, gts, a
         if kind == "possessive_manager":
             a = _pick_person(rng)          # manager = relation subject
             b = _pick_person(rng)
