@@ -61,6 +61,9 @@ FILLERS = [
 ]
 
 PRONOUNS = ("She", "He")
+# possessive pronouns open the managed_by pronoun template; kept separate
+# because synth uses PRONOUNS for subject-pronoun turns
+POSS_PRONOUNS = ("Her", "His")
 
 # ---------------------------------------------------------------------------
 # Sentence templates.  Exactly one template sentence per templated turn.
@@ -214,6 +217,13 @@ PRONOUN_TEMPLATES = [
     ("uses",
      r"^(?:She|He) (?:no longer )?uses (?P<obj>[a-z0-9_]+) daily[.?]$",
      "tool"),
+    # possessive pronoun ("Her manager is Erin"): the REFERENT is the
+    # managee, so the relation is the inverse predicate managed_by —
+    # subj = resolved referent (the standard pronoun-subject slot),
+    # obj = the explicit person
+    ("managed_by",
+     r"^(?:Her|His) manager is (?P<obj>[A-Z][a-z]+)[.?]$",
+     "person"),
 ]
 
 # Attribute predicates over a matched sentence (shared contract):

@@ -125,9 +125,10 @@ def _rule_assistant_question(batch: pa.Table) -> pa.Table:
 
 
 def _rule_pronoun_turn(batch: pa.Table) -> pa.Table:
-    """Turn opening with an unresolved-reference pronoun."""
+    """Turn opening with an unresolved-reference pronoun (subject or
+    possessive)."""
     mask = pc.fill_null(pc.match_substring_regex(
-        batch.column("text"), r"^(She|He) "), False)
+        batch.column("text"), r"^(She|He|Her|His) "), False)
     sub = batch.filter(mask)
     return _table("pronoun-turn", "info", sub.column("conv_id"),
                   sub.column("turn_idx").cast(pa.int32()),
@@ -878,7 +879,7 @@ def findings_sql(transcripts_rel: str) -> str:
     FROM {tr} WHERE role = 'assistant' AND ends_with(text, '?')
     UNION ALL
     SELECT 'pronoun-turn', 'info', conv_id, turn_idx, text
-    FROM {tr} WHERE regexp_matches(text, '^(She|He) ')
+    FROM {tr} WHERE regexp_matches(text, '^(She|He|Her|His) ')
     UNION ALL
     SELECT 'tool-announce', 'info', conv_id, turn_idx,
            regexp_extract(text, '^Calling ([a-z0-9_]+) now\\.$', 1)

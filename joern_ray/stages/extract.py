@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 from .. import schema as S
 from ..functions import rules as R
 
-_PRONOUN_SET = pa.array(list(R.PRONOUNS))
+_PRONOUN_SET = pa.array(list(R.PRONOUNS) + list(R.POSS_PRONOUNS))
 
 # cheap literal prefilters (memchr scan) run before each RE2 kernel so the
 # regex engine only sees candidate rows — "prune at the read" applied to
@@ -159,8 +159,10 @@ def extract_events(batch: pa.Table,
 
     # pronoun templates first (their sentences also match the person-subject
     # shape; the oracle applies the same precedence, per sentence)
-    pron_pre = pc.or_(pc.starts_with(text, "She "),
-                      pc.starts_with(text, "He "))
+    pron_pre = pc.or_(pc.or_(pc.starts_with(text, "She "),
+                             pc.starts_with(text, "He ")),
+                      pc.or_(pc.starts_with(text, "Her "),
+                             pc.starts_with(text, "His ")))
     pron_idx = pc.indices_nonzero(pc.fill_null(pron_pre, False))
     pron_text = text.take(pron_idx)
     pron_matched_np = np.zeros(sents.num_rows, dtype=bool)

@@ -23,7 +23,9 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v6"  # v6: object-side coordination ("works at both");
+CORPUS_VERSION = "v7"  # v7: possessive-pronoun turns ("Her manager is X",
+#                         inverse-predicate managed_by via pronoun machinery);
+#                         v6: object-side coordination ("works at both");
 #                         v5: passive voice + possessive constructs;
 #                         v4: multi-relation sentences (coordination /
 #                         appositive / relative clause / quoted speech);
@@ -238,7 +240,19 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         role = "user" if t % 2 == 0 else "assistant"
         r = rng.random()
         if r < 0.12 and last_person is not None:
-            pred, _, obj_kind = R.PRONOUN_TEMPLATES[int(rng.integers(0, 2))]
+            ti = int(rng.integers(0, len(R.PRONOUN_TEMPLATES)))
+            pred, _, obj_kind = R.PRONOUN_TEMPLATES[ti]
+            if pred == "managed_by":
+                pronoun = R.POSS_PRONOUNS[int(rng.integers(0, 2))]
+                other = _pick_person(rng)
+                while other == last_person:
+                    other = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+                text = f"{pronoun} manager is {other}."
+                add_row(t, role, text)
+                add_gt(t, "person", last_person.lower(), pred,
+                       "person", other.lower())
+                t += 1
+                continue
             pronoun = R.PRONOUNS[int(rng.integers(0, 2))]
             neg = "no longer " if rng.random() < 0.08 else ""
             if obj_kind == "org":

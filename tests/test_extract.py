@@ -26,7 +26,7 @@ def test_extract_events_vectorized_matches_oracle_without_pronouns():
     text_by = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.to_pylist()}
     want = {(d["conv_id"], d["turn_idx"], d["subj"], d["pred"], d["obj"])
             for d in ora
-            if not (text_by[(d["conv_id"], d["turn_idx"])] or "").startswith(("She ", "He "))}
+            if not (text_by[(d["conv_id"], d["turn_idx"])] or "").startswith(("She ", "He ", "Her ", "His "))}
     assert got == want
 
 
