@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": T.text_quality,
         "dedup_exact": T.dedup_exact,
         "text_clean_corpus": T.clean_corpus,
+        "text_sample_stratified": T.sample_stratified,
         # event-stream ops (sessionize / window / as-of)
         "events_sessionize": EV.sessionize,
         "events_window_counts": EV.window_counts,
@@ -422,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": T.text_quality_sql(),
         "dedup_exact": T.dedup_exact_sql(),
         "text_clean_corpus": T.clean_corpus_sql(),
+        "text_sample_stratified": T.sample_stratified_sql(),
         "events_sessionize": EV.sessionize_sql(),
         "events_window_counts": EV.window_counts_sql(),
         "events_asof_prior_view": EV.asof_prior_view_sql(),

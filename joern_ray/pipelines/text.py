@@ -105,6 +105,71 @@ def lang_id_sql() -> str:
     """
 
 
+SAMPLE_QUOTA_PER_LANG = 100
+_SAMPLE_HASH_MULT = 2654435761          # Knuth multiplicative constant
+_SAMPLE_HASH_MOD = 2 ** 32
+
+
+def _sample_topk_per_lang(t: pa.Table, k: int) -> pa.Table:
+    """k smallest (hsh, doc_id) per lang stratum — one sort + vectorized
+    in-group rank (no per-key Python groups)."""
+    if t.num_rows == 0:
+        return t
+    t = (t.combine_chunks()
+         .sort_by([("lang_pred", "ascending"), ("hsh", "ascending"),
+                   ("doc_id", "ascending")]))
+    lang = t.column("lang_pred").to_numpy(zero_copy_only=False)
+    idx = np.arange(len(lang))
+    first = np.r_[True, lang[1:] != lang[:-1]]
+    grp_start = np.maximum.accumulate(np.where(first, idx, 0))
+    return t.filter(pa.array(idx - grp_start < k))
+
+
+def sample_stratified(sf_dir: str, k: int = SAMPLE_QUOTA_PER_LANG):
+    """Deterministic stratified corpus sample: per language stratum, the
+    k documents with the smallest multiplicative hash of doc_id (ties by
+    doc_id).
+
+    The scale-correct shape for reproducible training-data sampling:
+    membership is a pure function of the key — no RNG state, no global
+    pass — so the sample is stable under re-partitioning and resumable.
+    A per-batch combiner keeps the k smallest rows per stratum (at most
+    strata × k rows leave any batch), then a per-stratum head finishes;
+    stratum cardinality is bounded (languages), so the finishing group
+    step is vocabulary-sized by construction."""
+    docs = lang_id(sf_dir)
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy()
+        h = ((ids % _SAMPLE_HASH_MOD).astype(np.uint64)
+             * np.uint64(_SAMPLE_HASH_MULT)) % np.uint64(_SAMPLE_HASH_MOD)
+        return t.append_column("hsh", pa.array(h.astype(np.int64)))
+
+    combined = docs.map_batches(hashed, batch_format="pyarrow") \
+                   .map_batches(lambda t: _sample_topk_per_lang(t, k),
+                                batch_format="pyarrow")
+    final = combined.groupby("lang_pred").map_groups(
+        lambda g: _sample_topk_per_lang(g, k), batch_format="pyarrow")
+    return final.drop_columns(["hsh"])
+
+
+def sample_stratified_sql(k: int = SAMPLE_QUOTA_PER_LANG) -> str:
+    return f"""
+    WITH lang AS ({lang_id_sql()}),
+    h AS (
+      SELECT doc_id, lang_pred,
+             CAST((CAST(doc_id % {_SAMPLE_HASH_MOD} AS HUGEINT)
+                   * {_SAMPLE_HASH_MULT}) % {_SAMPLE_HASH_MOD} AS BIGINT)
+               AS hsh
+      FROM lang)
+    SELECT doc_id, lang_pred FROM (
+      SELECT doc_id, lang_pred,
+             row_number() OVER (PARTITION BY lang_pred
+                                ORDER BY hsh, doc_id) AS rn
+      FROM h) WHERE rn <= {k}
+    """
+
+
 def token_counts(sf_dir: str):
     """(doc_id, token, n) — exploded token counts, fully vectorized:
     split_pattern → list lengths → parent indices → flatten, then a local

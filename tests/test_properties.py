@@ -161,3 +161,35 @@ def test_resolve_bucket_fast_equals_slow(rows):
     slow = X._resolve_bucket_slow(t.drop_columns(["bucket"]),
                                   X.MAX_RESOLVE_EVENTS_PER_CONV)
     assert key(fast) == key(slow)
+
+
+def test_stratified_sample_kernel_split_invariant():
+    """Sample membership is a pure function of the row set: combining the
+    per-batch combiner over ANY partitioning, then finishing, equals one
+    global pass (the two-phase contract of text.sample_stratified)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from joern_ray.pipelines.text import _sample_topk_per_lang
+
+    rng = np.random.default_rng(7)
+    n, k = 500, 10
+    t = pa.table({
+        "doc_id": pa.array(rng.permutation(n).astype("int64")),
+        "lang_pred": pa.array(["en" if i % 3 else "other"
+                               for i in range(n)]),
+        "hsh": pa.array(rng.integers(0, 1000, n).astype("int64")),
+    })
+    whole = _sample_topk_per_lang(t, k)
+    for n_chunks in (2, 7, 50):
+        parts = [t.slice(i * (n // n_chunks + 1), n // n_chunks + 1)
+                 for i in range(n_chunks)]
+        combined = pa.concat_tables(
+            [_sample_topk_per_lang(p, k) for p in parts if p.num_rows])
+        final = _sample_topk_per_lang(combined, k)
+        assert sorted(final.to_pylist(), key=str) == \
+            sorted(whole.to_pylist(), key=str)
+    # quota respected per stratum
+    import collections
+    cnt = collections.Counter(whole.column("lang_pred").to_pylist())
+    assert all(v <= k for v in cnt.values())
