@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": T.dedup_exact,
         "text_clean_corpus": T.clean_corpus,
         "text_sample_stratified": T.sample_stratified,
+        "text_token_bins": T.token_bins,
         # event-stream ops (sessionize / window / as-of)
         "events_sessionize": EV.sessionize,
         "events_window_counts": EV.window_counts,
@@ -424,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": T.dedup_exact_sql(),
         "text_clean_corpus": T.clean_corpus_sql(),
         "text_sample_stratified": T.sample_stratified_sql(),
+        "text_token_bins": T.token_bins_sql(),
         "events_sessionize": EV.sessionize_sql(),
         "events_window_counts": EV.window_counts_sql(),
         "events_asof_prior_view": EV.asof_prior_view_sql(),

@@ -170,6 +170,75 @@ def sample_stratified_sql(k: int = SAMPLE_QUOTA_PER_LANG) -> str:
     """
 
 
+TOKEN_BIN_BUDGET = 256          # tokens per packed bin
+_BIN_BUCKET_SPAN = 4096         # doc_ids per prefix-sum bucket
+
+
+def token_bins(sf_dir: str, budget: int = TOKEN_BIN_BUDGET,
+               bucket_span: int = _BIN_BUCKET_SPAN):
+    """Sequence packing / chunking: assign each document (in doc_id order)
+    to a token-budget bin — ``bin = (prefix_tokens_before_doc) // budget``.
+
+    The distributed-prefix-sum shape: (1) per-batch partial sums per
+    doc_id-range bucket (tiny table: one row per ``bucket_span`` docs);
+    (2) driver-side exclusive cumsum over the bucket sums — bounded at
+    corpus/bucket_span rows, raise ``bucket_span`` proportionally at
+    scale; (3) broadcast offsets, then each bucket's rows co-locate once
+    (hash groupby) and finish with one vectorized in-group cumsum.
+    Partitioning assumption: one bucket's rows fit a worker's heap."""
+    stats = text_stats(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_tokens": t.column("n_tokens").cast(pa.int64()),
+            "bucket": pc.divide(t.column("doc_id").cast(pa.int64()),
+                                bucket_span),
+        })
+
+    counts = stats.map_batches(project, batch_format="pyarrow") \
+                  .materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.select(["bucket", "n_tokens"]).group_by("bucket")
+                .aggregate([("n_tokens", "sum")])
+                .rename_columns(["bucket", "s"]))
+
+    from ray.data.aggregate import Sum
+    bucket_sums = (counts.map_batches(partial, batch_format="pyarrow")
+                   .groupby("bucket").aggregate(Sum(on="s", alias_name="s"))
+                   .to_pandas().sort_values("bucket"))
+    offs = bucket_sums["s"].cumsum().shift(fill_value=0).to_numpy()
+    offset_ref = ray.put(dict(zip(bucket_sums["bucket"].to_numpy(), offs)))
+
+    def finish(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks().sort_by([("doc_id", "ascending")])
+        base = ray.get(offset_ref)[g.column("bucket")[0].as_py()]
+        n = g.column("n_tokens").to_numpy()
+        prefix = base + np.cumsum(n) - n
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "n_tokens": g.column("n_tokens"),
+            "bin": pa.array(prefix // budget, pa.int64()),
+        })
+
+    return counts.groupby("bucket").map_groups(finish,
+                                               batch_format="pyarrow")
+
+
+def token_bins_sql(budget: int = TOKEN_BIN_BUDGET) -> str:
+    ws = "' ' || chr(9) || chr(10) || chr(12) || chr(13)"
+    ntok = (f"CASE WHEN trim(text, {ws}) = '' THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim(text, {ws}), '\\s+')) END")
+    return f"""
+    SELECT doc_id, n_tokens,
+           CAST((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                // {budget} AS BIGINT) AS bin
+    FROM (SELECT doc_id, CAST({ntok} AS BIGINT) AS n_tokens
+          FROM documents)
+    """
+
+
 def token_counts(sf_dir: str):
     """(doc_id, token, n) — exploded token counts, fully vectorized:
     split_pattern → list lengths → parent indices → flatten, then a local

@@ -193,3 +193,20 @@ def test_stratified_sample_kernel_split_invariant():
     import collections
     cnt = collections.Counter(whole.column("lang_pred").to_pylist())
     assert all(v <= k for v in cnt.values())
+
+
+def test_token_bins_multibucket_matches_single_bucket(ray_session):
+    """The distributed prefix sum is partitioning-independent: tiny
+    bucket_span (many buckets, multi-group path) must equal one giant
+    bucket (single in-group cumsum)."""
+    from joern_ray.pipelines.text import token_bins
+
+    sf = "/root/testdata/sf0.001"
+    a = token_bins(sf, budget=64, bucket_span=16).to_pandas()
+    b = token_bins(sf, budget=64, bucket_span=10**9).to_pandas()
+    key = ["doc_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    # bins are contiguous from 0
+    assert a["bin"].min() == 0
