@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream ops (sessionize / window / as-of)
         "events_sessionize": EV.sessionize,
         "events_window_counts": EV.window_counts,
+        "events_sliding_counts": EV.sliding_window_counts,
         "events_asof_prior_view": EV.asof_prior_view,
         "events_props_k_stats": EV.props_k_stats,
         # similarity search
@@ -428,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_bins": T.token_bins_sql(),
         "events_sessionize": EV.sessionize_sql(),
         "events_window_counts": EV.window_counts_sql(),
+        "events_sliding_counts": EV.sliding_window_counts_sql(),
         "events_asof_prior_view": EV.asof_prior_view_sql(),
         "events_props_k_stats": EV.props_k_stats_sql(),
         "ann_topk": A.ann_bruteforce_sql(),

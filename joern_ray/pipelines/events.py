@@ -156,6 +156,65 @@ def window_counts_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# sliding-window aggregation (1h windows advancing every 15 minutes)
+# ---------------------------------------------------------------------------
+
+SLIDE_S = 15 * 60                       # window advance
+SLIDE_FACTOR = 4                        # window length / slide = 1h / 15min
+
+
+def sliding_window_counts(sf_dir: str):
+    """(event_type, sliding window start) → event count + integer-cents sum.
+
+    Each event belongs to SLIDE_FACTOR overlapping windows; the explosion
+    happens INSIDE the per-batch combiner (one take with tiled indices —
+    rows × 4 never hit the exchange raw, only the combined
+    (type, window) partials do), then the usual two-phase sum."""
+    ds = ray.data.read_parquet(_p(sf_dir),
+                               columns=["event_type", "ts", "value"])
+    slide_us = SLIDE_S * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t.column("ts"), multiple=15, unit="minute") \
+            .cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64())
+        n = t.num_rows
+        idx = np.tile(np.arange(n, dtype=np.int64), SLIDE_FACTOR)
+        starts = np.concatenate(
+            [base - i * slide_us for i in range(SLIDE_FACTOR)])
+        local = pa.table({
+            "event_type": t.column("event_type").take(pa.array(idx)),
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            "cents": cents.take(pa.array(idx)),
+        }).group_by(["event_type", "window_start"]) \
+          .aggregate([("cents", "sum"), ("cents", "count")])
+        return local.rename_columns(
+            ["event_type", "window_start", "cents", "n"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "window_start"])
+            .aggregate(Sum(on="cents", alias_name="sum_cents"),
+                       Sum(on="n", alias_name="n_events"))
+            .map_batches(_window_counts_tidy, batch_format="pyarrow"))
+
+
+def sliding_window_counts_sql() -> str:
+    return f"""
+    SELECT event_type,
+           time_bucket(INTERVAL '15 minutes', ts)
+             - i * INTERVAL '15 minutes' AS window_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events CROSS JOIN
+         (SELECT unnest(range({SLIDE_FACTOR})) AS i)
+    GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
 # as-of join (per purchase: the user's most recent strictly-prior view)
 # ---------------------------------------------------------------------------
 

@@ -32,3 +32,18 @@ def test_events_op_matches_oracle(ray_session, con, fn, sql):
     got = _norm(fn(SF).to_pandas())
     want = _norm(con.execute(sql()).fetchdf())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sliding_counts_mass_conservation(ray_session, sf_small):
+    """Every event lands in exactly SLIDE_FACTOR sliding windows, so the
+    sliding-count total is exactly SLIDE_FACTOR x the event count."""
+    import ray
+
+    from joern_ray.pipelines import events as EV
+
+    n_events = ray.data.read_parquet(EV._p(sf_small)).count()
+    df = EV.sliding_window_counts(sf_small).to_pandas()
+    assert df["n_events"].sum() == EV.SLIDE_FACTOR * n_events
+    # window starts advance on the slide grid
+    assert (df["window_start"].astype("int64")
+            % (EV.SLIDE_S * 1_000_000) == 0).all()
