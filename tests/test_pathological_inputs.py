@@ -81,3 +81,55 @@ def test_config_rejects_non_re2_patterns():
     bad = {"findings_rules": [{"rule": "x", "pattern": "(?<=foo)bar"}]}
     with pytest.raises(ValueError, match="RE2"):
         C.parse_semantics(bad)
+
+
+def test_dirty_input_scan_rules_fire(ray_session):
+    """The dirty-input scan rules (whitespace-only turns, duplicate text)
+    never fire on the clean synth corpus — exercise them directly."""
+    from joern_ray.pipelines.findings import scan
+
+    rows = [
+        dict(conv_id="d1", turn_idx=0, role="user", text="   \t\n "),
+        dict(conv_id="d1", turn_idx=1, role="assistant",
+             text="Same line repeated."),
+        dict(conv_id="d1", turn_idx=2, role="user",
+             text="Same line repeated."),
+        dict(conv_id="d2", turn_idx=0, role="user", text=""),
+    ]
+    out = scan(ray.data.from_arrow(_mk(rows))).to_pandas()
+    by_rule = out.groupby("rule").size().to_dict()
+    assert by_rule.get("empty-turn") == 2          # both blank turns
+    assert by_rule.get("duplicate-turn-text") == 1  # one (conv, text) pair
+
+
+def test_lonely_entity_rule_fires(ray_session, tmp_path):
+    """lonely-entity (mention count <= 1) never fires on the synth corpus
+    where every entity recurs; plant a singleton mention directly."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from joern_ray import synth
+    from joern_ray.pipelines.findings import entity_rules
+
+    sf = str(tmp_path / "lonelysf")
+    d = synth.corpus_dir(sf)
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        dict(conv_id="c1", turn_idx=0, role="user",
+             text="Alice works at Acme Corp."),
+        dict(conv_id="c1", turn_idx=1, role="assistant",
+             text="Bob works at Acme Corp."),
+        dict(conv_id="c1", turn_idx=2, role="user",
+             text="Bob uses search daily."),
+    ]
+    pq.write_table(_mk(rows), os.path.join(d, "transcripts.parquet"))
+    pq.write_table(_mk([]), os.path.join(d, "gt_triples.parquet"))
+    with open(os.path.join(d, "_SUCCESS"), "w") as f:
+        f.write("ok")
+
+    out = entity_rules(sf).to_pandas()
+    lonely = set(out.loc[out["rule"] == "lonely-entity", "evidence"])
+    assert "person:alice:1" in lonely
+    assert "tool:search:1" in lonely
+    assert "person:bob:2" not in lonely
