@@ -40,6 +40,16 @@ _TEMPLATE_LITERALS = {
     "partnered": " partnered with ",
 }
 
+# ONE any-literal scan (RE2 alternation of every template literal) gates the
+# per-template prefilters: filler sentences (no literal at all, the majority
+# of a conversational corpus) are touched once instead of once per template.
+# Purely a candidate-set refinement — per-template logic is unchanged.
+import re as _re  # noqa: E402
+
+_ANY_LITERAL_RE = "|".join(
+    _re.escape(lit) for lit in
+    list(_TEMPLATE_LITERALS.values()) + list(R.MULTI_TEMPLATE_LITERALS.values()))
+
 
 def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
                   sent_idx=0, negated=False, in_question=False,
@@ -181,11 +191,16 @@ def extract_events(batch: pa.Table,
             pc.struct_field(ex, "obj").take(local), "person", ok,
             sidx.take(idx), neg, inq))
 
+    cand_idx = pc.indices_nonzero(pc.fill_null(
+        pc.match_substring_regex(text, _ANY_LITERAL_RE), False))
+    cand_text = text.take(cand_idx)
+
     for pred, rx, sk, ok in R.TEMPLATES + list(extra_templates or []):
         lit = _TEMPLATE_LITERALS.get(pred)
         if lit is not None:
-            pre = pc.match_substring(text, lit)
-            idx0 = pc.indices_nonzero(pc.fill_null(pre, False))
+            pre = pc.match_substring(cand_text, lit)
+            idx0 = cand_idx.take(
+                pc.indices_nonzero(pc.fill_null(pre, False)))
         else:  # config templates carry no literal prefilter
             idx0 = pa.array(range(len(text)), pa.int64())
         if len(idx0) == 0:
@@ -217,9 +232,9 @@ def extract_events(batch: pa.Table,
     # leak an unresolved pronoun as a subject surface).
     for name, rx, emissions in R.MULTI_TEMPLATES:
         lit = R.MULTI_TEMPLATE_LITERALS.get(name)
-        pre = pc.match_substring(text, lit) if lit is not None else None
-        idx0 = (pc.indices_nonzero(pc.fill_null(pre, False))
-                if pre is not None
+        idx0 = (cand_idx.take(pc.indices_nonzero(pc.fill_null(
+                    pc.match_substring(cand_text, lit), False)))
+                if lit is not None
                 else pa.array(range(len(text)), pa.int64()))
         if len(idx0) == 0:
             continue
