@@ -136,7 +136,9 @@ def _attrs(sent) -> tuple:
 
 
 def extract_events(batch: pa.Table,
-                   extra_templates: list[tuple] | None = None) -> pa.Table:
+                   extra_templates: list[tuple] | None = None,
+                   extra_multi_templates: list[tuple] | None = None
+                   ) -> pa.Table:
     """Stage A: transcript batch → extraction-event rows (vectorized;
     multi-sentence turns explode first, every sentence matched
     independently — multiple events per turn are first-class).
@@ -174,9 +176,14 @@ def extract_events(batch: pa.Table,
                       pc.or_(pc.starts_with(text, "Her "),
                              pc.starts_with(text, "His ")))
     pron_idx = pc.indices_nonzero(pc.fill_null(pron_pre, False))
-    pron_text = text.take(pron_idx)
+    # empty-subset guard: regex/take kernels over empty chunked arrays are
+    # unreliable in pyarrow 16 (observed flaky segfaults) — skip the loop
+    # outright when no row is a candidate
+    pron_text = (text.take(pron_idx).combine_chunks()
+                 if len(pron_idx) else pa.array([], pa.string()))
     pron_matched_np = np.zeros(sents.num_rows, dtype=bool)
-    for pred, rx, ok in R.PRONOUN_TEMPLATES:
+    for pred, rx, ok in ([] if not len(pron_idx)
+                         else R.PRONOUN_TEMPLATES):
         ex = pc.extract_regex(pron_text, rx)
         mask = pc.is_valid(ex)
         if not pc.any(mask).as_py():
@@ -193,11 +200,16 @@ def extract_events(batch: pa.Table,
 
     cand_idx = pc.indices_nonzero(pc.fill_null(
         pc.match_substring_regex(text, _ANY_LITERAL_RE), False))
-    cand_text = text.take(cand_idx)
+    n_cand = len(cand_idx)
+    # empty-subset guard (see pron_text note above)
+    cand_text = (text.take(cand_idx).combine_chunks()
+                 if n_cand else pa.array([], pa.string()))
 
     for pred, rx, sk, ok in R.TEMPLATES + list(extra_templates or []):
         lit = _TEMPLATE_LITERALS.get(pred)
         if lit is not None:
+            if not n_cand:
+                continue
             pre = pc.match_substring(cand_text, lit)
             idx0 = cand_idx.take(
                 pc.indices_nonzero(pc.fill_null(pre, False)))
@@ -230,8 +242,11 @@ def extract_events(batch: pa.Table,
     # nested-AST multi-relation analog.  Each emission checks its own
     # subject against the pronoun set (a coordinated 'She' slot must not
     # leak an unresolved pronoun as a subject surface).
-    for name, rx, emissions in R.MULTI_TEMPLATES:
+    for name, rx, emissions in (R.MULTI_TEMPLATES
+                                + list(extra_multi_templates or [])):
         lit = R.MULTI_TEMPLATE_LITERALS.get(name)
+        if lit is not None and not n_cand:
+            continue
         idx0 = (cand_idx.take(pc.indices_nonzero(pc.fill_null(
                     pc.match_substring(cand_text, lit), False)))
                 if lit is not None
@@ -496,7 +511,8 @@ def extract_triples(transcripts_ds, *, num_partitions: int | None = None,
                     resolve_buckets: int | None = DEFAULT_RESOLVE_BUCKETS,
                     materialize_events: bool = True,
                     max_resolve_events_per_conv: int | None = None,
-                    extra_templates: list[tuple] | None = None):
+                    extra_templates: list[tuple] | None = None,
+                    extra_multi_templates: list[tuple] | None = None):
     """Full extraction: transcripts Dataset → surface-triples Dataset.
 
     resolve_buckets=None groups per conversation (reference semantics,
@@ -510,7 +526,7 @@ def extract_triples(transcripts_ds, *, num_partitions: int | None = None,
     callers should NOT materialize it again (the passthrough bulk would
     just be copied through the object store a second time)."""
     events = transcripts_ds.map_batches(
-        lambda t: extract_events(t, extra_templates),
+        lambda t: extract_events(t, extra_templates, extra_multi_templates),
         batch_format="pyarrow", zero_copy_batch=True)
     if resolve_buckets is None:
         return events.groupby("conv_id").map_groups(

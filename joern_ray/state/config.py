@@ -12,6 +12,13 @@ Config shape (all sections optional)::
         {"pred": "...", "regex": "^...(?P<subj>...)...(?P<obj>...)$",
          "subj_kind": "person", "obj_kind": "org"}
       ],
+      "multi_templates": [      # multi-relation templates (rules.MULTI_TEMPLATES)
+        {"name": "...", "regex": "^...named groups...$",
+         "emissions": [         # one relation row per emission per match
+           {"pred": "...", "subj_group": "g", "subj_kind": "person",
+            "obj_group": "h", "obj_kind": "org",
+            "slot_idx": 0, "clause": "main"}]}
+      ],
       "findings_rules": [       # extra scan rules (regex predicate per turn)
         {"rule": "...", "severity": "info|warning",
          "pattern": "...",      # RE2, matched against text
@@ -39,6 +46,7 @@ from dataclasses import dataclass, field
 @dataclass
 class Semantics:
     templates: list[tuple[str, str, str, str]] = field(default_factory=list)
+    multi_templates: list[tuple] = field(default_factory=list)
     findings_rules: list[dict] = field(default_factory=list)
     extra_flows: list[tuple[str, str, str, str]] = field(default_factory=list)
 
@@ -85,6 +93,30 @@ def parse_semantics(doc: dict) -> Semantics:
             if k not in _KINDS:
                 raise ValueError(f"unknown kind {k!r}")
         out.templates.append((t["pred"], rx, t["subj_kind"], t["obj_kind"]))
+    for m in doc.get("multi_templates", []):
+        rx = m["regex"]
+        _validate_re2(rx)
+        compiled = re.compile(rx)
+        emissions = []
+        for e in m.get("emissions", []):
+            for g in (e["subj_group"], e["obj_group"]):
+                if g not in compiled.groupindex:
+                    raise ValueError(
+                        f"multi template {m.get('name')!r}: emission "
+                        f"references unknown capture group {g!r}")
+            for k in (e["subj_kind"], e["obj_kind"]):
+                if k not in _KINDS:
+                    raise ValueError(f"unknown kind {k!r}")
+            slot = int(e.get("slot_idx", 0))
+            if slot < 0:
+                raise ValueError("slot_idx must be >= 0")
+            emissions.append((e["pred"], e["subj_group"], e["subj_kind"],
+                              e["obj_group"], e["obj_kind"], slot,
+                              str(e.get("clause", "main"))))
+        if not emissions:
+            raise ValueError(
+                f"multi template {m.get('name')!r}: needs >=1 emission")
+        out.multi_templates.append((m["name"], rx, emissions))
     for r in doc.get("findings_rules", []):
         _validate_re2(r["pattern"])
         re.compile(r["pattern"])  # the Python-oracle side must accept too

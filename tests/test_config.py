@@ -24,6 +24,18 @@ CFG = {
          "regex": r"^(?P<subj>[A-Z][a-z]+) mentored (?P<obj>[A-Z][a-z]+)\.$",
          "subj_kind": "person", "obj_kind": "person"},
     ],
+    "multi_templates": [
+        {"name": "co_mentored",
+         "regex": (r"^(?P<a>[A-Z][a-z]+) and (?P<b>[A-Z][a-z]+) "
+                   r"co-mentored (?P<obj>[A-Z][a-z]+)\.$"),
+         "emissions": [
+             {"pred": "mentored", "subj_group": "a", "subj_kind": "person",
+              "obj_group": "obj", "obj_kind": "person",
+              "slot_idx": 0, "clause": "main"},
+             {"pred": "mentored", "subj_group": "b", "subj_kind": "person",
+              "obj_group": "obj", "obj_kind": "person",
+              "slot_idx": 1, "clause": "main"}]},
+    ],
     "findings_rules": [
         {"rule": "mentorship", "severity": "info",
          "pattern": " mentored ", "evidence": "text"},
@@ -63,6 +75,29 @@ def test_config_template_extracts(ray_session):
     assert {"mentored", "works_at"} <= preds
     m = [r for r in out if r["pred"] == "mentored"][0]
     assert (m["subj"], m["obj"]) == ("Alice", "Bob")
+
+
+def test_config_multi_template_extracts(ray_session):
+    """External multi-relation template: one sentence, two emissions with
+    distinct slot_idx (the querydb-plugin analog for nested constructs)."""
+    from joern_ray.stages import extract as X
+    sem = C.parse_semantics(CFG)
+    rows = [dict(conv_id="c1", turn_idx=0, role="user",
+                 text="Alice and Carol co-mentored Bob.", tool=None, ts=0)]
+    ds = ray.data.from_arrow(_mk(rows))
+    out = X.extract_triples(
+        ds, extra_multi_templates=sem.multi_templates).take_all()
+    got = sorted((r["subj"], r["pred"], r["obj"], r["slot_idx"])
+                 for r in out)
+    assert got == [("Alice", "mentored", "Bob", 0),
+                   ("Carol", "mentored", "Bob", 1)]
+    bad = dict(CFG, multi_templates=[
+        {"name": "x", "regex": r"^(?P<a>[A-Z][a-z]+)$",
+         "emissions": [{"pred": "p", "subj_group": "a",
+                        "subj_kind": "person", "obj_group": "missing",
+                        "obj_kind": "person"}]}])
+    with pytest.raises(ValueError, match="unknown capture group"):
+        C.parse_semantics(bad)
 
 
 def test_config_findings_rule(ray_session):
