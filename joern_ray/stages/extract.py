@@ -103,12 +103,14 @@ def _explode_sentences(batch: pa.Table) -> pa.Table:
         })
     multi_idx = pc.indices_nonzero(bnd)
     single_idx = pc.indices_nonzero(pc.invert(bnd))
-    single = pa.table({
-        "conv_id": batch.column("conv_id").take(single_idx),
-        "turn_idx": batch.column("turn_idx").take(single_idx),
-        "sent": text.take(single_idx),
-        "sent_idx": pa.nulls(len(single_idx), pa.int32()).fill_null(0),
-    })
+    singles = []
+    if len(single_idx):  # empty-subset guard (pyarrow 16 empty-take flake)
+        singles.append(pa.table({
+            "conv_id": batch.column("conv_id").take(single_idx),
+            "turn_idx": batch.column("turn_idx").take(single_idx),
+            "sent": text.take(single_idx),
+            "sent_idx": pa.nulls(len(single_idx), pa.int32()).fill_null(0),
+        }))
     mtext = text.take(multi_idx)
     marked = pc.replace_substring_regex(mtext, R.SENT_MARK_RE,
                                         R.SENT_MARK_SUB)
@@ -126,7 +128,7 @@ def _explode_sentences(batch: pa.Table) -> pa.Table:
         "sent": flat,
         "sent_idx": pa.array(sent_idx.astype("int32"), pa.int32()),
     })
-    return pa.concat_tables([single, multi])
+    return pa.concat_tables(singles + [multi])
 
 
 def _attrs(sent) -> tuple:
