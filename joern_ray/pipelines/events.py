@@ -175,6 +175,11 @@ def sliding_window_counts(sf_dir: str):
     slide_us = SLIDE_S * 1_000_000
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty-take guard (pyarrow 16 flake class)
+            return pa.schema(
+                [("event_type", pa.string()),
+                 ("window_start", pa.timestamp("us")),
+                 ("cents", pa.int64()), ("n", pa.int64())]).empty_table()
         base = pc.floor_temporal(t.column("ts"), multiple=15, unit="minute") \
             .cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
         cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),

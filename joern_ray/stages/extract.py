@@ -377,6 +377,8 @@ def _resolve_bucket(group: pa.Table,
     safe = np.where(ok, pos, 0)
     ok &= (tp_keys[safe] >> 32) == (pkeys >> 32)   # same conversation
     pron_rows = np.nonzero(is_pron)[0][ok]
+    if not len(pron_rows):  # empty-take guard (pyarrow 16 flake class)
+        return S.TRIPLES_SURFACE.empty_table()
     referent = tp_vals[safe[ok]]
     sub = g.take(pa.array(pron_rows, pa.int64()))
     n = sub.num_rows
