@@ -250,7 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_tool_imports": kg_tool_imports,
         "kg_tool_registry": kg_tool_registry,
         # scan battery + snippet retrieval + mention aggregation
-        "kg_findings": FND.findings,
+        # (findings reuses the memoized graph build — ScanPass runs over
+        # the already-built CPG, not a fresh extraction)
+        "kg_findings": lambda sf: FND.findings(sf, graph=_graph(sf)),
         "kg_snippets": FND.snippets,
         "kg_mention_counts": FND.entity_mention_counts,
         "kg_conv_tools": FND.conv_tools,

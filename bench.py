@@ -95,6 +95,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "rel_q1_pricing", "rel_revenue_by_nation", "rel_topk_orders",
         "text_stats", "text_lang_id", "dedup_exact", "dedup_minhash",
         "dedup_simhash", "ann_topk", "ann_lsh", "multimodal_features",
+        "kg_findings", "text_sample_stratified", "text_token_bins",
+        "events_sliding_counts",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -524,7 +524,9 @@ def _entity_table(rule: str, sev: str, ev, n: int) -> pa.Table:
         schema=FINDINGS)
 
 
-def entity_rules(sf_dir: str) -> "ray.data.Dataset":
+def entity_rules(sf_dir: str, *, triples: "ray.data.Dataset | None" = None,
+                 entities: "ray.data.Dataset | None" = None
+                 ) -> "ray.data.Dataset":
     """All entity-/graph-level rules off ONE triples materialization —
     the graph-shaped half of the scan battery (canonical-entity,
     aggregation and chain rules, not regex-on-turns):
@@ -549,14 +551,16 @@ def entity_rules(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.link import normalize_arrays
     from ..stages.materialize import entity_lookup_ref
 
-    tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
-    triples = X.extract_triples(tds).materialize()
+    if triples is None:
+        tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
+        triples = X.extract_triples(tds).materialize()
     mentions = triples.map_batches(L.mentions_from_triples,
                                    batch_format="pyarrow").materialize()
     counts = salted_multikey_count(mentions, ["kind", "norm"], "n")
 
-    entities = L.build_entities(
-        L.vocab_from_mentions(mentions)).materialize()
+    if entities is None:
+        entities = L.build_entities(
+            L.vocab_from_mentions(mentions)).materialize()
     eref = entity_lookup_ref(entities)
     exact_kinds = pa.array(sorted(
         {"person", "tool", "module"} - R.FUZZY_KINDS - R.NONLINK_KINDS))
@@ -584,128 +588,157 @@ def entity_rules(sf_dir: str) -> "ray.data.Dataset":
 
     out = [counts.map_batches(count_rules, batch_format="pyarrow")]
 
-    # ---- works_at slices: multi-employer + work-contradiction ----------
-    def works_at_keys(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.equal(t.column("pred"), "works_at"))
-        return (pa.table({
-            "s": normalize_arrays(sub.column("subj_kind"),
-                                  sub.column("subj")),
-            "o": normalize_arrays(sub.column("obj_kind"),
-                                  sub.column("obj")),
-            "neg": sub.column("negated").cast(pa.int8()),
-        }).group_by(["s", "o", "neg"]).aggregate([]))
+    # ---- fused triple-slice rule families ------------------------------
+    # works_at (multi-employer + work-contradiction), module-hotspot,
+    # acquirer-acquired and bidirectional-management each need one grouped
+    # view of a triple slice.  Run them as ONE tagged aggregation pass —
+    # one map over triples emitting (fam, a, b, n, f1, f2) partials, one
+    # global groupby — instead of five independent all-to-all exchanges
+    # (each global shuffle carries seconds of fixed latency; at corpus
+    # scale five exchanges over the same input are four too many).
+    #   fam='wa'  : a=person, b=org; f1=seen non-negated, f2=seen negated
+    #   fam='bug' : a=module;        n=report count
+    #   fam='acq' : a=org;           f1=seen as acquirer, f2=as acquired
+    #   fam='mgmt': a,b=(least,greatest) person pair; f1=fwd, f2=rev
+    from ray.data.aggregate import Max
 
-    wa = (triples.map_batches(works_at_keys, batch_format="pyarrow")
-          .groupby(["s", "o", "neg"]).count()).materialize()
+    _FAM_SCHEMA = pa.schema([
+        ("fam", pa.string()), ("a", pa.string()), ("b", pa.string()),
+        ("n", pa.int64()), ("f1", pa.int64()), ("f2", pa.int64())])
 
-    def pair_partial(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return pa.schema([("s", pa.string()), ("o", pa.string()),
-                              ("n", pa.int64())]).empty_table()
-        return (t.select(["s", "o"]).group_by(["s", "o"])
-                .aggregate([("o", "count")])
-                .rename_columns(["s", "o", "n"]))
+    def fam_partial(t: pa.Table) -> pa.Table:
+        parts = []
 
-    pairs = (wa.map_batches(pair_partial, batch_format="pyarrow")
-             .groupby(["s", "o"]).aggregate(Sum(on="n", alias_name="n")))
+        def emit(fam, a, b, n, f1, f2):
+            a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+            k = len(a)
+            parts.append(pa.Table.from_arrays(
+                [pa.array([fam] * k, pa.string()), a,
+                 b.combine_chunks() if isinstance(b, pa.ChunkedArray)
+                 else b, n, f1, f2], schema=_FAM_SCHEMA))
 
-    def contradiction_finish(t: pa.Table) -> pa.Table:
+        ones = lambda k: pa.array([1] * k, pa.int64())   # noqa: E731
+        zeros = lambda k: pa.array([0] * k, pa.int64())  # noqa: E731
+
+        wa = t.filter(pc.equal(t.column("pred"), "works_at"))
+        if wa.num_rows:
+            neg = pc.cast(wa.column("negated"), pa.int64())
+            emit("wa", normalize_arrays(wa.column("subj_kind"),
+                                        wa.column("subj")),
+                 normalize_arrays(wa.column("obj_kind"), wa.column("obj")),
+                 zeros(wa.num_rows),
+                 pc.subtract(ones(wa.num_rows), neg), neg)
+
+        bug = t.filter(pc.equal(t.column("pred"), "reported_bug"))
+        if bug.num_rows:
+            k = bug.num_rows
+            emit("bug", normalize_arrays(bug.column("obj_kind"),
+                                         bug.column("obj")),
+                 pa.array([""] * k, pa.string()), ones(k), zeros(k),
+                 zeros(k))
+
+        acq = t.filter(pc.equal(t.column("pred"), "acquired"))
+        if acq.num_rows:
+            k = acq.num_rows
+            sn = normalize_arrays(acq.column("subj_kind"),
+                                  acq.column("subj"))
+            on = normalize_arrays(acq.column("obj_kind"), acq.column("obj"))
+            emit("acq", sn, pa.array([""] * k, pa.string()), zeros(k),
+                 ones(k), zeros(k))
+            emit("acq", on, pa.array([""] * k, pa.string()), zeros(k),
+                 zeros(k), ones(k))
+
+        mg = t.filter(pc.equal(t.column("pred"), "manages"))
+        if mg.num_rows:
+            s = normalize_arrays(mg.column("subj_kind"), mg.column("subj"))
+            o = normalize_arrays(mg.column("obj_kind"), mg.column("obj"))
+            s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+            o = o.combine_chunks() if isinstance(o, pa.ChunkedArray) else o
+            ne = pc.not_equal(s, o)
+            s, o = s.filter(ne), o.filter(ne)
+            if len(s):
+                fwd = pc.less(s, o)
+                emit("mgmt", pc.if_else(fwd, s, o), pc.if_else(fwd, o, s),
+                     zeros(len(s)), pc.cast(fwd, pa.int64()),
+                     pc.cast(pc.invert(fwd), pa.int64()))
+
+        if not parts:
+            return _FAM_SCHEMA.empty_table()
+        return (pa.concat_tables(parts)
+                .group_by(["fam", "a", "b"])
+                .aggregate([("n", "sum"), ("f1", "max"), ("f2", "max")])
+                .rename_columns(["fam", "a", "b", "n", "f1", "f2"]))
+
+    fam_agg = (triples.map_batches(fam_partial, batch_format="pyarrow")
+               .groupby(["fam", "a", "b"])
+               .aggregate(Sum(on="n", alias_name="n"),
+                          Max(on="f1", alias_name="f1"),
+                          Max(on="f2", alias_name="f2"))
+               ).materialize()  # consumed by finish AND the emp roll-up
+
+    def fam_finish(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
             return FINDINGS.empty_table()
-        sub = t.filter(pc.equal(t.column("n"), 2))  # negated ∈ {0,1} both
-        ev = pc.binary_join_element_wise(
-            "person", sub.column("s").cast(pa.string()),
-            "org", sub.column("o").cast(pa.string()), ":")
-        return _entity_table("work-contradiction", "warning", ev,
-                             sub.num_rows)
+        outs = [FINDINGS.empty_table()]
+        both = pc.and_(pc.equal(t.column("f1"), 1),
+                       pc.equal(t.column("f2"), 1))
+        wa = t.filter(pc.and_(pc.equal(t.column("fam"), "wa"), both))
+        outs.append(_entity_table(
+            "work-contradiction", "warning",
+            pc.binary_join_element_wise(
+                "person", wa.column("a").cast(pa.string()),
+                "org", wa.column("b").cast(pa.string()), ":"),
+            wa.num_rows))
+        bug = t.filter(pc.and_(
+            pc.equal(t.column("fam"), "bug"),
+            pc.greater_equal(t.column("n"), MODULE_HOTSPOT_MIN)))
+        outs.append(_entity_table(
+            "module-hotspot", "warning",
+            pc.binary_join_element_wise(
+                "module", bug.column("a").cast(pa.string()),
+                pc.cast(bug.column("n"), pa.string()), ":"),
+            bug.num_rows))
+        acq = t.filter(pc.and_(pc.equal(t.column("fam"), "acq"), both))
+        outs.append(_entity_table(
+            "acquirer-acquired", "info",
+            pc.binary_join_element_wise(
+                "org", acq.column("a").cast(pa.string()), ":"),
+            acq.num_rows))
+        mg = t.filter(pc.and_(pc.equal(t.column("fam"), "mgmt"), both))
+        outs.append(_entity_table(
+            "bidirectional-management", "warning",
+            pc.binary_join_element_wise(
+                "person", mg.column("a").cast(pa.string()),
+                "person", mg.column("b").cast(pa.string()), ":"),
+            mg.num_rows))
+        return pa.concat_tables(outs)
 
-    out.append(pairs.map_batches(contradiction_finish,
-                                 batch_format="pyarrow"))
+    out.append(fam_agg.map_batches(fam_finish, batch_format="pyarrow"))
 
-    # distinct (s, o) globally first (wa already distinct per (s,o,neg);
-    # collapse neg), then count per person
-    so = (wa.map_batches(
-        lambda t: t.select(["s", "o"]).group_by(["s", "o"]).aggregate([])
-        if t.num_columns else
-        pa.schema([("s", pa.string()), ("o", pa.string())]).empty_table(),
+    # multi-employer: roll up the (already globally distinct) wa pairs to
+    # per-person distinct-employer counts — a second, tiny exchange over
+    # entity-vocabulary-sized rows
+    emp = (fam_agg.map_batches(
+        lambda t: ((t.filter(pc.equal(t.column("fam"), "wa"))
+                    .select(["a"]).group_by("a")
+                    .aggregate([("a", "count")])
+                    .rename_columns(["a", "n"]))
+                   if t.num_columns else
+                   pa.schema([("a", pa.string()),
+                              ("n", pa.int64())]).empty_table()),
         batch_format="pyarrow")
-        .groupby(["s", "o"]).count())
-    emp = (so.map_batches(
-        lambda t: (t.select(["s"]).group_by("s")
-                   .aggregate([("s", "count")]).rename_columns(["s", "n"]))
-        if t.num_columns else
-        pa.schema([("s", pa.string()), ("n", pa.int64())]).empty_table(),
-        batch_format="pyarrow")
-        .groupby("s").aggregate(Sum(on="n", alias_name="n")))
+        .groupby("a").aggregate(Sum(on="n", alias_name="n")))
 
     def employer_finish(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
             return FINDINGS.empty_table()
         sub = t.filter(pc.greater_equal(t.column("n"), MULTI_EMPLOYER_MIN))
         ev = pc.binary_join_element_wise(
-            "person", sub.column("s").cast(pa.string()),
+            "person", sub.column("a").cast(pa.string()),
             pc.cast(sub.column("n"), pa.string()), ":")
         return _entity_table("multi-employer", "warning", ev, sub.num_rows)
 
     out.append(emp.map_batches(employer_finish, batch_format="pyarrow"))
-
-    # ---- module-hotspot: bug-report counts per module ------------------
-    def bug_partial(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.equal(t.column("pred"), "reported_bug"))
-        return (pa.table({"m": normalize_arrays(sub.column("obj_kind"),
-                                                sub.column("obj"))})
-                .group_by("m").aggregate([("m", "count")])
-                .rename_columns(["m", "n"]))
-
-    bugs = (triples.map_batches(bug_partial, batch_format="pyarrow")
-            .groupby("m").aggregate(Sum(on="n", alias_name="n")))
-
-    def bug_finish(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return FINDINGS.empty_table()
-        sub = t.filter(pc.greater_equal(t.column("n"), MODULE_HOTSPOT_MIN))
-        ev = pc.binary_join_element_wise(
-            "module", sub.column("m").cast(pa.string()),
-            pc.cast(sub.column("n"), pa.string()), ":")
-        return _entity_table("module-hotspot", "warning", ev, sub.num_rows)
-
-    out.append(bugs.map_batches(bug_finish, batch_format="pyarrow"))
-
-    # ---- acquirer-acquired: org on both sides of 'acquired' ------------
-    def acq_partial(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.equal(t.column("pred"), "acquired"))
-        sn = normalize_arrays(sub.column("subj_kind"), sub.column("subj"))
-        on = normalize_arrays(sub.column("obj_kind"), sub.column("obj"))
-        n_s, n_o = len(sn), len(on)
-        tab = pa.table({
-            "x": pa.concat_arrays([sn.combine_chunks()
-                                   if isinstance(sn, pa.ChunkedArray)
-                                   else sn,
-                                   on.combine_chunks()
-                                   if isinstance(on, pa.ChunkedArray)
-                                   else on]),
-            "is_s": pa.array([1] * n_s + [0] * n_o, pa.int64()),
-            "is_o": pa.array([0] * n_s + [1] * n_o, pa.int64()),
-        })
-        return (tab.group_by("x").aggregate([("is_s", "max"),
-                                             ("is_o", "max")])
-                .rename_columns(["x", "is_s", "is_o"]))
-
-    from ray.data.aggregate import Max
-    acq = (triples.map_batches(acq_partial, batch_format="pyarrow")
-           .groupby("x").aggregate(Max(on="is_s", alias_name="is_s"),
-                                   Max(on="is_o", alias_name="is_o")))
-
-    def acq_finish(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return FINDINGS.empty_table()
-        sub = t.filter(pc.and_(pc.equal(t.column("is_s"), 1),
-                               pc.equal(t.column("is_o"), 1)))
-        ev = pc.binary_join_element_wise(
-            "org", sub.column("x").cast(pa.string()), ":")
-        return _entity_table("acquirer-acquired", "info", ev, sub.num_rows)
-
-    out.append(acq.map_batches(acq_finish, batch_format="pyarrow"))
 
     # ---- rapid-re-mention: chain edge spanning consecutive turns -------
     def chain_finish(t: pa.Table) -> pa.Table:
@@ -728,44 +761,6 @@ def entity_rules(sf_dir: str) -> "ray.data.Dataset":
 
     out.append(mention_chains(triples).map_batches(
         chain_finish, batch_format="pyarrow"))
-
-    # ---- bidirectional-management: A manages B and B manages A ---------
-    # Same unordered-pair shape as acquirer-acquired: one groupby over the
-    # distinct manages pairs keyed (least, greatest) with direction flags.
-    def mgmt_partial(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.equal(t.column("pred"), "manages"))
-        s = normalize_arrays(sub.column("subj_kind"), sub.column("subj"))
-        o = normalize_arrays(sub.column("obj_kind"), sub.column("obj"))
-        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
-        o = o.combine_chunks() if isinstance(o, pa.ChunkedArray) else o
-        ne_mask = pc.not_equal(s, o)
-        s, o = s.filter(ne_mask), o.filter(ne_mask)
-        fwd = pc.less(s, o)
-        tab = pa.table({
-            "a": pc.if_else(fwd, s, o), "b": pc.if_else(fwd, o, s),
-            "f": pc.cast(fwd, pa.int64()),
-            "r": pc.cast(pc.invert(fwd), pa.int64()),
-        })
-        return (tab.group_by(["a", "b"])
-                .aggregate([("f", "max"), ("r", "max")])
-                .rename_columns(["a", "b", "f", "r"]))
-
-    mgmt = (triples.map_batches(mgmt_partial, batch_format="pyarrow")
-            .groupby(["a", "b"]).aggregate(Max(on="f", alias_name="f"),
-                                           Max(on="r", alias_name="r")))
-
-    def mgmt_finish(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return FINDINGS.empty_table()
-        sub = t.filter(pc.and_(pc.equal(t.column("f"), 1),
-                               pc.equal(t.column("r"), 1)))
-        ev = pc.binary_join_element_wise(
-            "person", sub.column("a").cast(pa.string()),
-            "person", sub.column("b").cast(pa.string()), ":")
-        return _entity_table("bidirectional-management", "warning", ev,
-                             sub.num_rows)
-
-    out.append(mgmt.map_batches(mgmt_finish, batch_format="pyarrow"))
 
     res = out[0]
     for ds_ in out[1:]:
@@ -803,14 +798,21 @@ def scan(transcripts_ds: "ray.data.Dataset",
             .union(_dup_text_rule(transcripts_ds)))
 
 
-def findings(sf_dir: str):
+def findings(sf_dir: str, *, graph: dict | None = None):
     """Full battery (50 rules: 30 per-turn + 12 conversation-level +
     8 entity/graph): transcript-level scan ∪ entity/graph rules —
     matches the reference's 50-query scan battery rule-for-rule in count
     (``querydb/src/main/scala/io/joern/scanners/**``, 50 Query.make
-    sites)."""
+    sites).
+
+    graph: an optional ``kg.build_graph`` result dict — when supplied,
+    the entity/graph rules reuse its materialized triples/entities
+    (the ScanPass-over-an-already-built-CPG shape) instead of
+    re-extracting."""
+    g = graph or {}
     return scan(ray.data.read_parquet(synth.transcripts_path(sf_dir))) \
-        .union(entity_rules(sf_dir))
+        .union(entity_rules(sf_dir, triples=g.get("triples_surface"),
+                            entities=g.get("entities")))
 
 
 def findings_sql(transcripts_rel: str) -> str:
