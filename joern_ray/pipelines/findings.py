@@ -555,12 +555,15 @@ def entity_rules(sf_dir: str, *, triples: "ray.data.Dataset | None" = None,
         tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
         triples = X.extract_triples(tds).materialize()
     mentions = triples.map_batches(L.mentions_from_triples,
-                                   batch_format="pyarrow").materialize()
-    counts = salted_multikey_count(mentions, ["kind", "norm"], "n")
-
+                                   batch_format="pyarrow")
     if entities is None:
+        # two consumers (counts + entity build) → one store copy; with a
+        # prebuilt directory the corpus-sized mentions stream is consumed
+        # once and never materialized
+        mentions = mentions.materialize()
         entities = L.build_entities(
             L.vocab_from_mentions(mentions)).materialize()
+    counts = salted_multikey_count(mentions, ["kind", "norm"], "n")
     eref = entity_lookup_ref(entities)
     exact_kinds = pa.array(sorted(
         {"person", "tool", "module"} - R.FUZZY_KINDS - R.NONLINK_KINDS))
