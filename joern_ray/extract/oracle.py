@@ -76,7 +76,7 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                 if m is None:
                     continue
                 subj, obj = m.group("subj"), m.group("obj")
-                if subj in R.PRONOUNS:
+                if subj in R.SUBJ_PRONOUNS:
                     continue
                 out.append(dict(conv_id=conv_id, turn_idx=t, subj=subj,
                                 pred=pred, obj=obj, subj_kind=sk,
@@ -97,7 +97,16 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                     continue
                 for pred, subj_g, sk, obj_g, ok, slot, clause in emissions:
                     subj, obj = m.group(subj_g), m.group(obj_g)
-                    if subj in R.PRONOUNS:
+                    if subj in R.SUBJ_PRONOUNS:
+                        # pronoun in a coordinated person slot: resolve to
+                        # the committed referent, keep the emission's
+                        # slot/clause, contribute no state
+                        if sk == "person" and last_person is not None:
+                            out.append(dict(
+                                conv_id=conv_id, turn_idx=t,
+                                subj=last_person, pred=pred, obj=obj,
+                                subj_kind=sk, obj_kind=ok, **attrs,
+                                slot_idx=slot, clause=clause))
                         continue
                     out.append(dict(conv_id=conv_id, turn_idx=t, subj=subj,
                                     pred=pred, obj=obj, subj_kind=sk,

@@ -51,6 +51,8 @@ def events_sql(rel: str) -> str:
     pron_any = " OR ".join(
         f"regexp_matches(sent, '{_plain(rx)}')"
         for _, rx, _ in R.PRONOUN_TEMPLATES)
+    # the shared subject-pronoun surface set (rules.SUBJ_PRONOUNS)
+    pron_in = ", ".join(f"'{p}'" for p in R.SUBJ_PRONOUNS)
     sents = _sents_cte(rel)
     for pred, rx, ok in R.PRONOUN_TEMPLATES:
         rxs = _plain(rx)
@@ -71,7 +73,7 @@ def events_sql(rel: str) -> str:
                {_attr_cols()}, {R.DEFAULT_SLOT_IDX}, '{R.DEFAULT_CLAUSE}'
         FROM {sents}
         WHERE regexp_matches(sent, '{rxs}')
-          AND regexp_extract(sent, '{rxs}', 1) NOT IN ('She', 'He')
+          AND regexp_extract(sent, '{rxs}', 1) NOT IN ({pron_in})
           AND NOT ({pron_any})""")
     # multi-relation templates: one arm per EMISSION (groups by number via
     # rules.named_group_numbers — the Ray side extracts named groups from
@@ -88,7 +90,21 @@ def events_sql(rel: str) -> str:
         FROM {sents}
         WHERE regexp_matches(sent, '{rxs}')
           AND regexp_extract(sent, '{rxs}', {nums[subj_g]})
-              NOT IN ('She', 'He')
+              NOT IN ({pron_in})
+          AND NOT ({pron_any})""")
+            if sk != 'person':
+                continue
+            # pronoun in a person subject slot: a PRONOUN event carrying
+            # the emission's slot/clause (resolved by the shared window)
+            parts.append(f"""
+        SELECT conv_id, turn_idx, 'pronoun',
+               CAST(NULL AS VARCHAR), '{pred}',
+               regexp_extract(sent, '{rxs}', {nums[obj_g]}), '{sk}', '{ok}',
+               {_attr_cols()}, {slot}, '{clause}'
+        FROM {sents}
+        WHERE regexp_matches(sent, '{rxs}')
+          AND regexp_extract(sent, '{rxs}', {nums[subj_g]})
+              IN ({pron_in})
           AND NOT ({pron_any})""")
     parts.append(f"""
         SELECT conv_id, turn_idx, 'triple', conv_id, '{R.INVOKED_PRED}',

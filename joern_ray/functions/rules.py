@@ -64,6 +64,10 @@ PRONOUNS = ("She", "He")
 # possessive pronouns open the managed_by pronoun template; kept separate
 # because synth uses PRONOUNS for subject-pronoun turns
 POSS_PRONOUNS = ("Her", "His")
+# the shared subject-surface pronoun test (one source of truth for all three
+# implementations — engine kernel, Python oracle, SQL mirror): a captured
+# person-slot surface equal to any of these is a pronoun, never a name
+SUBJ_PRONOUNS = PRONOUNS + POSS_PRONOUNS
 
 # ---------------------------------------------------------------------------
 # Sentence templates.  Exactly one template sentence per templated turn.
@@ -132,6 +136,12 @@ TEMPLATES = [
 #     per-row rule (obj person shadows subj person; turn max wins) — the
 #     speaker of a quoted sentence is NOT an emitted slot and contributes
 #     no state;
+#   * a person subject slot whose captured surface is a pronoun
+#     (SUBJ_PRONOUNS — "She and Bob work at X") emits a PRONOUN event
+#     carrying the emission's slot_idx/clause, resolved by the standard
+#     Stage-B rule (referent = committed max person of the latest
+#     strictly-earlier turn); the resolved row does NOT feed referent
+#     state, while its non-pronoun partner slots do;
 #   * all capture groups in these regexes must be NAMED (group numbers in
 #     the SQL mirror are derived from the order of appearance).
 MULTI_TEMPLATES = [
@@ -181,6 +191,24 @@ MULTI_TEMPLATES = [
      r'(?P<obj2>[A-Z][A-Za-z ]+?)[.?]$',
      [("works_at", "subj", "person", "obj", "org", 0, "main"),
       ("works_at", "subj", "person", "obj2", "org", 1, "main")]),
+    # 3-way subject coordination ("A, B and C work at X"): the leading
+    # "<Name>," keeps the 2-way coord template from matching (its subj
+    # group admits no comma), and vice versa the 2-way sentence carries no
+    # comma — the lists are disjoint by anchor, not by precedence.
+    ("coord3_works_at",
+     r'^(?P<subj>[A-Z][a-z]+), (?P<subj2>[A-Z][a-z]+) and '
+     r'(?P<subj3>[A-Z][a-z]+) work at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
+     [("works_at", "subj", "person", "obj", "org", 0, "main"),
+      ("works_at", "subj2", "person", "obj", "org", 1, "main"),
+      ("works_at", "subj3", "person", "obj", "org", 2, "main")]),
+    # NESTED construct: coordination inside quoted speech — two relations,
+    # both in a quoted clause; the speaker is still not an emitted slot.
+    # The inner " and ... use " keeps plain quoted_uses from matching.
+    ("quoted_coord_uses",
+     r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) and '
+     r'(?P<subj2>[A-Z][a-z]+) use (?P<obj>[a-z0-9_]+) daily\."$',
+     [("uses", "subj", "person", "obj", "tool", 0, "quoted"),
+      ("uses", "subj2", "person", "obj", "tool", 1, "quoted")]),
 ]
 
 # literal prefilters for the multi-relation templates (same discipline as
@@ -194,6 +222,8 @@ MULTI_TEMPLATE_LITERALS = {
     "passive_maintains": " is maintained by ",
     "possessive_manager": "'s manager is ",
     "coord_orgs": " works at both ",
+    "coord3_works_at": " work at ",
+    "quoted_coord_uses": ' said "',
 }
 
 DEFAULT_SLOT_IDX = 0

@@ -78,7 +78,7 @@ for line in sys.stdin:
                 m = rx.match(sent)
                 if m is None:
                     continue
-                if m.group("subj") in R.PRONOUNS:
+                if m.group("subj") in R.SUBJ_PRONOUNS:
                     continue
                 evs.append([m.group("subj"), pred, m.group("obj"), sk, ok,
                             *attrs, 0, R.DEFAULT_CLAUSE])
@@ -88,7 +88,12 @@ for line in sys.stdin:
                 if m is None:
                     continue
                 for pred, sg, sk, og, ok, slot, clause in emissions:
-                    if m.group(sg) in R.PRONOUNS:
+                    if m.group(sg) in R.SUBJ_PRONOUNS:
+                        # pronoun in a person slot: unresolved pronoun
+                        # event carrying the emission's slot/clause
+                        if sk == "person":
+                            evs.append([None, pred, m.group(og), sk, ok,
+                                        *attrs, slot, clause])
                         continue
                     evs.append([m.group(sg), pred, m.group(og), sk, ok,
                                 *attrs, slot, clause])

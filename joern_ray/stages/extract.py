@@ -265,19 +265,32 @@ def extract_events(batch: pa.Table,
             continue
         for pred, subj_g, sk, obj_g, ok, slot, clause in emissions:
             subj = pc.struct_field(ex, subj_g)
-            not_pron = pc.invert(pc.fill_null(
-                pc.is_in(subj, value_set=_PRONOUN_SET), False))
-            mask = pc.and_(base_mask, not_pron)
-            if not pc.any(mask).as_py():
-                continue
-            local = pc.indices_nonzero(mask)
-            idx = idx0.take(local)
-            neg, inq = _attrs(text.take(idx))
-            outs.append(_events_table(
-                len(idx), conv.take(idx), tidx.take(idx),
-                subj.take(local), pred,
-                pc.struct_field(ex, obj_g).take(local), sk, ok,
-                sidx.take(idx), neg, inq, slot, clause))
+            is_pron = pc.fill_null(
+                pc.is_in(subj, value_set=_PRONOUN_SET), False)
+            mask = pc.and_(base_mask, pc.invert(is_pron))
+            if pc.any(mask).as_py():
+                local = pc.indices_nonzero(mask)
+                idx = idx0.take(local)
+                neg, inq = _attrs(text.take(idx))
+                outs.append(_events_table(
+                    len(idx), conv.take(idx), tidx.take(idx),
+                    subj.take(local), pred,
+                    pc.struct_field(ex, obj_g).take(local), sk, ok,
+                    sidx.take(idx), neg, inq, slot, clause))
+            # a pronoun in a person subject slot ("She and Bob work at X")
+            # becomes a PRONOUN event (subj NULL) carrying the emission's
+            # slot/clause — resolved in Stage B like any pronoun turn
+            if sk == "person":
+                pmask = pc.and_(base_mask, is_pron)
+                if pc.any(pmask).as_py():
+                    local = pc.indices_nonzero(pmask)
+                    idx = idx0.take(local)
+                    neg, inq = _attrs(text.take(idx))
+                    outs.append(_events_table(
+                        len(idx), conv.take(idx), tidx.take(idx),
+                        pa.array([None] * len(idx), pa.string()), pred,
+                        pc.struct_field(ex, obj_g).take(local), sk, ok,
+                        sidx.take(idx), neg, inq, slot, clause))
 
     if not outs:
         return S.EVENTS.empty_table()
@@ -393,9 +406,8 @@ def _resolve_bucket(group: pa.Table,
          sub.column("sent_idx").cast(pa.int32()),
          sub.column("negated").cast(pa.bool_()),
          sub.column("in_question").cast(pa.bool_()),
-         # pronoun sentences are single-relation main clauses by grammar
-         pa.array([R.DEFAULT_SLOT_IDX] * n, pa.int32()),
-         pa.array([R.DEFAULT_CLAUSE] * n, pa.string())],
+         sub.column("slot_idx").cast(pa.int32()),
+         sub.column("clause").cast(pa.string())],
         schema=S.TRIPLES_SURFACE)
 
 
@@ -416,7 +428,8 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
     is_pron = df["pred"].notna().to_numpy()
     state = df.loc[df["person"].notna(), ["conv_id", "turn_idx", "person"]]
     pron = df.loc[is_pron, ["conv_id", "turn_idx", "pred", "obj", "obj_kind",
-                            "sent_idx", "negated", "in_question"]]
+                            "sent_idx", "negated", "in_question",
+                            "slot_idx", "clause"]]
     if not len(state) or not len(pron):
         return S.TRIPLES_SURFACE.empty_table()
     turn_person = (state.groupby(["conv_id", "turn_idx"], sort=False)
@@ -439,8 +452,8 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
          pa.array(out["sent_idx"].to_numpy(), pa.int32()),
          pa.array(out["negated"].to_numpy(bool), pa.bool_()),
          pa.array(out["in_question"].to_numpy(bool), pa.bool_()),
-         pa.array([R.DEFAULT_SLOT_IDX] * n, pa.int32()),
-         pa.array([R.DEFAULT_CLAUSE] * n, pa.string())],
+         pa.array(out["slot_idx"].to_numpy(), pa.int32()),
+         pa.array(out["clause"].to_numpy(object), pa.string())],
         schema=S.TRIPLES_SURFACE)
 
 
@@ -507,6 +520,11 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
         "sent_idx": t.column("sent_idx"),
         "negated": t.column("negated"),
         "in_question": t.column("in_question"),
+        # pronoun slots inside multi-relation constructs carry their own
+        # slot/clause (e.g. "Bob and She use x daily" → slot_idx 1); plain
+        # pronoun turns carry the defaults
+        "slot_idx": t.column("slot_idx"),
+        "clause": t.column("clause").cast(pa.string()),
     }).filter(mask)
     return _with_bucket(narrow, n_buckets)
 

@@ -23,7 +23,12 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v7"  # v7: possessive-pronoun turns ("Her manager is X",
+CORPUS_VERSION = "v8"  # v8: 3-way subject coordination, coordination NESTED
+#                         inside quoted speech, and pronoun subjects inside
+#                         coordinated constructs ("She and Bob work at X" /
+#                         "Bob and She use y daily" — resolved via Stage B
+#                         with the emission's slot_idx/clause);
+#                         v7: possessive-pronoun turns ("Her manager is X",
 #                         inverse-predicate managed_by via pronoun machinery);
 #                         v6: object-side coordination ("works at both");
 #                         v5: passive voice + possessive constructs;
@@ -89,10 +94,12 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         subj per row)."""
         kinds = ["coord_works_at", "coord_uses", "appos_maintainer",
                  "relative_manages", "passive_maintains",
-                 "possessive_manager", "coord_orgs"] \
-            + (["quoted_uses"] if allow_quoted else [])
+                 "possessive_manager", "coord_orgs", "coord3_works_at"] \
+            + (["quoted_uses", "quoted_coord_uses"] if allow_quoted else [])
         kind = kinds[int(rng.integers(0, len(kinds)))]
-        end = "?" if (rng.random() < 0.05 and kind != "quoted_uses") else "."
+        end = "?" if (rng.random() < 0.05
+                      and kind not in ("quoted_uses", "quoted_coord_uses")) \
+            else "."
         if kind == "coord_works_at":
             a = _pick_person(rng)
             b = _pick_person(rng)
@@ -149,6 +156,33 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             gts = [("person", a.lower(), "works_at", "org", o1c),
                    ("person", a.lower(), "works_at", "org", o2c)]
             return text, gts, a
+        if kind == "coord3_works_at":
+            a = _pick_person(rng)
+            b = _pick_person(rng)
+            while b == a:
+                b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+            c = _pick_person(rng)
+            while c in (a, b):
+                c = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+            obj_surface, obj_canon = _pick_org(rng)
+            text = f"{a}, {b} and {c} work at {obj_surface}{end}"
+            gts = [("person", a.lower(), "works_at", "org", obj_canon),
+                   ("person", b.lower(), "works_at", "org", obj_canon),
+                   ("person", c.lower(), "works_at", "org", obj_canon)]
+            return text, gts, max(a, b, c)
+        if kind == "quoted_coord_uses":
+            # coordination nested inside quoted speech — must be the FINAL
+            # sentence of its turn (the '."' terminator carries no boundary)
+            speaker = _pick_person(rng)
+            a = _pick_person(rng)
+            b = _pick_person(rng)
+            while b == a:
+                b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+            tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
+            text = f'{speaker} said "{a} and {b} use {tool} daily."'
+            gts = [("person", a.lower(), "uses", "tool", tool),
+                   ("person", b.lower(), "uses", "tool", tool)]
+            return text, gts, max(a, b)
         if kind == "possessive_manager":
             a = _pick_person(rng)          # manager = relation subject
             b = _pick_person(rng)
@@ -240,6 +274,30 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         role = "user" if t % 2 == 0 else "assistant"
         r = rng.random()
         if r < 0.12 and last_person is not None:
+            if rng.random() < 0.25:
+                # pronoun INSIDE a coordinated construct ("She and Bob work
+                # at X" / "Bob and She use y daily"): the pronoun slot
+                # resolves to the committed referent with the emission's
+                # slot_idx; the non-pronoun partner commits the new state
+                pronoun = R.PRONOUNS[int(rng.integers(0, 2))]
+                partner = _pick_person(rng)
+                variant = int(rng.integers(0, 3))
+                if variant == 2:
+                    tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
+                    text = f"{pronoun} and {partner} use {tool} daily."
+                    pred2, ok2, oc = "uses", "tool", tool
+                else:
+                    obj_surface, obj_canon = _pick_org(rng)
+                    first, second = ((pronoun, partner) if variant == 0
+                                     else (partner, pronoun))
+                    text = f"{first} and {second} work at {obj_surface}."
+                    pred2, ok2, oc = "works_at", "org", obj_canon
+                add_row(t, role, text)
+                add_gt(t, "person", last_person.lower(), pred2, ok2, oc)
+                add_gt(t, "person", partner.lower(), pred2, ok2, oc)
+                last_person = partner
+                t += 1
+                continue
             ti = int(rng.integers(0, len(R.PRONOUN_TEMPLATES)))
             pred, _, obj_kind = R.PRONOUN_TEMPLATES[ti]
             if pred == "managed_by":

@@ -13,7 +13,9 @@ from joern_ray.stages.actor_extract import extract_events_actor_pool
 def _rows(ds):
     t = pa.concat_tables([b for b in ds.iter_batches(batch_format="pyarrow")
                           if b.num_columns])
-    return sorted(map(tuple, zip(*[c.to_pylist() for c in t.columns])))
+    rows = map(tuple, zip(*[c.to_pylist() for c in t.columns]))
+    # None-safe sort key (pronoun events carry a NULL subj)
+    return sorted(rows, key=lambda r: tuple((v is None, v) for v in r))
 
 
 def test_actor_pool_equals_stateless(ray_session, sf_small):

@@ -30,8 +30,9 @@ def test_external_tool_matches_vectorized_kernel(ray_session):
     ds = ray.data.from_arrow(t).repartition(4)
     ext = extract_events_external(ds, concurrency=2, batch_size=256)
     inproc = ds.map_batches(X.extract_events, batch_format="pyarrow")
-    a = sorted(_ev_key(r) for r in ext.take_all())
-    b = sorted(_ev_key(r) for r in inproc.take_all())
+    nskey = lambda k: tuple((v is None, v) for v in k)  # noqa: E731
+    a = sorted((_ev_key(r) for r in ext.take_all()), key=nskey)
+    b = sorted((_ev_key(r) for r in inproc.take_all()), key=nskey)
     assert a == b
     assert len(a) > 0
 

@@ -19,14 +19,13 @@ def test_extract_events_vectorized_matches_oracle_without_pronouns():
     # non-pronoun events must match oracle's non-pronoun triples exactly
     got = {(r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
            for r in ev.to_pylist() if r["subj"] is not None}
-    ora = oracle.extract_all(t.to_pylist())
-    # drop oracle triples that came from pronoun turns: identified by re-run
-    # on events — easier: pronoun-derived triples have subj resolved; rebuild
-    # expected from gen: any oracle triple whose turn text starts with She/He
-    text_by = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.to_pylist()}
+    # the oracle's non-pronoun emissions, isolated robustly: run each turn
+    # as its own conversation, so every pronoun slot is unresolvable and
+    # drops — works for pronoun slots in ANY position (v8 coordination),
+    # not just turn-initial pronouns
     want = {(d["conv_id"], d["turn_idx"], d["subj"], d["pred"], d["obj"])
-            for d in ora
-            if not (text_by[(d["conv_id"], d["turn_idx"])] or "").startswith(("She ", "He ", "Her ", "His "))}
+            for r in t.to_pylist()
+            for d in oracle.extract_conversation([r])}
     assert got == want
 
 

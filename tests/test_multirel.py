@@ -104,3 +104,60 @@ def test_multirel_engine_oracle_lockstep():
     assert eng == ora
     # multi-sentence turn: coordination matched after the filler sentence
     assert ("c1", 6, "Laura", "works_at", "Oscorp Inc", 0, "main") in eng
+
+
+def test_coord3_three_triples_with_slots():
+    ev = X.extract_events(_turns(["Alice, Bob and Carol work at Acme Corp."]))
+    assert _rows(ev) == [
+        ("c1", 0, "Alice", "works_at", "Acme Corp", 0, "main"),
+        ("c1", 0, "Bob", "works_at", "Acme Corp", 1, "main"),
+        ("c1", 0, "Carol", "works_at", "Acme Corp", 2, "main"),
+    ]
+
+
+def test_quoted_coordination_nested():
+    ev = X.extract_events(_turns(['Dave said "Erin and Frank use search daily."']))
+    assert _rows(ev) == [
+        ("c1", 0, "Erin", "uses", "search", 0, "quoted"),
+        ("c1", 0, "Frank", "uses", "search", 1, "quoted"),
+    ]
+
+
+def test_pronoun_in_coordination_resolves_with_slot():
+    # pronoun in the FIRST coordinated slot: resolves to the committed
+    # referent at slot 0; the partner (Grace) commits the new state
+    t = _turns(["Bob works at Acme Corp.",
+                "She and Grace work at Globex Inc.",
+                "He uses search daily."])
+    got = _rows(X._resolve_group(X.extract_events(t)))
+    assert ("c1", 1, "Bob", "works_at", "Globex Inc", 0, "main") in got
+    assert ("c1", 1, "Grace", "works_at", "Globex Inc", 1, "main") in got
+    # turn-2 pronoun resolves to Grace (the partner committed at turn 1;
+    # the resolved pronoun row itself contributed no state)
+    assert ("c1", 2, "Grace", "uses", "search", 0, "main") in got
+
+
+def test_pronoun_in_second_slot_keeps_slot_idx():
+    t = _turns(["Zach uses compiler daily.",
+                "Heidi and She use terminal daily."])
+    got = _rows(X._resolve_group(X.extract_events(t)))
+    # the resolved pronoun row carries the emission's slot_idx (1)
+    assert ("c1", 1, "Zach", "uses", "terminal", 1, "main") in got
+    assert ("c1", 1, "Heidi", "uses", "terminal", 0, "main") in got
+
+
+def test_v8_engine_oracle_lockstep():
+    texts = [
+        "Alice, Bob and Carol work at Acme Corp.",
+        'Dave said "Erin and Frank use search daily."',
+        "She and Grace work at Globex Inc.",
+        "Heidi and He use compiler daily.",
+        "Thanks, that makes sense. Ivan, Judy and Karl work at Stark Labs?",
+    ]
+    t = _turns(texts)
+    eng = _rows(X._resolve_group(X.extract_events(t)))
+    ora = sorted(
+        (d["conv_id"], d["turn_idx"], d["subj"], d["pred"], d["obj"],
+         d["slot_idx"], d["clause"])
+        for d in O.extract_conversation(t.to_pylist()))
+    assert eng == ora
