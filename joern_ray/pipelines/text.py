@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count
 
 from ..functions import hashing as H
 
@@ -424,18 +424,55 @@ def doc_fingerprint_sql() -> str:
 # deduplication
 # ---------------------------------------------------------------------------
 
+_DEDUP_BUCKETS = 256
+_DEDUP_OUT = pa.schema([("doc_id", pa.int64()), ("n_copies", pa.int64())])
+
+
+def _digest_partial(t: pa.Table) -> pa.Table:
+    """Per-batch exact-dedup combiner keyed on a 128-bit text DIGEST
+    (two independent 64-bit hashes): the shuffle carries 32-byte key rows
+    instead of whole documents — at 100 TB the text column never enters
+    the exchange.  Collision bound: for n docs the expected number of
+    128-bit collisions is n^2 / 2^129 (≈ 3e-19 at n = 10^10), i.e. the
+    digest groups equal the text groups."""
+    import pandas as pd
+
+    tnp = t.column("text").to_numpy(zero_copy_only=False)
+    h1 = pd.util.hash_array(tnp).view("int64")
+    h2 = pd.util.hash_array(tnp, hash_key="joernraydedup2nd").view("int64")
+    p = (pa.table({"h1": pa.array(h1, pa.int64()),
+                   "h2": pa.array(h2, pa.int64()),
+                   "doc_id": t.column("doc_id").cast(pa.int64())})
+         .group_by(["h1", "h2"])
+         .aggregate([("doc_id", "min"), ("doc_id", "count")]))
+    return p.append_column(
+        "bucket", pc.bit_wise_and(p.column("h1"),
+                                  _DEDUP_BUCKETS - 1).cast(pa.int64()))
+
+
+def _digest_shard(g: pa.Table) -> pa.Table:
+    if g.num_rows == 0:
+        return _DEDUP_OUT.empty_table()
+    out = (g.drop_columns(["bucket"]).combine_chunks()
+           .group_by(["h1", "h2"])
+           .aggregate([("doc_id_min", "min"), ("doc_id_count", "sum")]))
+    return pa.Table.from_arrays(
+        [out.column("doc_id_min_min").cast(pa.int64()),
+         out.column("doc_id_count_sum").cast(pa.int64())],
+        schema=_DEDUP_OUT)
+
+
 def dedup_exact(sf_dir: str):
-    """Exact dedup: hash-partition on text, keep min doc_id per group
-    (groupby.first discipline, ``FileCreationPass`` get-or-create analog)."""
+    """Exact dedup: keep min doc_id + copy count per distinct text
+    (groupby.first discipline, ``FileCreationPass`` get-or-create analog).
+    Two-phase: per-batch digest combiner (``_digest_partial``) then one
+    bucketed exchange resolved with a vectorized in-shard groupby — no
+    full-text shuffle, no per-key Python groups."""
     ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
-    return _tidy(ds.groupby("text")
-                 .aggregate(Min(on="doc_id", alias_name="doc_id"),
-                            Count(alias_name="n_copies"))
-                 .map_batches(lambda t: (t.select(["doc_id", "n_copies"])
-                                         if t.num_columns else
-                                         pa.schema([("doc_id", pa.int64()),
-                                                    ("n_copies", pa.int64())]).empty_table()),
-                              batch_format="pyarrow"))
+    return _tidy(ds.map_batches(_digest_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .groupby("bucket")
+                 .map_groups(_digest_shard, batch_format="pyarrow"))
 
 
 def dedup_exact_sql() -> str:
@@ -476,18 +513,13 @@ def clean_corpus(sf_dir: str):
             pc.cast(pc.greater(stop_pm, 50), pa.int64()))
         return t.filter(pc.greater_equal(score, QUALITY_KEEP_MIN))
 
-    return _tidy(ds.map_batches(score_and_filter, batch_format="pyarrow",
+    def filtered_partial(t: pa.Table) -> pa.Table:
+        return _digest_partial(score_and_filter(t))
+
+    return _tidy(ds.map_batches(filtered_partial, batch_format="pyarrow",
                                 zero_copy_batch=True)
-                 .groupby("text")
-                 .aggregate(Min(on="doc_id", alias_name="doc_id"),
-                            Count(alias_name="n_copies"))
-                 .map_batches(
-                     lambda t: (t.select(["doc_id", "n_copies"])
-                                if t.num_columns else
-                                pa.schema([("doc_id", pa.int64()),
-                                           ("n_copies", pa.int64())])
-                                .empty_table()),
-                     batch_format="pyarrow"))
+                 .groupby("bucket")
+                 .map_groups(_digest_shard, batch_format="pyarrow"))
 
 
 def clean_corpus_sql() -> str:
