@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_clean_corpus": T.clean_corpus,
         "text_sample_stratified": T.sample_stratified,
         "text_token_bins": T.token_bins,
+        "text_redact_persons": T.redact_persons,
         # event-stream ops (sessionize / window / as-of)
         "events_sessionize": EV.sessionize,
         "events_window_counts": EV.window_counts,
@@ -429,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "text_clean_corpus": T.clean_corpus_sql(),
         "text_sample_stratified": T.sample_stratified_sql(),
         "text_token_bins": T.token_bins_sql(),
+        "text_redact_persons": T.redact_persons_sql(tr),
         "events_sessionize": EV.sessionize_sql(),
         "events_window_counts": EV.window_counts_sql(),
         "events_sliding_counts": EV.sliding_window_counts_sql(),

@@ -170,6 +170,52 @@ def sample_stratified_sql(k: int = SAMPLE_QUOTA_PER_LANG) -> str:
     """
 
 
+REDACT_TOKEN = "[PERSON]"
+
+
+def _person_pattern() -> str:
+    """RE2 word-boundary alternation over the known-person dictionary —
+    shared verbatim by the Arrow kernel and the DuckDB mirror."""
+    from ..functions import rules as R
+    return r"\b(" + "|".join(R.PERSONS) + r")\b"
+
+
+def redact_persons(sf_dir: str):
+    """Dictionary-based PII redaction (NER-lite): replace every known
+    person-name token in the transcript text with [PERSON] and count the
+    redactions per turn — the scrubbing stage of a training-data
+    pipeline.  Map-only (no shuffle); the RE2 alternation over the
+    dictionary compiles once per task.  At a real-PII dictionary scale
+    (>10^5 names) swap the alternation for an Aho-Corasick automaton held
+    by an actor pool — the stage contract is unchanged."""
+    from .. import synth
+    pat = _person_pattern()
+    ds = ray.data.read_parquet(synth.transcripts_path(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "redacted": pc.replace_substring_regex(text, pat, REDACT_TOKEN),
+            "n_redacted": pc.cast(pc.count_substring_regex(text, pat),
+                                  pa.int64()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def redact_persons_sql(tr: str) -> str:
+    pat = _person_pattern()
+    return f"""
+    SELECT conv_id, turn_idx,
+           regexp_replace(text, '{pat}', '{REDACT_TOKEN}', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+             AS n_redacted
+    FROM {tr}
+    """
+
+
 TOKEN_BIN_BUDGET = 256          # tokens per packed bin
 _BIN_BUCKET_SPAN = 4096         # doc_ids per prefix-sum bucket
 

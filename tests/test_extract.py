@@ -54,3 +54,19 @@ def test_extraction_count_matches_ground_truth(ray_session, sf_small):
     n = X.extract_triples(ds).count()
     gt = pq.read_table(synth.gt_path(sf_small)).num_rows
     assert n == gt
+
+
+def test_redact_persons_masks_all_dictionary_names(ray_session, sf_small):
+    """PII scrub: no known person surface survives in redacted text, and
+    the per-turn count equals the number of replaced tokens."""
+    import re
+
+    from joern_ray.pipelines import text as T
+
+    out = T.redact_persons(sf_small).to_pandas()
+    pat = re.compile(T._person_pattern())
+    assert (out["n_redacted"] > 0).any()
+    assert not out["redacted"].str.contains(pat).any()
+    # count parity: redacting again is a no-op
+    assert (out["redacted"].str.count(re.escape(T.REDACT_TOKEN))
+            >= out["n_redacted"]).all()
