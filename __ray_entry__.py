@@ -289,6 +289,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": A.ann_bruteforce,
         "embedding_neardup": A.embedding_neardup_planted,
+        # ---- oracle-backed but OUTSIDE the driver's 50-entry window
+        # (every window slot is already oracle-backed); verified by the
+        # local dtype-strict gate (scripts/check_correctness.py) ----
+        "text_repetition": T.repetition_stats,
+        "text_familiarity": T.familiarity,
         # ---- rows-only, no driver row yet (next in the window) ----
         "ann_lsh": A.ann_lsh,
         "ann_ivf": A.ann_ivf,
@@ -431,6 +436,8 @@ def oracle_sql() -> dict[str, str]:
         "text_sample_stratified": T.sample_stratified_sql(),
         "text_token_bins": T.token_bins_sql(),
         "text_redact_persons": T.redact_persons_sql(tr),
+        "text_repetition": T.repetition_stats_sql(),
+        "text_familiarity": T.familiarity_sql(),
         "events_sessionize": EV.sessionize_sql(),
         "events_window_counts": EV.window_counts_sql(),
         "events_sliding_counts": EV.sliding_window_counts_sql(),

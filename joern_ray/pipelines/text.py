@@ -320,6 +320,174 @@ def token_counts_sql() -> str:
     """
 
 
+_WS_SQL = "' ' || chr(9) || chr(10) || chr(12) || chr(13)"
+
+
+def repetition_stats(sf_dir: str):
+    """Per-document repetition / lexical-diversity scores (the
+    Gopher-style repetition filter family, integer permille so the SQL
+    mirror is hash-exact): distinct-token ratio and top-token frequency.
+    Fully vectorized and batch-local — one flatten + one Arrow group_by
+    per batch, no shuffle (a document never spans batches)."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        trimmed = ascii_trim(t.column("text"))
+        mask = pc.not_equal(trimmed, "")
+        out_empty = pa.table({
+            "doc_id": t.filter(pc.invert(mask)).column("doc_id")
+                       .cast(pa.int64()),
+        })
+        out_empty = out_empty.append_column(
+            "distinct_pm", pa.array([0] * out_empty.num_rows, pa.int64()))
+        out_empty = out_empty.append_column(
+            "top_tok_pm", pa.array([0] * out_empty.num_rows, pa.int64()))
+        sub = t.filter(mask)
+        if sub.num_rows == 0:
+            return out_empty
+        trimmed = ascii_trim(sub.column("text"))
+        toks = pc.split_pattern_regex(trimmed, _WS_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parents = np.repeat(sub.column("doc_id").to_numpy(), lengths)
+        per_tok = (pa.table({"doc_id": pa.array(parents, pa.int64()),
+                             "token": pc.list_flatten(toks)})
+                   .group_by(["doc_id", "token"])
+                   .aggregate([("token", "count")]))
+        agg = (per_tok.group_by("doc_id")
+               .aggregate([("token_count", "sum"), ("token_count", "count"),
+                           ("token_count", "max")]))
+        ntot = agg.column("token_count_sum")
+        out = pa.table({
+            "doc_id": agg.column("doc_id"),
+            "distinct_pm": pc.cast(pc.divide(
+                pc.multiply(agg.column("token_count_count")
+                            .cast(pa.int64()), 1000), ntot), pa.int64()),
+            "top_tok_pm": pc.cast(pc.divide(
+                pc.multiply(agg.column("token_count_max"), 1000), ntot),
+                pa.int64()),
+        })
+        return pa.concat_tables([out, out_empty])
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_stats_sql() -> str:
+    ws = _WS_SQL
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text, {ws}), '\\s+')) AS token
+      FROM documents WHERE trim(text, {ws}) <> ''),
+    c AS (SELECT doc_id, token, count(*) AS n FROM tk GROUP BY 1, 2),
+    a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS ntot,
+                 CAST(count(*) AS BIGINT) AS ndist,
+                 CAST(max(n) AS BIGINT) AS ntop
+          FROM c GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(ndist * 1000 // ntot, 0) AS BIGINT) AS distinct_pm,
+           CAST(coalesce(ntop * 1000 // ntot, 0) AS BIGINT) AS top_tok_pm
+    FROM documents d LEFT JOIN a USING (doc_id)
+    """
+
+
+# broadcast bound for the global token-frequency directory (the same
+# contract as materialize.BROADCAST_MAX_ENTITIES for the entity
+# directory): beyond it, switch the familiarity join to a bucketed
+# cogroup over (token) — the vocabulary of a deduplicated web corpus is
+# ~10^7-10^8 tokens, so the directory is broadcastable far longer than
+# the corpus itself is holdable
+FAMILIARITY_MAX_VOCAB = 50_000_000
+
+
+def familiarity(sf_dir: str):
+    """Corpus-familiarity scores per document (rare-token / OOV-garbage
+    detector): freq_sum = Σ global count of each token occurrence,
+    freq_min = global count of the document's rarest token.  Two-phase:
+    (1) global unigram counts — per-batch combine then one vocab-sized
+    groupby, collected once and broadcast via ``ray.put`` (never
+    re-shipped per batch); (2) per-doc vectorized ``index_in`` lookup +
+    one Arrow group_by per batch.  Integer arithmetic end-to-end so the
+    DuckDB mirror matches hash-exactly (a float LM surprisal would
+    diverge in the last ulp)."""
+    def flat_tokens(t: pa.Table) -> pa.Table:
+        trimmed = ascii_trim(t.column("text"))
+        sub = t.filter(pc.not_equal(trimmed, ""))
+        if sub.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("token", pa.string())]).empty_table()
+        trimmed = ascii_trim(sub.column("text"))
+        toks = pc.split_pattern_regex(trimmed, _WS_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parents = np.repeat(sub.column("doc_id").to_numpy(), lengths)
+        return pa.table({"doc_id": pa.array(parents, pa.int64()),
+                         "token": pc.list_flatten(toks)})
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+    counts = (ds.map_batches(
+        lambda t: (flat_tokens(t).group_by("token")
+                   .aggregate([("token", "count")])
+                   .rename_columns(["token", "n"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token").sum("n"))
+    parts = [b for b in counts.iter_batches(batch_format="pyarrow")
+             if b.num_columns]
+    vocab = (pa.concat_tables(parts).combine_chunks() if parts
+             else pa.schema([("token", pa.string()),
+                             ("sum(n)", pa.int64())]).empty_table())
+    if vocab.num_rows > FAMILIARITY_MAX_VOCAB:
+        raise NotImplementedError(
+            "vocabulary exceeds the broadcast bound — use the bucketed "
+            "cogroup familiarity path")
+    tok_arr = vocab.column("token").combine_chunks()
+    cnt_np = vocab.column("sum(n)").to_numpy(zero_copy_only=False)
+    vocab_ref = ray.put((tok_arr, cnt_np))
+
+    def score(t: pa.Table) -> pa.Table:
+        flat = flat_tokens(t)
+        empty = t.filter(pc.equal(ascii_trim(t.column("text")), ""))
+        zeros = pa.table({
+            "doc_id": empty.column("doc_id").cast(pa.int64()),
+            "freq_sum": pa.array([0] * empty.num_rows, pa.int64()),
+            "freq_min": pa.array([0] * empty.num_rows, pa.int64()),
+        })
+        if flat.num_rows == 0:
+            return zeros
+        toks, cnts = ray.get(vocab_ref)
+        pos = pc.index_in(flat.column("token"), value_set=toks)                 .to_numpy(zero_copy_only=False)
+        freq = cnts[pos.astype("int64")]
+        agg = (pa.table({"doc_id": flat.column("doc_id"),
+                         "freq": pa.array(freq, pa.int64())})
+               .group_by("doc_id")
+               .aggregate([("freq", "sum"), ("freq", "min")]))
+        out = pa.table({
+            "doc_id": agg.column("doc_id"),
+            "freq_sum": agg.column("freq_sum").cast(pa.int64()),
+            "freq_min": agg.column("freq_min").cast(pa.int64()),
+        })
+        return pa.concat_tables([out, zeros])
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def familiarity_sql() -> str:
+    ws = _WS_SQL
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text, {ws}), '\\s+')) AS token
+      FROM documents WHERE trim(text, {ws}) <> ''),
+    g AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+    a AS (SELECT tk.doc_id, CAST(sum(g.c) AS BIGINT) AS freq_sum,
+                 CAST(min(g.c) AS BIGINT) AS freq_min
+          FROM tk JOIN g USING (token) GROUP BY 1)
+    SELECT d.doc_id, coalesce(freq_sum, 0) AS freq_sum,
+           coalesce(freq_min, 0) AS freq_min
+    FROM documents d LEFT JOIN a USING (doc_id)
+    """
+
+
 def text_quality(sf_dir: str):
     """Composite quality signals in integer permille (deterministic under
     any execution order, unlike float ratios): digit density, stopword

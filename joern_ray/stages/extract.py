@@ -170,6 +170,10 @@ def extract_events(batch: pa.Table,
     conv = sents.column("conv_id")
     tidx = sents.column("turn_idx")
     sidx = sents.column("sent_idx")
+    # attribute kernels ONCE over the whole sentence column; every
+    # emission below takes its subset (previously recomputed per
+    # emission — ~2x per multi-template with the pronoun branch)
+    neg_all, inq_all = _attrs(text)
 
     # pronoun templates first (their sentences also match the person-subject
     # shape; the oracle applies the same precedence, per sentence)
@@ -193,7 +197,7 @@ def extract_events(batch: pa.Table,
         local = pc.indices_nonzero(mask)
         idx = pron_idx.take(local)
         pron_matched_np[idx.to_numpy(zero_copy_only=False)] = True
-        neg, inq = _attrs(text.take(idx))
+        neg, inq = neg_all.take(idx), inq_all.take(idx)
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             pa.array([None] * len(idx), pa.string()), pred,
@@ -232,7 +236,7 @@ def extract_events(batch: pa.Table,
             continue
         local = pc.indices_nonzero(mask)
         idx = idx0.take(local)
-        neg, inq = _attrs(text.take(idx))
+        neg, inq = neg_all.take(idx), inq_all.take(idx)
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             subj.take(local), pred,
@@ -271,7 +275,7 @@ def extract_events(batch: pa.Table,
             if pc.any(mask).as_py():
                 local = pc.indices_nonzero(mask)
                 idx = idx0.take(local)
-                neg, inq = _attrs(text.take(idx))
+                neg, inq = neg_all.take(idx), inq_all.take(idx)
                 outs.append(_events_table(
                     len(idx), conv.take(idx), tidx.take(idx),
                     subj.take(local), pred,
@@ -285,7 +289,7 @@ def extract_events(batch: pa.Table,
                 if pc.any(pmask).as_py():
                     local = pc.indices_nonzero(pmask)
                     idx = idx0.take(local)
-                    neg, inq = _attrs(text.take(idx))
+                    neg, inq = neg_all.take(idx), inq_all.take(idx)
                     outs.append(_events_table(
                         len(idx), conv.take(idx), tidx.take(idx),
                         pa.array([None] * len(idx), pa.string()), pred,
@@ -521,10 +525,13 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
         "negated": t.column("negated"),
         "in_question": t.column("in_question"),
         # pronoun slots inside multi-relation constructs carry their own
-        # slot/clause (e.g. "Bob and She use x daily" → slot_idx 1); plain
-        # pronoun turns carry the defaults
-        "slot_idx": t.column("slot_idx"),
-        "clause": t.column("clause").cast(pa.string()),
+        # slot/clause (e.g. "Bob and She use x daily" → slot_idx 1); only
+        # PRONOUN rows need them — state rows ship null (bitmap-only), so
+        # the exchange stays as narrow as before v8
+        "slot_idx": pc.if_else(is_pron, t.column("slot_idx"),
+                               pa.nulls(t.num_rows, pa.int32())),
+        "clause": pc.if_else(is_pron, t.column("clause").cast(pa.string()),
+                             nulls),
     }).filter(mask)
     return _with_bucket(narrow, n_buckets)
 

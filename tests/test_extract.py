@@ -70,3 +70,38 @@ def test_redact_persons_masks_all_dictionary_names(ray_session, sf_small):
     # count parity: redacting again is a no-op
     assert (out["redacted"].str.count(re.escape(T.REDACT_TOKEN))
             >= out["n_redacted"]).all()
+
+
+def test_repetition_and_familiarity_integer_contracts(ray_session):
+    """Gopher-style repetition + corpus-familiarity scores: integer
+    permille/count contracts on a hand-built corpus (empty doc → zeros;
+    all-same-token doc → distinct_pm floor(1000/n), top_tok_pm 1000;
+    rarest-token count surfaces in freq_min)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joern_ray.pipelines import text as T
+
+    d = "/tmp/jr_textops_sf"
+    os.makedirs(os.path.join(d), exist_ok=True)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["spark spark spark spark",      # pure repetition
+                 "key value table",              # all distinct
+                 "",                             # empty
+                 "key key rareword"],            # one rare token
+        "lang": ["en"] * 4,
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    rep = {r["doc_id"]: r for r in T.repetition_stats(d).take_all()}
+    assert rep[0]["distinct_pm"] == 250 and rep[0]["top_tok_pm"] == 1000
+    assert rep[1]["distinct_pm"] == 1000 and rep[1]["top_tok_pm"] == 333
+    assert rep[2]["distinct_pm"] == 0 and rep[2]["top_tok_pm"] == 0
+    fam = {r["doc_id"]: r for r in T.familiarity(d).take_all()}
+    # global counts: spark=4, key=3, value=1, table=1, rareword=1
+    assert fam[0]["freq_sum"] == 16 and fam[0]["freq_min"] == 4
+    assert fam[1]["freq_sum"] == 5 and fam[1]["freq_min"] == 1
+    assert fam[2]["freq_sum"] == 0 and fam[2]["freq_min"] == 0
+    assert fam[3]["freq_sum"] == 7 and fam[3]["freq_min"] == 1
