@@ -108,14 +108,31 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+# the round-2 bench suite for like-for-like round-over-round comparison:
+# round 3 ADDED kg_findings (the 50-rule scan battery, absent from the r2
+# suite) and three training-data ops, so the full-suite total is a
+# superset — "value_r2_subset" restates this run over exactly the r2
+# picks (BENCH_r02: 16 queries, 37.9 s).
+R2_PICKS = [
+    "kg_build_headline", "kg_triples_surface", "kg_triples_canonical",
+    "kg_nodes", "kg_edges", "rel_q1_pricing", "rel_revenue_by_nation",
+    "rel_topk_orders", "text_stats", "text_lang_id", "dedup_exact",
+    "dedup_minhash", "dedup_simhash", "ann_topk", "ann_lsh",
+    "multimodal_features",
+]
+
+
 def main_single(num_cpus: int, headline_only: bool) -> dict:
     _init_ray(num_cpus)
     h = headline(SF_DIR)
     queries = {} if headline_only else run_queries(SF_DIR)
     total = h["sec"] + sum(queries.values())
+    r2_subset = h["sec"] + sum(v for k, v in queries.items()
+                               if k in R2_PICKS)
     rec = {
         "metric": "kg-build+operator-suite wall time",
         "value": round(total, 3),
+        "value_r2_subset": round(r2_subset, 3),
         "unit": "sec",
         "queries": {"kg_build_headline": round(h["sec"], 3), **queries},
         "sf": SF_DIR,
