@@ -438,9 +438,7 @@ def familiarity(sf_dir: str):
              else pa.schema([("token", pa.string()),
                              ("sum(n)", pa.int64())]).empty_table())
     if vocab.num_rows > FAMILIARITY_MAX_VOCAB:
-        raise NotImplementedError(
-            "vocabulary exceeds the broadcast bound — use the bucketed "
-            "cogroup familiarity path")
+        return familiarity_cogroup(sf_dir)
     tok_arr = vocab.column("token").combine_chunks()
     cnt_np = vocab.column("sum(n)").to_numpy(zero_copy_only=False)
     vocab_ref = ray.put((tok_arr, cnt_np))
@@ -486,6 +484,118 @@ def familiarity_sql() -> str:
            coalesce(freq_min, 0) AS freq_min
     FROM documents d LEFT JOIN a USING (doc_id)
     """
+
+
+FAMILIARITY_COGROUP_BUCKETS = 256
+
+
+def familiarity_cogroup(sf_dir: str):
+    """Fully distributed familiarity (the beyond-broadcast-vocab path):
+    the same scores as ``familiarity`` with NO driver-side vocabulary.
+    Two keyed exchanges, both narrow:
+
+    1. token-keyed: per-batch (doc_id, token, n) partials bucketed by
+       hash(token); each shard computes the global per-token count with
+       one vectorized groupby and attaches it to its (doc_id, token)
+       rows in-shard — the cogroup join ships narrow int/token rows.
+    2. doc-keyed: per-doc sum/min of the attached counts (per-batch
+       pre-combined).
+
+    Equivalence with the broadcast path is pytest-enforced."""
+    import pandas as pd
+
+    def flat_tokens(t: pa.Table) -> pa.Table:
+        trimmed = ascii_trim(t.column("text"))
+        sub = t.filter(pc.not_equal(trimmed, ""))
+        if sub.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("token", pa.string())]).empty_table()
+        trimmed = ascii_trim(sub.column("text"))
+        toks = pc.split_pattern_regex(trimmed, _WS_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parents = np.repeat(sub.column("doc_id").to_numpy(), lengths)
+        return pa.table({"doc_id": pa.array(parents, pa.int64()),
+                         "token": pc.list_flatten(toks)})
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        p = (flat_tokens(t).group_by(["doc_id", "token"])
+             .aggregate([("token", "count")])
+             .rename_columns(["doc_id", "token", "n"]))
+        h = pd.util.hash_array(p.column("token").to_numpy(
+            zero_copy_only=False))
+        return p.append_column("bucket", pa.array(
+            (h % FAMILIARITY_COGROUP_BUCKETS).astype("int64")))
+
+    def tok_shard(g: pa.Table) -> pa.Table:
+        """One token-hash shard: global count per token, attached back to
+        each (doc_id, token) row as n (occurrences) x c (global)."""
+        if g.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("wsum", pa.int64()),
+                              ("wmin", pa.int64())]).empty_table()
+        g = g.drop_columns(["bucket"]).combine_chunks()
+        tot = (g.select(["token", "n"]).group_by("token")
+               .aggregate([("n", "sum")]))
+        pos = pc.index_in(g.column("token"), value_set=tot.column("token")
+                          .combine_chunks())
+        c = tot.column("n_sum").combine_chunks().take(pos)
+        # per-doc partial within this shard (docs span shards → second,
+        # doc-keyed exchange finishes the fold)
+        p = (pa.table({"doc_id": g.column("doc_id"),
+                       "wsum": pc.multiply(g.column("n"), c),
+                       "wmin": c})
+             .group_by("doc_id")
+             .aggregate([("wsum", "sum"), ("wmin", "min")])
+             .rename_columns(["doc_id", "wsum", "wmin"]))
+        return p
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+    partials = (ds.map_batches(tok_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("bucket").map_groups(tok_shard,
+                                              batch_format="pyarrow"))
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("wsum", pa.int64()), ("wmin", pa.int64()),
+                              ("bucket", pa.int64())]).empty_table()
+        h = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(
+            (h % FAMILIARITY_COGROUP_BUCKETS).astype("int64")))
+
+    def doc_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("freq_sum", pa.int64()),
+                              ("freq_min", pa.int64())]).empty_table()
+        out = (g.drop_columns(["bucket"]).combine_chunks()
+               .group_by("doc_id")
+               .aggregate([("wsum", "sum"), ("wmin", "min")]))
+        return pa.Table.from_arrays(
+            [out.column("doc_id").cast(pa.int64()),
+             out.column("wsum_sum").cast(pa.int64()),
+             out.column("wmin_min").cast(pa.int64())],
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("freq_sum", pa.int64()),
+                              ("freq_min", pa.int64())]))
+
+    scored = (partials.map_batches(doc_bucket, batch_format="pyarrow")
+              .groupby("bucket").map_groups(doc_shard,
+                                            batch_format="pyarrow"))
+
+    def zeros_for_empty(t: pa.Table) -> pa.Table:
+        empty = t.filter(pc.equal(ascii_trim(t.column("text")), ""))
+        return pa.table({
+            "doc_id": empty.column("doc_id").cast(pa.int64()),
+            "freq_sum": pa.array([0] * empty.num_rows, pa.int64()),
+            "freq_min": pa.array([0] * empty.num_rows, pa.int64()),
+        })
+
+    return scored.union(ds.map_batches(zeros_for_empty,
+                                       batch_format="pyarrow"))
 
 
 def text_quality(sf_dir: str):

@@ -105,3 +105,15 @@ def test_repetition_and_familiarity_integer_contracts(ray_session):
     assert fam[1]["freq_sum"] == 5 and fam[1]["freq_min"] == 1
     assert fam[2]["freq_sum"] == 0 and fam[2]["freq_min"] == 0
     assert fam[3]["freq_sum"] == 7 and fam[3]["freq_min"] == 1
+
+
+def test_familiarity_cogroup_equals_broadcast(ray_session):
+    """The fully distributed (token-bucketed cogroup) familiarity path
+    must equal the broadcast-vocabulary path row-for-row."""
+    from joern_ray.pipelines import text as T
+
+    sf = "/root/testdata/sf0.01"
+    a = sorted(map(tuple, (r.values() for r in T.familiarity(sf).take_all())))
+    b = sorted(map(tuple, (r.values()
+                           for r in T.familiarity_cogroup(sf).take_all())))
+    assert a == b and len(a) > 0
