@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # local dtype-strict gate (scripts/check_correctness.py) ----
         "text_repetition": T.repetition_stats,
         "text_familiarity": T.familiarity,
+        "text_decontaminate": T.decontaminate,
         # ---- rows-only, no driver row yet (next in the window) ----
         "ann_lsh": A.ann_lsh,
         "ann_ivf": A.ann_ivf,
@@ -438,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "text_redact_persons": T.redact_persons_sql(tr),
         "text_repetition": T.repetition_stats_sql(),
         "text_familiarity": T.familiarity_sql(),
+        "text_decontaminate": T.decontaminate_sql(),
         "events_sessionize": EV.sessionize_sql(),
         "events_window_counts": EV.window_counts_sql(),
         "events_sliding_counts": EV.sliding_window_counts_sql(),

@@ -598,6 +598,59 @@ def familiarity_cogroup(sf_dir: str):
                                        batch_format="pyarrow"))
 
 
+DECONTAMINATE_REF_MOD = 10
+# broadcast bound for the benchmark/reference text set (decontamination
+# references — eval benchmarks, held-out test sets — are MBs, not TBs;
+# if a reference ever exceeded this, the same digest-cogroup shape as
+# familiarity_cogroup applies)
+DECONTAMINATE_MAX_REF_DOCS = 10_000_000
+
+
+def decontaminate(sf_dir: str, ref_mod: int = DECONTAMINATE_REF_MOD):
+    """Benchmark decontamination: drop every training document whose text
+    EXACTLY matches a reference-set document (the held-out-eval-overlap
+    scrub every large-scale training pipeline runs).  The reference set
+    here is the deterministic slice doc_id %% ref_mod == 0 (a stand-in
+    for an external benchmark corpus); its texts are collected once and
+    broadcast via ``ray.put`` — reference sets are MBs by nature, so the
+    broadcast is the honest 100-TB shape (the training stream is never
+    shuffled at all).  Returns the surviving training doc_ids."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+
+    def ref_part(t: pa.Table) -> pa.Table:
+        mod = (t.column("doc_id").to_numpy() % ref_mod) == 0
+        return t.filter(pa.array(mod)).select(["text"])
+
+    parts = [b for b in ds.map_batches(ref_part, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow") if b.num_columns]
+    ref = (pa.concat_tables(parts).column("text").combine_chunks()
+           if parts else pa.array([], pa.string()))
+    if len(ref) > DECONTAMINATE_MAX_REF_DOCS:
+        raise ValueError("reference set exceeds the broadcast bound — "
+                         "use a digest cogroup (familiarity_cogroup shape)")
+    ref_ref = ray.put(ref)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        train = t.filter(pa.array(
+            (t.column("doc_id").to_numpy() % ref_mod) != 0))
+        if train.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        hit = pc.is_in(train.column("text"), value_set=ray.get(ref_ref))
+        return (train.filter(pc.invert(hit))
+                .select(["doc_id"])
+                .cast(pa.schema([("doc_id", pa.int64())])))
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def decontaminate_sql(ref_mod: int = DECONTAMINATE_REF_MOD) -> str:
+    return f"""
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % {ref_mod} <> 0
+      AND d.text NOT IN (SELECT text FROM documents
+                         WHERE doc_id % {ref_mod} = 0)
+    """
+
+
 def text_quality(sf_dir: str):
     """Composite quality signals in integer permille (deterministic under
     any execution order, unlike float ratios): digit density, stopword

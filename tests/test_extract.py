@@ -117,3 +117,28 @@ def test_familiarity_cogroup_equals_broadcast(ray_session):
     b = sorted(map(tuple, (r.values()
                            for r in T.familiarity_cogroup(sf).take_all())))
     assert a == b and len(a) > 0
+
+
+def test_decontaminate_drops_planted_benchmark_overlap(ray_session):
+    """A training doc whose text equals a reference-slice doc must drop;
+    distinct texts survive; reference docs never appear in the output."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joern_ray.pipelines import text as T
+
+    d = "/tmp/jr_decon_sf"
+    os.makedirs(d, exist_ok=True)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 10, 11], pa.int64()),
+        # doc_id % 10 == 0 → reference slice (ids 0 and 10)
+        "text": ["benchmark question one", "clean doc",
+                 "benchmark question one",      # contaminated (== doc 0)
+                 "benchmark question two", "another clean doc"],
+        "lang": ["en"] * 5,
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    kept = sorted(r["doc_id"] for r in T.decontaminate(d).take_all())
+    assert kept == [1, 11]
