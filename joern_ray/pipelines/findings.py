@@ -355,175 +355,6 @@ def _rule_first_turn_question(batch: pa.Table) -> pa.Table:
                   sub.column("text"), sub.num_rows)
 
 
-_CONV_PART = pa.schema([
-    ("conv_id", pa.string()), ("tag", pa.string()), ("sub", pa.string()),
-    ("n", pa.int64()), ("n_turns", pa.int64()), ("n_tool", pa.int64()),
-    ("n_q", pa.int64()), ("n_neg", pa.int64()), ("n_asst", pa.int64()),
-    ("n_user", pa.int64()), ("n_quote", pa.int64()), ("n_acq", pa.int64()),
-    ("t_max", pa.int32()), ("qu_max", pa.int32()),
-])
-
-_CONV_COUNTERS = ["n_turns", "n_tool", "n_q", "n_neg", "n_asst", "n_user",
-                  "n_quote", "n_acq", "t_max", "qu_max"]
-
-
-def _conv_scan_rules(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Every conversation-keyed rule — the 11 counter-threshold rules AND
-    duplicate-turn-text — off ONE bucketed exchange.
-
-    Per-batch partials emit tagged rows keyed by conv_id (tag 'c': the ten
-    per-conversation counters, pre-combined with a vectorized in-batch
-    groupby; tag 'd': per-(conv, text) duplicate counts); ONE hash-bucket
-    shuffle co-locates whole conversations, and each shard resolves both
-    rule families with vectorized ``pa.Table.group_by`` kernels.  A Ray
-    ``groupby().aggregate()`` with N aggregates costs ~N Python-level
-    per-block passes plus a per-exchange fixed latency; fusing the two
-    conversation-keyed exchanges into one bucketed shuffle with C++
-    in-shard aggregation is ~4x faster at sf0.1 and strictly narrower on
-    the wire (the text column ships once, as before — the repeated text
-    IS the duplicate-turn evidence)."""
-    from ..functions.buckets import DEFAULT_GROUP_BUCKETS, add_bucket
-
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or t.num_rows == 0:
-            return add_bucket(_CONV_PART.empty_table(), "conv_id",
-                              DEFAULT_GROUP_BUCKETS)
-        is_tool = pc.cast(pc.fill_null(
-            pc.equal(t.column("role"), "tool"), False), pa.int64())
-        q_mask = pc.fill_null(pc.and_(
-            pc.equal(t.column("role"), "user"),
-            pc.ends_with(t.column("text"), "?")), False)
-        is_q = pc.cast(q_mask, pa.int64())
-        is_neg = pc.cast(pc.fill_null(pc.match_substring(
-            t.column("text"), "no longer "), False), pa.int64())
-        is_asst = pc.cast(pc.fill_null(
-            pc.equal(t.column("role"), "assistant"), False), pa.int64())
-        is_user = pc.cast(pc.fill_null(
-            pc.equal(t.column("role"), "user"), False), pa.int64())
-        is_quote = pc.cast(pc.fill_null(pc.match_substring(
-            t.column("text"), ' said "'), False), pa.int64())
-        is_acq = pc.cast(pc.fill_null(pc.match_substring_regex(
-            t.column("text"), r"^[A-Z][A-Za-z ]+ acquired "), False),
-            pa.int64())
-        tidx = t.column("turn_idx").cast(pa.int32())
-        qu_idx = pc.if_else(q_mask, tidx, pa.scalar(-1, pa.int32()))
-        c = (pa.table({"conv_id": t.column("conv_id"),
-                       "n_turns": pa.array([1] * t.num_rows, pa.int64()),
-                       "n_tool": is_tool, "n_q": is_q, "n_neg": is_neg,
-                       "n_asst": is_asst, "n_user": is_user,
-                       "n_quote": is_quote, "n_acq": is_acq,
-                       "t_max": tidx, "qu_max": qu_idx})
-             .group_by("conv_id")
-             .aggregate([("n_turns", "sum"), ("n_tool", "sum"),
-                         ("n_q", "sum"), ("n_neg", "sum"),
-                         ("n_asst", "sum"), ("n_user", "sum"),
-                         ("n_quote", "sum"), ("n_acq", "sum"),
-                         ("t_max", "max"), ("qu_max", "max")]))
-        kc = c.num_rows
-        ctab = pa.Table.from_arrays(
-            [c.column("conv_id"),
-             pa.array(["c"] * kc, pa.string()),
-             pa.nulls(kc, pa.string()), pa.nulls(kc, pa.int64()),
-             c.column("n_turns_sum"), c.column("n_tool_sum"),
-             c.column("n_q_sum"), c.column("n_neg_sum"),
-             c.column("n_asst_sum"), c.column("n_user_sum"),
-             c.column("n_quote_sum"), c.column("n_acq_sum"),
-             c.column("t_max_max"), c.column("qu_max_max")],
-            schema=_CONV_PART)
-        d = (t.select(["conv_id", "text"]).group_by(["conv_id", "text"])
-             .aggregate([("text", "count")]))
-        kd = d.num_rows
-        dtab = pa.Table.from_arrays(
-            [d.column("conv_id"),
-             pa.array(["d"] * kd, pa.string()),
-             d.column("text"), d.column("text_count").cast(pa.int64()),
-             pa.nulls(kd, pa.int64()), pa.nulls(kd, pa.int64()),
-             pa.nulls(kd, pa.int64()), pa.nulls(kd, pa.int64()),
-             pa.nulls(kd, pa.int64()), pa.nulls(kd, pa.int64()),
-             pa.nulls(kd, pa.int64()), pa.nulls(kd, pa.int64()),
-             pa.nulls(kd, pa.int32()), pa.nulls(kd, pa.int32())],
-            schema=_CONV_PART)
-        return add_bucket(pa.concat_tables([ctab, dtab]), "conv_id",
-                          DEFAULT_GROUP_BUCKETS)
-
-    def shard(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return FINDINGS.empty_table()
-        g = g.drop_columns(["bucket"]).combine_chunks()
-        outs = [FINDINGS.empty_table()]
-        c = g.filter(pc.equal(g.column("tag"), "c"))
-        if c.num_rows:
-            agg = (c.select(["conv_id"] + _CONV_COUNTERS)
-                   .group_by("conv_id")
-                   .aggregate([(x, "sum") for x in _CONV_COUNTERS[:8]]
-                              + [("t_max", "max"), ("qu_max", "max")])
-                   .rename_columns(["conv_id"] + _CONV_COUNTERS))
-            outs.append(_conv_finish(agg))
-        d = g.filter(pc.equal(g.column("tag"), "d"))
-        if d.num_rows:
-            dup = (d.select(["conv_id", "sub", "n"])
-                   .group_by(["conv_id", "sub"])
-                   .aggregate([("n", "sum")]))
-            sub = dup.filter(pc.greater(dup.column("n_sum"), 1))
-            if sub.num_rows:
-                outs.append(_table("duplicate-turn-text", "warning",
-                                   sub.column("conv_id"), None,
-                                   sub.column("sub"), sub.num_rows))
-        return pa.concat_tables(outs)
-
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("bucket").map_groups(shard, batch_format="pyarrow"))
-
-
-def _conv_finish(t: pa.Table) -> pa.Table:
-    """Per-conversation counters (globally aggregated) -> the 11
-    conversation-level threshold rules."""
-    outs = []
-
-    def emit(rule, sev, sub, ev_col):
-        outs.append(_table(rule, sev, sub.column("conv_id"), None,
-                           pc.cast(sub.column(ev_col), pa.string()),
-                           sub.num_rows))
-
-    emit("repeat-caller", "info",
-         t.filter(pc.greater_equal(t.column("n_tool"),
-                                   REPEAT_CALLER_MIN)), "n_tool")
-    emit("long-conversation", "info",
-         t.filter(pc.greater_equal(t.column("n_turns"),
-                                   LONG_CONV_TURNS)), "n_turns")
-    emit("no-tool-conversation", "info",
-         t.filter(pc.equal(t.column("n_tool"), 0)), "n_turns")
-    emit("question-heavy", "info",
-         t.filter(pc.greater_equal(t.column("n_q"),
-                                   QUESTION_HEAVY_MIN)), "n_q")
-    emit("short-conversation", "info",
-         t.filter(pc.less_equal(t.column("n_turns"),
-                                SHORT_CONV_TURNS)), "n_turns")
-    emit("negation-heavy", "warning",
-         t.filter(pc.greater_equal(t.column("n_neg"),
-                                   NEGATION_HEAVY_MIN)), "n_neg")
-    emit("tool-heavy", "info",
-         t.filter(pc.and_(
-             pc.greater_equal(t.column("n_tool"), 1),
-             pc.greater_equal(
-                 pc.multiply(t.column("n_tool"),
-                             pa.scalar(TOOL_HEAVY_FACTOR, pa.int64())),
-                 t.column("n_turns")))), "n_tool")
-    emit("ends-with-question", "info",
-         t.filter(pc.equal(t.column("qu_max").cast(pa.int32()),
-                           t.column("t_max").cast(pa.int32()))),
-         "t_max")
-    emit("assistant-heavy", "info",
-         t.filter(pc.greater(t.column("n_asst"), t.column("n_user"))),
-         "n_asst")
-    emit("quote-heavy", "info",
-         t.filter(pc.greater_equal(t.column("n_quote"),
-                                   QUOTE_HEAVY_MIN)), "n_quote")
-    emit("acquisition-conversation", "info",
-         t.filter(pc.greater_equal(t.column("n_acq"), 1)), "n_acq")
-    return pa.concat_tables(outs)
-
-
 def _entity_table(rule: str, sev: str, ev, n: int) -> pa.Table:
     """Conversation-less FINDINGS rows (entity-level rules)."""
     if isinstance(ev, pa.ChunkedArray):
@@ -537,194 +368,261 @@ def _entity_table(rule: str, sev: str, ev, n: int) -> pa.Table:
         schema=FINDINGS)
 
 
-def entity_rules(sf_dir: str, *, triples: "ray.data.Dataset | None" = None,
-                 entities: "ray.data.Dataset | None" = None
-                 ) -> "ray.data.Dataset":
-    """All entity-/graph-level rules off ONE triples materialization and
-    ONE tagged, bucketed exchange — the graph-shaped half of the scan
-    battery (canonical-entity, aggregation and chain rules, not
-    regex-on-turns):
+# ---------------------------------------------------------------------------
+# Fused scan exchange: EVERY aggregation-shaped rule — 11 conversation-level
+# counter rules, duplicate-turn-text, and the 7 entity/graph rule families —
+# shares ONE tagged, hash-bucketed shuffle.  Per-batch partials pre-combine
+# (bounding any hot key to n_blocks rows, the salted-tree-reduce skew
+# guarantee), the single exchange co-locates each tag's key groups, and one
+# shard function resolves every family with vectorized ``pa.Table.group_by``
+# kernels.  Conversation-keyed tags ('c', 'd', 'chn') key on a=conv_id;
+# entity tags key on the normalized entity (fam 'wa' buckets by person so
+# the multi-employer roll-up is shard-local; 'cnt' spreads over (kind,
+# norm) because kind alone is low-cardinality).  A Ray
+# ``groupby().aggregate()`` with N aggregates costs ~N Python-level
+# per-block passes plus per-exchange fixed latency; measured at sf0.1 the
+# bucketed single-exchange shape is ~4x faster than the two-exchange
+# version and ~6x faster than the original five-exchange one.
+# ---------------------------------------------------------------------------
 
-    - hot-entity / lonely-entity: mention-count extremes (fam 'cnt';
-      canonical directory broadcast once, joined in-shard).
-    - multi-employer: person with >= MULTI_EMPLOYER_MIN distinct works_at
-      objects (fam 'wa', bucketed by person so the roll-up is in-shard).
-    - work-contradiction: same (person, org) asserted both negated and
-      non-negated (fam 'wa').
-    - module-hotspot: module with >= MODULE_HOTSPOT_MIN bug reports
-      (fam 'bug').
-    - acquirer-acquired: org on both sides of 'acquired' (fam 'acq').
-    - bidirectional-management: manages in both directions (fam 'mgmt').
-    - rapid-re-mention: entity mentioned in consecutive turns (fam 'chn';
-      the use-chain analog, same consecutive-turn semantics as
-      ``chains.mention_chains``).
+_SCAN_PART = pa.schema([
+    ("tag", pa.string()), ("a", pa.string()), ("b", pa.string()),
+    ("n", pa.int64()), ("f1", pa.int64()), ("f2", pa.int64()),
+    ("n_turns", pa.int64()), ("n_tool", pa.int64()), ("n_q", pa.int64()),
+    ("n_neg", pa.int64()), ("n_asst", pa.int64()), ("n_user", pa.int64()),
+    ("n_quote", pa.int64()), ("n_acq", pa.int64()),
+    ("t_max", pa.int32()), ("qu_max", pa.int32()),
+    ("bucket", pa.int64()),
+])
 
-    Each family pre-combines inside the per-batch partial (bounding any
-    hot key to n_blocks partial rows — the same skew guarantee as the
-    salted tree reduce), then ONE hash-bucket shuffle co-locates every
-    family's key groups and a vectorized ``pa.Table.group_by`` resolves
-    all seven rules per shard.  Previously these rules cost five
-    independent all-to-all exchanges (salted counts, fam aggregate,
-    employer roll-up, mention-chains, count-join); each Ray exchange
-    carries seconds of fixed latency, so the fusion is ~4x faster at
-    sf0.1 and strictly narrower on the wire.  Turn text never enters the
-    exchange."""
-    import numpy as np
+_SCAN_COUNTERS = ["n_turns", "n_tool", "n_q", "n_neg", "n_asst", "n_user",
+                  "n_quote", "n_acq", "t_max", "qu_max"]
+
+# deterministic per-tag salt (NOT Python hash(), which is
+# process-randomized and would split one key across buckets)
+_SCAN_SALT = {"c": 0, "d": 7, "wa": 1, "bug": 2, "acq": 3, "mgmt": 4,
+              "cnt": 5, "chn": 6}
+
+
+def _scan_rows(tag: str, a, b=None, n=None, f1=None, f2=None,
+               counters: dict | None = None, *,
+               spread: bool = False) -> pa.Table:
+    """Assemble one tag's partial rows in the unified scan schema with
+    their bucket column (hash of the tag's key + per-tag salt)."""
     import pandas as pd
 
-    from ..functions import rules as R
     from ..functions.buckets import DEFAULT_GROUP_BUCKETS
-    from ..stages import extract as X
+
+    def arr(x):
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    a = arr(a)
+    k = len(a)
+    cols = {"tag": pa.array([tag] * k, pa.string()), "a": a,
+            "b": arr(b) if b is not None else pa.nulls(k, pa.string()),
+            "n": arr(n) if n is not None else pa.nulls(k, pa.int64()),
+            "f1": arr(f1) if f1 is not None else pa.nulls(k, pa.int64()),
+            "f2": arr(f2) if f2 is not None else pa.nulls(k, pa.int64())}
+    for name in _SCAN_COUNTERS:
+        typ = pa.int32() if name in ("t_max", "qu_max") else pa.int64()
+        cols[name] = (arr(counters[name]).cast(typ) if counters
+                      else pa.nulls(k, typ))
+    t = pa.table(cols)
+    key = t.column("a").to_numpy(zero_copy_only=False)
+    if spread:
+        key = key + "\x1f" + t.column("b").to_numpy(zero_copy_only=False)
+    h = (pd.util.hash_array(key) + _SCAN_SALT[tag]) % DEFAULT_GROUP_BUCKETS
+    return t.append_column("bucket", pa.array(h.astype("int64"))) \
+            .cast(_SCAN_PART)
+
+
+def _conv_partial(t: pa.Table) -> pa.Table:
+    """Transcript batch → tagged conversation-keyed partials: tag 'c'
+    (the ten per-conversation counters, pre-combined in-batch) and tag
+    'd' (per-(conv, text) duplicate counts — the text column ships once,
+    as the duplicate-turn evidence)."""
+    if t.num_columns == 0 or t.num_rows == 0:
+        return _SCAN_PART.empty_table()
+    is_tool = pc.cast(pc.fill_null(
+        pc.equal(t.column("role"), "tool"), False), pa.int64())
+    q_mask = pc.fill_null(pc.and_(
+        pc.equal(t.column("role"), "user"),
+        pc.ends_with(t.column("text"), "?")), False)
+    is_q = pc.cast(q_mask, pa.int64())
+    is_neg = pc.cast(pc.fill_null(pc.match_substring(
+        t.column("text"), "no longer "), False), pa.int64())
+    is_asst = pc.cast(pc.fill_null(
+        pc.equal(t.column("role"), "assistant"), False), pa.int64())
+    is_user = pc.cast(pc.fill_null(
+        pc.equal(t.column("role"), "user"), False), pa.int64())
+    is_quote = pc.cast(pc.fill_null(pc.match_substring(
+        t.column("text"), ' said "'), False), pa.int64())
+    is_acq = pc.cast(pc.fill_null(pc.match_substring_regex(
+        t.column("text"), r"^[A-Z][A-Za-z ]+ acquired "), False),
+        pa.int64())
+    tidx = t.column("turn_idx").cast(pa.int32())
+    qu_idx = pc.if_else(q_mask, tidx, pa.scalar(-1, pa.int32()))
+    c = (pa.table({"conv_id": t.column("conv_id"),
+                   "n_turns": pa.array([1] * t.num_rows, pa.int64()),
+                   "n_tool": is_tool, "n_q": is_q, "n_neg": is_neg,
+                   "n_asst": is_asst, "n_user": is_user,
+                   "n_quote": is_quote, "n_acq": is_acq,
+                   "t_max": tidx, "qu_max": qu_idx})
+         .group_by("conv_id")
+         .aggregate([(x, "sum") for x in _SCAN_COUNTERS[:8]]
+                    + [("t_max", "max"), ("qu_max", "max")]))
+    ctab = _scan_rows(
+        "c", c.column("conv_id"),
+        counters={"n_turns": c.column("n_turns_sum"),
+                  "n_tool": c.column("n_tool_sum"),
+                  "n_q": c.column("n_q_sum"),
+                  "n_neg": c.column("n_neg_sum"),
+                  "n_asst": c.column("n_asst_sum"),
+                  "n_user": c.column("n_user_sum"),
+                  "n_quote": c.column("n_quote_sum"),
+                  "n_acq": c.column("n_acq_sum"),
+                  "t_max": c.column("t_max_max"),
+                  "qu_max": c.column("qu_max_max")})
+    d = (t.select(["conv_id", "text"]).group_by(["conv_id", "text"])
+         .aggregate([("text", "count")]))
+    dtab = _scan_rows("d", d.column("conv_id"), b=d.column("text"),
+                      n=d.column("text_count").cast(pa.int64()))
+    return pa.concat_tables([ctab, dtab])
+
+
+def _fam_partial(t: pa.Table) -> pa.Table:
+    """Surface-triples batch → tagged entity/graph-rule partials
+    (families wa/bug/acq/mgmt/cnt/chn; see the block comment above)."""
+    from ..functions import rules as R
     from ..stages import link as L
     from ..stages.link import normalize_arrays
-    from ..stages.materialize import entity_lookup_ref
 
-    if triples is None:
-        tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
-        triples = X.extract_triples(tds).materialize()
-    if entities is None:
-        mentions = triples.map_batches(L.mentions_from_triples,
-                                       batch_format="pyarrow")
-        entities = L.build_entities(
-            L.vocab_from_mentions(mentions)).materialize()
-    eref = entity_lookup_ref(entities)
+    if t.num_columns == 0 or t.num_rows == 0:
+        return _SCAN_PART.empty_table()
     exact_kinds = pa.array(sorted(
         {"person", "tool", "module"} - R.FUZZY_KINDS - R.NONLINK_KINDS))
+    zeros = lambda k: pa.array([0] * k, pa.int64())   # noqa: E731
+    ones = lambda k: pa.array([1] * k, pa.int64())    # noqa: E731
+    blank = lambda k: pa.array([""] * k, pa.string())  # noqa: E731
+    parts = []
 
-    _FAM_SCHEMA = pa.schema([
-        ("fam", pa.string()), ("a", pa.string()), ("b", pa.string()),
-        ("n", pa.int64()), ("f1", pa.int64()), ("f2", pa.int64()),
-        ("bucket", pa.int64())])
-    # deterministic per-family salt (NOT Python hash(), which is
-    # process-randomized and would split one key across buckets)
-    _FAM_SALT = {"wa": 1, "bug": 2, "acq": 3, "mgmt": 4, "cnt": 5,
-                 "chn": 6}
+    wa = t.filter(pc.equal(t.column("pred"), "works_at"))
+    if wa.num_rows:
+        p = pa.table({
+            "a": normalize_arrays(wa.column("subj_kind"), wa.column("subj")),
+            "b": normalize_arrays(wa.column("obj_kind"), wa.column("obj")),
+            "neg": pc.cast(wa.column("negated"), pa.int64()),
+        }).group_by(["a", "b"]).aggregate([("neg", "max"), ("neg", "min")])
+        # f1 = seen non-negated (min over negs == 0), f2 = seen negated
+        parts.append(_scan_rows(
+            "wa", p.column("a"), b=p.column("b"),
+            f1=pc.cast(pc.equal(p.column("neg_min"), 0), pa.int64()),
+            f2=p.column("neg_max")))
 
-    def _bucketed(fam: str, a, b, n, f1, f2, *, spread: bool) -> pa.Table:
-        """Assemble one family's partial rows; bucket on (fam, a) so each
-        key's roll-up is shard-local, or on (fam, a, b) for families whose
-        'a' is low-cardinality ('cnt': a=kind)."""
-        def arr(x):
-            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
-        a = arr(a)
-        k = len(a)
-        t = pa.table({"fam": pa.array([fam] * k, pa.string()), "a": a,
-                      "b": arr(b), "n": arr(n), "f1": arr(f1),
-                      "f2": arr(f2)})
-        key = t.column("a").to_numpy(zero_copy_only=False)
-        if spread:
-            key = key + "\x1f" + t.column("b").to_numpy(zero_copy_only=False)
-        h = (pd.util.hash_array(key) + _FAM_SALT[fam]) % DEFAULT_GROUP_BUCKETS
-        return t.append_column("bucket", pa.array(h.astype("int64")))
+    bug = t.filter(pc.equal(t.column("pred"), "reported_bug"))
+    if bug.num_rows:
+        p = pa.table({
+            "a": normalize_arrays(bug.column("obj_kind"), bug.column("obj")),
+            "n": ones(bug.num_rows),
+        }).group_by("a").aggregate([("n", "sum")])
+        parts.append(_scan_rows("bug", p.column("a"), n=p.column("n_sum")))
 
-    def fam_partial(t: pa.Table) -> pa.Table:
-        parts = []
-        k0 = t.num_rows
-        if t.num_columns == 0 or k0 == 0:
-            return _FAM_SCHEMA.empty_table()
-        zeros = lambda k: pa.array([0] * k, pa.int64())   # noqa: E731
-        ones = lambda k: pa.array([1] * k, pa.int64())    # noqa: E731
-        blank = lambda k: pa.array([""] * k, pa.string())  # noqa: E731
+    acq = t.filter(pc.equal(t.column("pred"), "acquired"))
+    if acq.num_rows:
+        sn = normalize_arrays(acq.column("subj_kind"), acq.column("subj"))
+        on = normalize_arrays(acq.column("obj_kind"), acq.column("obj"))
+        sn = sn.combine_chunks() if isinstance(sn, pa.ChunkedArray) else sn
+        on = on.combine_chunks() if isinstance(on, pa.ChunkedArray) else on
+        k = acq.num_rows
+        p = pa.table({
+            "a": pa.concat_arrays([sn, on]),
+            "f1": pa.concat_arrays([ones(k), zeros(k)]),
+            "f2": pa.concat_arrays([zeros(k), ones(k)]),
+        }).group_by("a").aggregate([("f1", "max"), ("f2", "max")])
+        parts.append(_scan_rows("acq", p.column("a"),
+                                f1=p.column("f1_max"),
+                                f2=p.column("f2_max")))
 
-        wa = t.filter(pc.equal(t.column("pred"), "works_at"))
-        if wa.num_rows:
+    mg = t.filter(pc.equal(t.column("pred"), "manages"))
+    if mg.num_rows:
+        s = normalize_arrays(mg.column("subj_kind"), mg.column("subj"))
+        o = normalize_arrays(mg.column("obj_kind"), mg.column("obj"))
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        o = o.combine_chunks() if isinstance(o, pa.ChunkedArray) else o
+        ne = pc.not_equal(s, o)
+        s, o = s.filter(ne), o.filter(ne)
+        if len(s):
+            fwd = pc.less(s, o)
             p = pa.table({
-                "a": normalize_arrays(wa.column("subj_kind"),
-                                      wa.column("subj")),
-                "b": normalize_arrays(wa.column("obj_kind"),
-                                      wa.column("obj")),
-                "neg": pc.cast(wa.column("negated"), pa.int64()),
-            }).group_by(["a", "b"]).aggregate([("neg", "max"),
-                                               ("neg", "min")])
-            # f1 = seen non-negated (min over negs == 0), f2 = seen negated
-            parts.append(_bucketed(
-                "wa", p.column("a"), p.column("b"), zeros(p.num_rows),
-                pc.cast(pc.equal(p.column("neg_min"), 0), pa.int64()),
-                p.column("neg_max"), spread=False))
+                "a": pc.if_else(fwd, s, o), "b": pc.if_else(fwd, o, s),
+                "f1": pc.cast(fwd, pa.int64()),
+                "f2": pc.cast(pc.invert(fwd), pa.int64()),
+            }).group_by(["a", "b"]).aggregate([("f1", "max"),
+                                               ("f2", "max")])
+            parts.append(_scan_rows("mgmt", p.column("a"), b=p.column("b"),
+                                    f1=p.column("f1_max"),
+                                    f2=p.column("f2_max")))
 
-        bug = t.filter(pc.equal(t.column("pred"), "reported_bug"))
-        if bug.num_rows:
-            p = pa.table({
-                "a": normalize_arrays(bug.column("obj_kind"),
-                                      bug.column("obj")),
-                "n": ones(bug.num_rows),
-            }).group_by("a").aggregate([("n", "sum")])
-            parts.append(_bucketed("bug", p.column("a"), blank(p.num_rows),
-                                   p.column("n_sum"), zeros(p.num_rows),
-                                   zeros(p.num_rows), spread=False))
+    men = L.mentions_from_triples(t)
+    cnt = men.filter(pc.is_in(men.column("kind"), value_set=exact_kinds))
+    if cnt.num_rows:
+        p = (cnt.select(["kind", "norm"]).group_by(["kind", "norm"])
+             .aggregate([("norm", "count")]))
+        parts.append(_scan_rows(
+            "cnt", p.column("kind"), b=p.column("norm"),
+            n=p.column("norm_count").cast(pa.int64()), spread=True))
 
-        acq = t.filter(pc.equal(t.column("pred"), "acquired"))
-        if acq.num_rows:
-            sn = normalize_arrays(acq.column("subj_kind"), acq.column("subj"))
-            on = normalize_arrays(acq.column("obj_kind"), acq.column("obj"))
-            sn = sn.combine_chunks() if isinstance(sn, pa.ChunkedArray) else sn
-            on = on.combine_chunks() if isinstance(on, pa.ChunkedArray) else on
-            k = acq.num_rows
-            p = pa.table({
-                "a": pa.concat_arrays([sn, on]),
-                "f1": pa.concat_arrays([ones(k), zeros(k)]),
-                "f2": pa.concat_arrays([zeros(k), ones(k)]),
-            }).group_by("a").aggregate([("f1", "max"), ("f2", "max")])
-            parts.append(_bucketed("acq", p.column("a"), blank(p.num_rows),
-                                   zeros(p.num_rows), p.column("f1_max"),
-                                   p.column("f2_max"), spread=False))
+    if men.num_rows:
+        p = pa.table({
+            "a": men.column("conv_id"),
+            "b": pc.binary_join_element_wise(
+                men.column("kind").cast(pa.string()),
+                men.column("norm").cast(pa.string()), ":"),
+            "n": men.column("turn_idx").cast(pa.int64()),
+        }).group_by(["a", "b", "n"]).aggregate([])
+        parts.append(_scan_rows("chn", p.column("a"), b=p.column("b"),
+                                n=p.column("n")))
 
-        mg = t.filter(pc.equal(t.column("pred"), "manages"))
-        if mg.num_rows:
-            s = normalize_arrays(mg.column("subj_kind"), mg.column("subj"))
-            o = normalize_arrays(mg.column("obj_kind"), mg.column("obj"))
-            s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
-            o = o.combine_chunks() if isinstance(o, pa.ChunkedArray) else o
-            ne = pc.not_equal(s, o)
-            s, o = s.filter(ne), o.filter(ne)
-            if len(s):
-                fwd = pc.less(s, o)
-                p = pa.table({
-                    "a": pc.if_else(fwd, s, o), "b": pc.if_else(fwd, o, s),
-                    "f1": pc.cast(fwd, pa.int64()),
-                    "f2": pc.cast(pc.invert(fwd), pa.int64()),
-                }).group_by(["a", "b"]).aggregate([("f1", "max"),
-                                                   ("f2", "max")])
-                parts.append(_bucketed(
-                    "mgmt", p.column("a"), p.column("b"), zeros(p.num_rows),
-                    p.column("f1_max"), p.column("f2_max"), spread=False))
+    if not parts:
+        return _SCAN_PART.empty_table()
+    return pa.concat_tables(parts)
 
-        men = L.mentions_from_triples(t)
-        cnt = men.filter(pc.is_in(men.column("kind"),
-                                  value_set=exact_kinds))
-        if cnt.num_rows:
-            p = (cnt.select(["kind", "norm"]).group_by(["kind", "norm"])
-                 .aggregate([("norm", "count")]))
-            parts.append(_bucketed(
-                "cnt", p.column("kind"), p.column("norm"),
-                p.column("norm_count").cast(pa.int64()),
-                zeros(p.num_rows), zeros(p.num_rows), spread=True))
 
-        if men.num_rows:
-            p = pa.table({
-                "a": men.column("conv_id"),
-                "b": pc.binary_join_element_wise(
-                    men.column("kind").cast(pa.string()),
-                    men.column("norm").cast(pa.string()), ":"),
-                "n": men.column("turn_idx").cast(pa.int64()),
-            }).group_by(["a", "b", "n"]).aggregate([])
-            parts.append(_bucketed("chn", p.column("a"), p.column("b"),
-                                   p.column("n"), zeros(p.num_rows),
-                                   zeros(p.num_rows), spread=False))
+def _scan_shard_factory(eref):
+    """Shard resolver over the fused exchange: dispatches every tag
+    present in the bucket to its vectorized in-shard aggregation.
+    ``eref`` (broadcast canonical-entity directory) is only consulted
+    when 'cnt' rows are present."""
+    import numpy as np
 
-        if not parts:
-            return _FAM_SCHEMA.empty_table()
-        return pa.concat_tables(parts)
-
-    def fam_shard(g: pa.Table) -> pa.Table:
+    def shard(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return FINDINGS.empty_table()
         g = g.drop_columns(["bucket"]).combine_chunks()
         outs = [FINDINGS.empty_table()]
 
-        def sub(fam):
-            s = g.filter(pc.equal(g.column("fam"), fam))
+        def sub(tag):
+            s = g.filter(pc.equal(g.column("tag"), tag))
             return s if s.num_rows else None
+
+        c = sub("c")
+        if c is not None:
+            agg = (c.select(["a"] + _SCAN_COUNTERS)
+                   .group_by("a")
+                   .aggregate([(x, "sum") for x in _SCAN_COUNTERS[:8]]
+                              + [("t_max", "max"), ("qu_max", "max")])
+                   .rename_columns(["conv_id"] + _SCAN_COUNTERS))
+            outs.append(_conv_finish(agg))
+
+        d = sub("d")
+        if d is not None:
+            dup = (d.select(["a", "b", "n"]).group_by(["a", "b"])
+                   .aggregate([("n", "sum")]))
+            hit = dup.filter(pc.greater(dup.column("n_sum"), 1))
+            if hit.num_rows:
+                outs.append(_table("duplicate-turn-text", "warning",
+                                   hit.column("a"), None, hit.column("b"),
+                                   hit.num_rows))
 
         wa = sub("wa")
         if wa is not None:
@@ -738,8 +636,7 @@ def entity_rules(sf_dir: str, *, triples: "ray.data.Dataset | None" = None,
                     "person", both.column("a").cast(pa.string()),
                     "org", both.column("b").cast(pa.string()), ":"),
                 both.num_rows))
-            emp = (p.select(["a"]).group_by("a")
-                   .aggregate([("a", "count")]))
+            emp = p.select(["a"]).group_by("a").aggregate([("a", "count")])
             hot = emp.filter(pc.greater_equal(
                 emp.column("a_count").cast(pa.int64()),
                 MULTI_EMPLOYER_MIN))
@@ -795,17 +692,17 @@ def entity_rules(sf_dir: str, *, triples: "ray.data.Dataset | None" = None,
             ents = ray.get(eref)
             joined = p.join(ents.select(["kind", "norm", "canonical"]),
                             keys=["kind", "norm"], join_type="inner")
-            for rule, s in (
+            for rule, hit in (
                 ("hot-entity", joined.filter(pc.greater_equal(
                     joined.column("n"), HOT_ENTITY_MIN))),
                 ("lonely-entity", joined.filter(pc.less_equal(
                     joined.column("n"), LONELY_ENTITY_MAX))),
             ):
                 ev = pc.binary_join_element_wise(
-                    s.column("kind").cast(pa.string()),
-                    s.column("canonical").cast(pa.string()),
-                    pc.cast(s.column("n"), pa.string()), ":")
-                outs.append(_entity_table(rule, "info", ev, s.num_rows))
+                    hit.column("kind").cast(pa.string()),
+                    hit.column("canonical").cast(pa.string()),
+                    pc.cast(hit.column("n"), pa.string()), ":")
+                outs.append(_entity_table(rule, "info", ev, hit.num_rows))
 
         chn = sub("chn")
         if chn is not None:
@@ -835,20 +732,110 @@ def entity_rules(sf_dir: str, *, triples: "ray.data.Dataset | None" = None,
 
         return pa.concat_tables(outs)
 
-    return (triples.map_batches(fam_partial, batch_format="pyarrow")
-            .groupby("bucket").map_groups(fam_shard,
+    return shard
+
+
+def _conv_finish(t: pa.Table) -> pa.Table:
+    """Per-conversation counters (globally aggregated) -> the 11
+    conversation-level threshold rules."""
+    outs = []
+
+    def emit(rule, sev, sub, ev_col):
+        outs.append(_table(rule, sev, sub.column("conv_id"), None,
+                           pc.cast(sub.column(ev_col), pa.string()),
+                           sub.num_rows))
+
+    emit("repeat-caller", "info",
+         t.filter(pc.greater_equal(t.column("n_tool"),
+                                   REPEAT_CALLER_MIN)), "n_tool")
+    emit("long-conversation", "info",
+         t.filter(pc.greater_equal(t.column("n_turns"),
+                                   LONG_CONV_TURNS)), "n_turns")
+    emit("no-tool-conversation", "info",
+         t.filter(pc.equal(t.column("n_tool"), 0)), "n_turns")
+    emit("question-heavy", "info",
+         t.filter(pc.greater_equal(t.column("n_q"),
+                                   QUESTION_HEAVY_MIN)), "n_q")
+    emit("short-conversation", "info",
+         t.filter(pc.less_equal(t.column("n_turns"),
+                                SHORT_CONV_TURNS)), "n_turns")
+    emit("negation-heavy", "warning",
+         t.filter(pc.greater_equal(t.column("n_neg"),
+                                   NEGATION_HEAVY_MIN)), "n_neg")
+    emit("tool-heavy", "info",
+         t.filter(pc.and_(
+             pc.greater_equal(t.column("n_tool"), 1),
+             pc.greater_equal(
+                 pc.multiply(t.column("n_tool"),
+                             pa.scalar(TOOL_HEAVY_FACTOR, pa.int64())),
+                 t.column("n_turns")))), "n_tool")
+    emit("ends-with-question", "info",
+         t.filter(pc.equal(t.column("qu_max").cast(pa.int32()),
+                           t.column("t_max").cast(pa.int32()))),
+         "t_max")
+    emit("assistant-heavy", "info",
+         t.filter(pc.greater(t.column("n_asst"), t.column("n_user"))),
+         "n_asst")
+    emit("quote-heavy", "info",
+         t.filter(pc.greater_equal(t.column("n_quote"),
+                                   QUOTE_HEAVY_MIN)), "n_quote")
+    emit("acquisition-conversation", "info",
+         t.filter(pc.greater_equal(t.column("n_acq"), 1)), "n_acq")
+    return pa.concat_tables(outs)
+
+
+def _conv_scan_rules(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Conversation-keyed rules standalone (one bucketed exchange); the
+    full ``findings`` battery fuses these partials with the entity-family
+    partials into a single shared exchange instead."""
+    return (ds.map_batches(_conv_partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(_scan_shard_factory(None),
                                           batch_format="pyarrow"))
 
 
-def scan(transcripts_ds: "ray.data.Dataset",
-         extra_rules: list | None = None) -> "ray.data.Dataset":
-    """Run every transcript-level rule; findings = union of per-rule
-    outputs (ScanPass).  Per-turn rules fuse into ONE map over the stream;
-    conversation-level rules share one aggregation pass.
+def _entity_setup(sf_dir: str, triples, entities):
+    """Shared triples/entities/eref wiring for the entity-family rules."""
+    from ..stages import extract as X
+    from ..stages import link as L
+    from ..stages.materialize import entity_lookup_ref
 
-    extra_rules: externally-loaded per-batch rule functions
-    (state.config.config_findings_rules — the querydb-plugin surface),
-    fused into the same single pass."""
+    if triples is None:
+        tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
+        triples = X.extract_triples(tds).materialize()
+    if entities is None:
+        mentions = triples.map_batches(L.mentions_from_triples,
+                                       batch_format="pyarrow")
+        entities = L.build_entities(
+            L.vocab_from_mentions(mentions)).materialize()
+    return triples, entity_lookup_ref(entities)
+
+
+def entity_rules(sf_dir: str, *, triples: "ray.data.Dataset | None" = None,
+                 entities: "ray.data.Dataset | None" = None
+                 ) -> "ray.data.Dataset":
+    """Entity-/graph-level rules standalone (one bucketed exchange off one
+    triples materialization):
+
+    - hot-entity / lonely-entity: mention-count extremes ('cnt').
+    - multi-employer: >= MULTI_EMPLOYER_MIN distinct works_at objects.
+    - work-contradiction: (person, org) asserted negated AND non-negated.
+    - module-hotspot: >= MODULE_HOTSPOT_MIN bug reports ('bug').
+    - acquirer-acquired: org on both sides of 'acquired' ('acq').
+    - bidirectional-management: manages in both directions ('mgmt').
+    - rapid-re-mention: consecutive-turn mention chains ('chn').
+
+    Turn text never enters the exchange; see the fused-exchange block
+    comment for the partitioning/skew contract."""
+    triples, eref = _entity_setup(sf_dir, triples, entities)
+    return (triples.map_batches(_fam_partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(_scan_shard_factory(eref),
+                                          batch_format="pyarrow"))
+
+
+def _per_turn_scan(transcripts_ds: "ray.data.Dataset",
+                   extra_rules: list | None = None) -> "ray.data.Dataset":
+    """The 30 per-turn predicate rules fused into ONE map over the
+    transcript stream (plus any config-loaded rules)."""
     builtin = [_rule_large_tool_result, _rule_long_turn, _rule_acquisition,
                _rule_question_turn, _rule_negated_fact, _rule_empty_turn,
                _rule_meeting, _rule_small_tool_result, _rule_bug_report,
@@ -863,27 +850,51 @@ def scan(transcripts_ds: "ray.data.Dataset",
                _rule_daily_usage, _rule_dotted_module,
                _rule_negated_question, _rule_first_turn_question]
     rules = builtin + list(extra_rules or [])
-    per_turn = transcripts_ds.map_batches(
+    return transcripts_ds.map_batches(
         lambda t: pa.concat_tables([r(t) for r in rules]),
         batch_format="pyarrow", zero_copy_batch=True)
-    return per_turn.union(_conv_scan_rules(transcripts_ds))
+
+
+def scan(transcripts_ds: "ray.data.Dataset",
+         extra_rules: list | None = None) -> "ray.data.Dataset":
+    """Run every transcript-level rule; findings = union of per-rule
+    outputs (ScanPass).  Per-turn rules fuse into ONE map over the
+    stream; conversation-level rules share one bucketed exchange.
+
+    extra_rules: externally-loaded per-batch rule functions
+    (state.config.config_findings_rules — the querydb-plugin surface),
+    fused into the same single pass."""
+    return _per_turn_scan(transcripts_ds, extra_rules) \
+        .union(_conv_scan_rules(transcripts_ds))
 
 
 def findings(sf_dir: str, *, graph: dict | None = None):
     """Full battery (50 rules: 30 per-turn + 12 conversation-level +
-    8 entity/graph): transcript-level scan ∪ entity/graph rules —
-    matches the reference's 50-query scan battery rule-for-rule in count
+    8 entity/graph): matches the reference's 50-query scan battery
+    rule-for-rule in count
     (``querydb/src/main/scala/io/joern/scanners/**``, 50 Query.make
     sites).
+
+    The whole battery costs ONE map over the transcript stream (per-turn
+    rules) plus ONE tagged bucketed exchange: the conversation-keyed
+    partials (from transcripts) and the entity-family partials (from
+    triples) share the unified scan schema, union before the shuffle,
+    and resolve in the same shard pass.
 
     graph: an optional ``kg.build_graph`` result dict — when supplied,
     the entity/graph rules reuse its materialized triples/entities
     (the ScanPass-over-an-already-built-CPG shape) instead of
     re-extracting."""
     g = graph or {}
-    return scan(ray.data.read_parquet(synth.transcripts_path(sf_dir))) \
-        .union(entity_rules(sf_dir, triples=g.get("triples_surface"),
-                            entities=g.get("entities")))
+    tds = ray.data.read_parquet(synth.transcripts_path(sf_dir))
+    triples, eref = _entity_setup(sf_dir, g.get("triples_surface"),
+                                  g.get("entities"))
+    fused = (tds.map_batches(_conv_partial, batch_format="pyarrow")
+             .union(triples.map_batches(_fam_partial,
+                                        batch_format="pyarrow"))
+             .groupby("bucket").map_groups(_scan_shard_factory(eref),
+                                           batch_format="pyarrow"))
+    return _per_turn_scan(tds).union(fused)
 
 
 def findings_sql(transcripts_rel: str) -> str:
