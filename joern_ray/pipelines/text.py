@@ -333,7 +333,10 @@ def repetition_stats(sf_dir: str):
 
     def fn(t: pa.Table) -> pa.Table:
         trimmed = ascii_trim(t.column("text"))
-        mask = pc.not_equal(trimmed, "")
+        # NULL text scores like empty text (the SQL mirror's LEFT JOIN
+        # emits zeros for it) — fill_null BOTH branches or the row would
+        # silently drop from each
+        mask = pc.fill_null(pc.not_equal(trimmed, ""), False)
         out_empty = pa.table({
             "doc_id": t.filter(pc.invert(mask)).column("doc_id")
                        .cast(pa.int64()),
@@ -412,7 +415,8 @@ def familiarity(sf_dir: str):
     diverge in the last ulp)."""
     def flat_tokens(t: pa.Table) -> pa.Table:
         trimmed = ascii_trim(t.column("text"))
-        sub = t.filter(pc.not_equal(trimmed, ""))
+        # NULL text == empty text (fill_null, matching the SQL mirror)
+        sub = t.filter(pc.fill_null(pc.not_equal(trimmed, ""), False))
         if sub.num_rows == 0:
             return pa.schema([("doc_id", pa.int64()),
                               ("token", pa.string())]).empty_table()
@@ -445,7 +449,8 @@ def familiarity(sf_dir: str):
 
     def score(t: pa.Table) -> pa.Table:
         flat = flat_tokens(t)
-        empty = t.filter(pc.equal(ascii_trim(t.column("text")), ""))
+        empty = t.filter(pc.fill_null(
+            pc.equal(ascii_trim(t.column("text")), ""), True))
         zeros = pa.table({
             "doc_id": empty.column("doc_id").cast(pa.int64()),
             "freq_sum": pa.array([0] * empty.num_rows, pa.int64()),
@@ -502,11 +507,12 @@ def familiarity_cogroup(sf_dir: str):
        pre-combined).
 
     Equivalence with the broadcast path is pytest-enforced."""
-    import pandas as pd
+    from ..functions.buckets import add_bucket
 
     def flat_tokens(t: pa.Table) -> pa.Table:
         trimmed = ascii_trim(t.column("text"))
-        sub = t.filter(pc.not_equal(trimmed, ""))
+        # NULL text == empty text (fill_null, matching the SQL mirror)
+        sub = t.filter(pc.fill_null(pc.not_equal(trimmed, ""), False))
         if sub.num_rows == 0:
             return pa.schema([("doc_id", pa.int64()),
                               ("token", pa.string())]).empty_table()
@@ -523,10 +529,19 @@ def familiarity_cogroup(sf_dir: str):
         p = (flat_tokens(t).group_by(["doc_id", "token"])
              .aggregate([("token", "count")])
              .rename_columns(["doc_id", "token", "n"]))
-        h = pd.util.hash_array(p.column("token").to_numpy(
-            zero_copy_only=False))
-        return p.append_column("bucket", pa.array(
-            (h % FAMILIARITY_COGROUP_BUCKETS).astype("int64")))
+        # blank/NULL docs ride the SAME pass as an (doc_id, "", n=0)
+        # sentinel row (whitespace splitting never yields "" tokens, and
+        # its global count sums to 0) — no second corpus scan just to
+        # emit their zero scores
+        empty = t.filter(pc.fill_null(
+            pc.equal(ascii_trim(t.column("text")), ""), True))
+        if empty.num_rows:
+            p = pa.concat_tables([p, pa.table({
+                "doc_id": empty.column("doc_id").cast(pa.int64()),
+                "token": pa.array([""] * empty.num_rows, pa.string()),
+                "n": pa.array([0] * empty.num_rows, pa.int64()),
+            })])
+        return add_bucket(p, "token", FAMILIARITY_COGROUP_BUCKETS)
 
     def tok_shard(g: pa.Table) -> pa.Table:
         """One token-hash shard: global count per token, attached back to
@@ -562,9 +577,7 @@ def familiarity_cogroup(sf_dir: str):
             return pa.schema([("doc_id", pa.int64()),
                               ("wsum", pa.int64()), ("wmin", pa.int64()),
                               ("bucket", pa.int64())]).empty_table()
-        h = t.column("doc_id").to_numpy(zero_copy_only=False)
-        return t.append_column("bucket", pa.array(
-            (h % FAMILIARITY_COGROUP_BUCKETS).astype("int64")))
+        return add_bucket(t, "doc_id", FAMILIARITY_COGROUP_BUCKETS)
 
     def doc_shard(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -582,20 +595,9 @@ def familiarity_cogroup(sf_dir: str):
                               ("freq_sum", pa.int64()),
                               ("freq_min", pa.int64())]))
 
-    scored = (partials.map_batches(doc_bucket, batch_format="pyarrow")
-              .groupby("bucket").map_groups(doc_shard,
-                                            batch_format="pyarrow"))
-
-    def zeros_for_empty(t: pa.Table) -> pa.Table:
-        empty = t.filter(pc.equal(ascii_trim(t.column("text")), ""))
-        return pa.table({
-            "doc_id": empty.column("doc_id").cast(pa.int64()),
-            "freq_sum": pa.array([0] * empty.num_rows, pa.int64()),
-            "freq_min": pa.array([0] * empty.num_rows, pa.int64()),
-        })
-
-    return scored.union(ds.map_batches(zeros_for_empty,
-                                       batch_format="pyarrow"))
+    return (partials.map_batches(doc_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(doc_shard,
+                                          batch_format="pyarrow"))
 
 
 DECONTAMINATE_REF_MOD = 10
@@ -623,8 +625,10 @@ def decontaminate(sf_dir: str, ref_mod: int = DECONTAMINATE_REF_MOD):
 
     parts = [b for b in ds.map_batches(ref_part, batch_format="pyarrow")
              .iter_batches(batch_format="pyarrow") if b.num_columns]
+    # NULL reference text matches nothing (NOT EXISTS contract) — and
+    # pc.is_in would otherwise match NULL-to-NULL
     ref = (pa.concat_tables(parts).column("text").combine_chunks()
-           if parts else pa.array([], pa.string()))
+           .drop_null() if parts else pa.array([], pa.string()))
     if len(ref) > DECONTAMINATE_MAX_REF_DOCS:
         raise ValueError("reference set exceeds the broadcast bound — "
                          "use a digest cogroup (familiarity_cogroup shape)")
@@ -635,7 +639,10 @@ def decontaminate(sf_dir: str, ref_mod: int = DECONTAMINATE_REF_MOD):
             (t.column("doc_id").to_numpy() % ref_mod) != 0))
         if train.num_rows == 0:
             return pa.schema([("doc_id", pa.int64())]).empty_table()
-        hit = pc.is_in(train.column("text"), value_set=ray.get(ref_ref))
+        # NULL text never matches a reference doc (the NOT EXISTS
+        # contract: NULL = NULL is no match) — fill_null keeps such rows
+        hit = pc.fill_null(pc.is_in(train.column("text"),
+                                    value_set=ray.get(ref_ref)), False)
         return (train.filter(pc.invert(hit))
                 .select(["doc_id"])
                 .cast(pa.schema([("doc_id", pa.int64())])))
@@ -643,11 +650,15 @@ def decontaminate(sf_dir: str, ref_mod: int = DECONTAMINATE_REF_MOD):
 
 
 def decontaminate_sql(ref_mod: int = DECONTAMINATE_REF_MOD) -> str:
+    # NOT EXISTS, not NOT IN: a single NULL-text reference row would make
+    # NOT IN evaluate to NULL for EVERY candidate (empty result); the
+    # engine's contract is that NULL never matches anything
     return f"""
     SELECT d.doc_id FROM documents d
     WHERE d.doc_id % {ref_mod} <> 0
-      AND d.text NOT IN (SELECT text FROM documents
-                         WHERE doc_id % {ref_mod} = 0)
+      AND NOT EXISTS (SELECT 1 FROM documents r
+                      WHERE r.doc_id % {ref_mod} = 0
+                        AND r.text = d.text)
     """
 
 

@@ -423,8 +423,12 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
     import pandas as pd
 
     df = g.to_pandas()
+    # FULL content sort (every payload column) so the cap truncates the
+    # same rows on every run — v8 can emit two pronoun events in one
+    # sentence differing only in slot_idx
     df = df.sort_values(
-        ["conv_id", "turn_idx", "person", "pred", "obj", "sent_idx"],
+        ["conv_id", "turn_idx", "person", "pred", "obj", "sent_idx",
+         "slot_idx", "clause"],
         kind="mergesort", ignore_index=True)
     within = df.groupby(df["conv_id"].to_numpy(), sort=False).cumcount()
     if (within >= cap).any():

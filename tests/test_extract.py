@@ -142,3 +142,47 @@ def test_decontaminate_drops_planted_benchmark_overlap(ray_session):
     pq.write_table(docs, os.path.join(d, "documents.parquet"))
     kept = sorted(r["doc_id"] for r in T.decontaminate(d).take_all())
     assert kept == [1, 11]
+
+
+def test_text_ops_null_text_contracts(ray_session):
+    """NULL text must behave like empty text in every documents operator
+    (the SQL mirrors' LEFT JOIN / NOT EXISTS semantics): zero scores from
+    repetition/familiarity, survival through decontamination — never a
+    silently dropped row or an all-NULL oracle."""
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joern_ray.pipelines import text as T
+
+    d = "/tmp/jr_nulltext_sf"
+    os.makedirs(d, exist_ok=True)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 11], pa.int64()),
+        "text": pa.array([None, "clean doc", "clean two", None],
+                         pa.string()),
+        "lang": ["en"] * 4,
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{os.path.join(d, 'documents.parquet')}')")
+
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(list(df.columns), kind="mergesort") \
+                 .reset_index(drop=True)
+
+    for fn, sql in ((T.repetition_stats, T.repetition_stats_sql()),
+                    (T.familiarity, T.familiarity_sql()),
+                    (T.decontaminate, T.decontaminate_sql())):
+        got, want = norm(fn(d).to_pandas()), norm(con.sql(sql).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # cogroup path mirrors the broadcast path on NULL rows too
+    a = sorted(map(tuple, (r.values() for r in T.familiarity(d).take_all())))
+    b = sorted(map(tuple,
+                   (r.values() for r in T.familiarity_cogroup(d).take_all())))
+    assert a == b
