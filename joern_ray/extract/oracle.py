@@ -71,6 +71,29 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                 if p is not None and (cur_person is None or p > cur_person):
                     cur_person = p
 
+            # object-pronoun templates ("Alice met with her."): the
+            # explicit subject anchors the relation AND feeds referent
+            # state; the object resolves to the committed referent
+            for pred, rx, ok in R.COMPILED_PRONOUN_OBJECT_TEMPLATES:
+                m = rx.match(sent)
+                if m is None:
+                    continue
+                subj = m.group("subj")
+                if subj in R.SUBJ_PRONOUNS:
+                    break
+                matched = True
+                if last_person is not None:
+                    out.append(dict(conv_id=conv_id, turn_idx=t,
+                                    subj=subj, pred=pred,
+                                    obj=last_person, subj_kind="person",
+                                    obj_kind=ok, **attrs,
+                                    slot_idx=R.DEFAULT_SLOT_IDX,
+                                    clause=R.DEFAULT_CLAUSE))
+                _commit(subj)
+                break
+            if matched:
+                continue
+
             for pred, rx, sk, ok in R.COMPILED_TEMPLATES:
                 m = rx.match(sent)
                 if m is None:

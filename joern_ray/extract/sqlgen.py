@@ -64,6 +64,20 @@ def events_sql(rel: str) -> str:
                {R.DEFAULT_SLOT_IDX} AS slot_idx,
                '{R.DEFAULT_CLAUSE}' AS clause
         FROM {sents} WHERE regexp_matches(sent, '{rxs}')""")
+    # object-pronoun templates ("Alice met with her."): subject captured,
+    # object NULL until the shared resolution window fills it
+    for pred, rx, ok in R.PRONOUN_OBJECT_TEMPLATES:
+        rxs = _plain(rx)
+        parts.append(f"""
+        SELECT conv_id, turn_idx, 'pronoun_obj' AS etype,
+               regexp_extract(sent, '{rxs}', 1) AS subj, '{pred}' AS pred,
+               CAST(NULL AS VARCHAR) AS obj,
+               'person' AS subj_kind, '{ok}' AS obj_kind, {_attr_cols()},
+               {R.DEFAULT_SLOT_IDX} AS slot_idx,
+               '{R.DEFAULT_CLAUSE}' AS clause
+        FROM {sents}
+        WHERE regexp_matches(sent, '{rxs}')
+          AND regexp_extract(sent, '{rxs}', 1) NOT IN ({pron_in})""")
     for pred, rx, sk, ok in R.TEMPLATES:
         rxs = _plain(rx)
         parts.append(f"""
@@ -128,6 +142,7 @@ def resolved_triples_sql(rel: str) -> str:
              CASE WHEN etype = 'triple' THEN
                CASE WHEN obj_kind = 'person' THEN obj
                     WHEN subj_kind = 'person' THEN subj END
+             WHEN etype = 'pronoun_obj' THEN subj
              END AS person
       FROM ev),
     tp AS (
@@ -143,7 +158,10 @@ def resolved_triples_sql(rel: str) -> str:
     SELECT st.conv_id, st.turn_idx,
            CASE WHEN etype = 'pronoun' THEN tr.prev_person ELSE st.subj END
              AS subj,
-           pred, obj, subj_kind, obj_kind, sent_idx, negated, in_question,
+           pred,
+           CASE WHEN etype = 'pronoun_obj' THEN tr.prev_person
+                ELSE obj END AS obj,
+           subj_kind, obj_kind, sent_idx, negated, in_question,
            slot_idx, clause
     FROM st JOIN tr
       ON st.conv_id = tr.conv_id AND st.turn_idx = tr.turn_idx

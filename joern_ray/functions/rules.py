@@ -256,6 +256,26 @@ PRONOUN_TEMPLATES = [
      "person"),
 ]
 
+# OBJECT-pronoun templates (v9): the pronoun fills the OBJECT slot
+# ("Alice met with her.") and resolves to the same committed referent as
+# subject pronouns; the explicit SUBJECT both anchors the relation and
+# feeds referent state.  Event-row discriminator (store invariant): obj
+# IS NULL ∧ pred IS NOT NULL ⇔ object-pronoun event (subj IS NULL keeps
+# meaning subject-pronoun event).  Lowercase her/him keeps these
+# disjoint from the capitalized person-object templates.
+PRONOUN_OBJECT_TEMPLATES = [
+    ("met",
+     r"^(?P<subj>[A-Z][a-z]+) met with (?:her|him)[.?]$",
+     "person"),
+    ("manages",
+     r"^(?P<subj>[A-Z][a-z]+) manages (?:her|him)[.?]$",
+     "person"),
+]
+
+COMPILED_PRONOUN_OBJECT_TEMPLATES = [
+    (pred, re.compile(rx), ok) for pred, rx, ok in PRONOUN_OBJECT_TEMPLATES
+]
+
 # Attribute predicates over a matched sentence (shared contract):
 NEGATION_MARK = "no longer "      # substring test on the matched sentence
 QUESTION_MARK = "?"               # sentence suffix test

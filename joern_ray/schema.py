@@ -40,9 +40,9 @@ EVENTS_DICT = pa.dictionary(pa.int32(), pa.string())
 EVENTS = pa.schema([
     ("conv_id", pa.string()),
     ("turn_idx", pa.int32()),
-    ("subj", pa.string()),           # NULL ⇔ pronoun event
+    ("subj", pa.string()),           # NULL ⇔ subject-pronoun event
     ("pred", EVENTS_DICT),
-    ("obj", pa.string()),
+    ("obj", pa.string()),            # NULL ⇔ object-pronoun event
     ("subj_kind", EVENTS_DICT),
     ("obj_kind", EVENTS_DICT),
     ("sent_idx", pa.int32()),        # sentence position within the turn

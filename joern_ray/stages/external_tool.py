@@ -74,6 +74,18 @@ for line in sys.stdin:
                     break
             if matched:
                 continue
+            for pred, rx, ok in R.COMPILED_PRONOUN_OBJECT_TEMPLATES:
+                m = rx.match(sent)
+                if m is None:
+                    continue
+                if m.group("subj") in R.SUBJ_PRONOUNS:
+                    break
+                evs.append([m.group("subj"), pred, None, "person", ok,
+                            *attrs, 0, R.DEFAULT_CLAUSE])
+                matched = True
+                break
+            if matched:
+                continue
             for pred, rx, sk, ok in R.COMPILED_TEMPLATES:
                 m = rx.match(sent)
                 if m is None:

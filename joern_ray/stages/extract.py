@@ -211,6 +211,37 @@ def extract_events(batch: pa.Table,
     cand_text = (text.take(cand_idx).combine_chunks()
                  if n_cand else pa.array([], pa.string()))
 
+    # OBJECT-pronoun templates ("Alice met with her."): emit an event
+    # with NULL obj (the object-pronoun store discriminator) carrying the
+    # explicit subject — Stage B resolves the object and the subject
+    # feeds referent state.  Candidates come from the same any-literal
+    # gate (each template's verb literal is already in the set).
+    for pred, rx, ok in (R.PRONOUN_OBJECT_TEMPLATES if n_cand else []):
+        lit = _TEMPLATE_LITERALS.get(pred)
+        if lit is not None:
+            pre = pc.match_substring(cand_text, lit)
+            idx0 = cand_idx.take(
+                pc.indices_nonzero(pc.fill_null(pre, False)))
+        else:
+            idx0 = cand_idx
+        if len(idx0) == 0:
+            continue
+        ex = pc.extract_regex(text.take(idx0), rx)
+        mask = pc.is_valid(ex)
+        subj = pc.struct_field(ex, "subj")
+        mask = pc.and_(mask, pc.invert(pc.fill_null(
+            pc.is_in(subj, value_set=_PRONOUN_SET), False)))
+        if not pc.any(mask).as_py():
+            continue
+        local = pc.indices_nonzero(mask)
+        idx = idx0.take(local)
+        neg, inq = neg_all.take(idx), inq_all.take(idx)
+        outs.append(_events_table(
+            len(idx), conv.take(idx), tidx.take(idx),
+            subj.take(local), pred,
+            pa.array([None] * len(idx), pa.string()), "person", ok,
+            sidx.take(idx), neg, inq))
+
     for pred, rx, sk, ok in R.TEMPLATES + list(extra_templates or []):
         lit = _TEMPLATE_LITERALS.get(pred)
         if lit is not None:
@@ -309,8 +340,10 @@ def _resolve_group(group: pa.Table) -> pa.Table:
     multi-match turns resolve deterministically regardless of block arrival
     order."""
     group = group.sort_by([("turn_idx", "ascending")])
-    # pronoun events are the rows with NULL subj (EVENTS invariant)
-    has_pronoun = pc.any(pc.is_null(group.column("subj"))).as_py()
+    # pronoun events: NULL subj (subject pronoun) or NULL obj (object
+    # pronoun) — the EVENTS store invariants
+    has_pronoun = (pc.any(pc.is_null(group.column("subj"))).as_py()
+                   or pc.any(pc.is_null(group.column("obj"))).as_py())
     if not has_pronoun:
         return group.cast(S.TRIPLES_SURFACE)   # decode dict categoricals
     rows = group.to_pylist()
@@ -327,6 +360,13 @@ def _resolve_group(group: pa.Table) -> pa.Table:
         if r["subj"] is None:
             if last_person is not None:
                 keep.append(dict(r, subj=last_person))
+            continue
+        if r["obj"] is None:   # object-pronoun event
+            if last_person is not None:
+                keep.append(dict(r, obj=last_person))
+            p = r["subj"] if r["subj_kind"] == "person" else None
+            if p is not None and (cur_person is None or p > cur_person):
+                cur_person = p
             continue
         keep.append(r)
         p = (r["obj"] if r["obj_kind"] == "person"
@@ -399,12 +439,22 @@ def _resolve_bucket(group: pa.Table,
     referent = tp_vals[safe[ok]]
     sub = g.take(pa.array(pron_rows, pa.int64()))
     n = sub.num_rows
+    # object-pronoun rows (person == their explicit subject) keep their
+    # subject and take the referent as OBJECT; subject-pronoun rows
+    # (person null) take the referent as SUBJECT
+    ref_arr = pa.array(referent, pa.string())
+    own = sub.column("person").cast(pa.string())
+    if isinstance(own, pa.ChunkedArray):
+        own = own.combine_chunks()
+    opron = pc.is_valid(own)
+    subj_out = pc.if_else(opron, own, ref_arr)
+    obj_out = pc.if_else(opron, ref_arr, sub.column("obj").cast(pa.string()))
     return pa.Table.from_arrays(
         [sub.column("conv_id").cast(pa.string()),
          sub.column("turn_idx").cast(pa.int32()),
-         pa.array(referent, pa.string()),
+         subj_out,
          sub.column("pred").cast(pa.string()),
-         sub.column("obj").cast(pa.string()),
+         obj_out,
          pa.array(["person"] * n, pa.string()),
          sub.column("obj_kind").cast(pa.string()),
          sub.column("sent_idx").cast(pa.int32()),
@@ -433,11 +483,14 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
     within = df.groupby(df["conv_id"].to_numpy(), sort=False).cumcount()
     if (within >= cap).any():
         df = df[within < cap].reset_index(drop=True)
+    import numpy as np
+
     is_pron = df["pred"].notna().to_numpy()
     state = df.loc[df["person"].notna(), ["conv_id", "turn_idx", "person"]]
     pron = df.loc[is_pron, ["conv_id", "turn_idx", "pred", "obj", "obj_kind",
                             "sent_idx", "negated", "in_question",
-                            "slot_idx", "clause"]]
+                            "slot_idx", "clause", "person"]] \
+             .rename(columns={"person": "own_person"})
     if not len(state) or not len(pron):
         return S.TRIPLES_SURFACE.empty_table()
     turn_person = (state.groupby(["conv_id", "turn_idx"], sort=False)
@@ -449,12 +502,19 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
                         direction="backward", allow_exact_matches=False)
     out = out[out["person"].notna()]
     n = len(out)
+    # object-pronoun rows (own_person set) keep their subject; referent
+    # fills the object.  Subject-pronoun rows take the referent as subject
+    opron = out["own_person"].notna().to_numpy()
+    subj_np = np.where(opron, out["own_person"].to_numpy(object),
+                       out["person"].to_numpy(object))
+    obj_np = np.where(opron, out["person"].to_numpy(object),
+                      out["obj"].to_numpy(object))
     return pa.Table.from_arrays(
         [pa.array(out["conv_id"].to_numpy(object), pa.string()),
          pa.array(out["turn_idx"].to_numpy(), pa.int32()),
-         pa.array(out["person"].to_numpy(object), pa.string()),
+         pa.array(subj_np, pa.string()),
          pa.array(out["pred"].to_numpy(object), pa.string()),
-         pa.array(out["obj"].to_numpy(object), pa.string()),
+         pa.array(obj_np, pa.string()),
          pa.array(["person"] * n, pa.string()),
          pa.array(out["obj_kind"].to_numpy(object), pa.string()),
          pa.array(out["sent_idx"].to_numpy(), pa.int32()),
@@ -490,11 +550,13 @@ def _with_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
 
 
 def _passthrough_triples(t: pa.Table) -> pa.Table:
-    """Non-pronoun events (subj NOT NULL) are already final surface
-    triples; decoding the dictionary categoricals back to plain strings
-    happens here, AFTER the store hop, so the materialized events stay in
-    their compact layout."""
-    return t.filter(pc.is_valid(t.column("subj"))) \
+    """Non-pronoun events (subj AND obj NOT NULL) are already final
+    surface triples; decoding the dictionary categoricals back to plain
+    strings happens here, AFTER the store hop, so the materialized events
+    stay in their compact layout.  (NULL subj ⇔ subject-pronoun event;
+    NULL obj ⇔ object-pronoun event — both resolve in Stage B.)"""
+    return t.filter(pc.and_(pc.is_valid(t.column("subj")),
+                            pc.is_valid(t.column("obj")))) \
             .cast(S.TRIPLES_SURFACE)
 
 
@@ -504,17 +566,24 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
     person-carrying triples collapse to a single ``person`` state value.
     Everything else skips the shuffle entirely, and no wide or redundant
     column ever enters it."""
-    is_pron = pc.is_null(t.column("subj"))
+    is_spron = pc.is_null(t.column("subj"))
+    is_opron = pc.and_(pc.is_valid(t.column("subj")),
+                       pc.is_null(t.column("obj")))
+    is_pron = pc.or_(is_spron, is_opron)
     # decode the dictionary categoricals once per batch (post store hop)
     pred_s = t.column("pred").cast(pa.string())
     sk_s = t.column("subj_kind").cast(pa.string())
     ok_s = t.column("obj_kind").cast(pa.string())
     person_val = pc.if_else(
-        pc.equal(ok_s, "person"), t.column("obj"),
+        pc.and_(pc.equal(ok_s, "person"), pc.is_valid(t.column("obj"))),
+        t.column("obj"),
         pc.if_else(pc.equal(sk_s, "person"),
                    t.column("subj"), pa.nulls(t.num_rows, pa.string())))
-    # pronoun rows never contribute state (resolution rule)
-    person_val = pc.if_else(is_pron, pa.nulls(t.num_rows, pa.string()),
+    # subject-pronoun rows never contribute state; object-pronoun rows
+    # contribute their explicit SUBJECT (person_val == subj — the rule
+    # pack guarantees object-pronoun templates have person subjects,
+    # which doubles as the row's opron discriminator downstream)
+    person_val = pc.if_else(is_spron, pa.nulls(t.num_rows, pa.string()),
                             person_val)
     mask = pc.or_(is_pron, pc.is_valid(person_val))
     nulls = pa.nulls(t.num_rows, pa.string())
@@ -523,7 +592,7 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
         "turn_idx": t.column("turn_idx"),
         "person": person_val,
         "pred": pc.if_else(is_pron, pred_s, nulls),
-        "obj": pc.if_else(is_pron, t.column("obj"), nulls),
+        "obj": pc.if_else(is_spron, t.column("obj"), nulls),
         "obj_kind": pc.if_else(is_pron, ok_s, nulls),
         "sent_idx": t.column("sent_idx"),
         "negated": t.column("negated"),

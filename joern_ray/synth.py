@@ -23,7 +23,11 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v8"  # v8: 3-way subject coordination, coordination NESTED
+CORPUS_VERSION = "v9"  # v9: OBJECT-side pronoun turns ("Alice met with
+#                         her." — pronoun fills the object slot, resolved
+#                         to the committed referent; the explicit subject
+#                         anchors the relation and commits state);
+#                         v8: 3-way subject coordination, coordination NESTED
 #                         inside quoted speech, and pronoun subjects inside
 #                         coordinated constructs ("She and Bob work at X" /
 #                         "Bob and She use y daily" — resolved via Stage B
@@ -274,7 +278,24 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         role = "user" if t % 2 == 0 else "assistant"
         r = rng.random()
         if r < 0.12 and last_person is not None:
-            if rng.random() < 0.25:
+            u = rng.random()
+            if 0.25 <= u < 0.45:
+                # OBJECT-side pronoun turn: "X met with her." / "X manages
+                # him." — the pronoun resolves to the committed referent;
+                # the explicit subject commits the new state
+                subj = _pick_person(rng)
+                while subj == last_person:
+                    subj = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+                pron = ("her", "him")[int(rng.integers(0, 2))]
+                pred2 = ("met", "manages")[int(rng.integers(0, 2))]
+                verb = "met with" if pred2 == "met" else "manages"
+                add_row(t, role, f"{subj} {verb} {pron}.")
+                add_gt(t, "person", subj.lower(), pred2,
+                       "person", last_person.lower())
+                last_person = subj
+                t += 1
+                continue
+            if u < 0.25:
                 # pronoun INSIDE a coordinated construct ("She and Bob work
                 # at X" / "Bob and She use y daily"): the pronoun slot
                 # resolves to the committed referent with the emission's

@@ -18,7 +18,8 @@ def test_extract_events_vectorized_matches_oracle_without_pronouns():
     ev = X.extract_events(t)
     # non-pronoun events must match oracle's non-pronoun triples exactly
     got = {(r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
-           for r in ev.to_pylist() if r["subj"] is not None}
+           for r in ev.to_pylist()
+           if r["subj"] is not None and r["obj"] is not None}
     # the oracle's non-pronoun emissions, isolated robustly: run each turn
     # as its own conversation, so every pronoun slot is unresolvable and
     # drops — works for pronoun slots in ANY position (v8 coordination),

@@ -161,3 +161,24 @@ def test_v8_engine_oracle_lockstep():
          d["slot_idx"], d["clause"])
         for d in O.extract_conversation(t.to_pylist()))
     assert eng == ora
+
+
+def test_object_pronoun_resolves_and_subject_commits():
+    """v9: 'Alice met with her.' — the object pronoun resolves to the
+    committed referent; Alice anchors the relation AND commits the new
+    referent state for the following turns."""
+    t = _turns(["Grace works at Acme Corp.",
+                "Alice met with her.",
+                "Bob manages him.",
+                "She uses search daily."])
+    got = _rows(X._resolve_group(X.extract_events(t)))
+    assert ("c1", 1, "Alice", "met", "Grace", 0, "main") in got
+    assert ("c1", 2, "Bob", "manages", "Alice", 0, "main") in got
+    # 'She' at turn 3 resolves to Bob (turn-2 subject committed)
+    assert ("c1", 3, "Bob", "uses", "search", 0, "main") in got
+
+
+def test_object_pronoun_unresolvable_drops():
+    t = _turns(["Alice met with her."])
+    got = _rows(X._resolve_group(X.extract_events(t)))
+    assert got == []
