@@ -134,13 +134,18 @@ def test_resolve_bucket_fast_equals_slow(rows):
     from joern_ray import schema as S
     from joern_ray.stages import extract as X
 
+    # pronoun rows with a person value model OBJECT-pronoun events (the
+    # person is the row's own subject; obj resolves); pronoun rows with
+    # person None are subject-pronoun events carrying an obj payload
     cols = {
         "conv_id": [r[0] for r in rows],
         "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
-        "person": [None if r[3] else r[2] for r in rows],
+        "person": [r[2] for r in rows],
         "pred": ["works_at" if r[3] else None for r in rows],
-        "obj": ["Acme" if r[3] else None for r in rows],
-        "obj_kind": ["org" if r[3] else None for r in rows],
+        "obj": ["Acme" if (r[3] and r[2] is None) else None for r in rows],
+        "obj_kind": [None if not r[3]
+                     else ("org" if r[2] is None else "person")
+                     for r in rows],
         "sent_idx": pa.array([r[4] for r in rows], pa.int32()),
         "negated": [False] * len(rows),
         "in_question": [False] * len(rows),
@@ -212,3 +217,63 @@ def test_token_bins_multibucket_matches_single_bucket(ray_session):
     assert a.equals(b)
     # bins are contiguous from 0
     assert a["bin"].min() == 0
+
+
+def test_digest_dedup_split_invariant():
+    """Exact-dedup digest combine is a pure function of the row set: any
+    partitioning of the input through the per-batch combiner + shard
+    resolve yields the same (doc_id, n_copies) result."""
+    import numpy as np
+    import pyarrow as pa
+
+    from joern_ray.pipelines.text import _digest_partial, _digest_shard
+
+    rng = np.random.default_rng(11)
+    texts = [f"doc body {i % 7}" for i in range(100)]
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "text": texts})
+
+    def run(split_points):
+        parts = []
+        prev = 0
+        for sp in list(split_points) + [t.num_rows]:
+            if sp > prev:
+                parts.append(_digest_partial(t.slice(prev, sp - prev)))
+            prev = sp
+        allp = pa.concat_tables(parts)
+        outs = []
+        for b in sorted(set(allp.column("bucket").to_pylist())):
+            import pyarrow.compute as pc
+            g = allp.filter(pc.equal(allp.column("bucket"), b))
+            outs.append(_digest_shard(g))
+        return sorted(map(tuple, (r.values()
+                                  for tb in outs
+                                  for r in tb.to_pylist())))
+
+    base = run([])
+    assert base == run([1, 3, 50, 99])
+    assert base == run(sorted(rng.choice(100, 5, replace=False).tolist()))
+    # 7 distinct texts, each duplicated ~14x, min doc_id survives
+    assert len(base) == 7
+    assert all(n >= 14 for _, n in base)
+
+
+def test_fused_scan_stable_under_input_shuffle(ray_session):
+    """The fused single-exchange findings battery is a pure function of
+    the row SET — shuffled transcript row order / different partitioning
+    must not change any finding."""
+    import pyarrow as pa
+
+    import ray.data
+    from joern_ray import synth
+    from joern_ray.pipelines import findings as FND
+
+    t, _ = synth.generate_corpus(40)
+    perm = __import__("numpy").random.default_rng(3).permutation(t.num_rows)
+    t2 = t.take(pa.array(perm))
+
+    def rows(tab):
+        out = FND.scan(ray.data.from_arrow(tab).repartition(7)).take_all()
+        return sorted(map(tuple, (r.values() for r in out)))
+
+    assert rows(t) == rows(t2)
