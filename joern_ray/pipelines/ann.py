@@ -13,6 +13,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -261,11 +262,19 @@ def _neardup_pairs(ds: "ray.data.Dataset", *, threshold: float,
         fields.append(("sim", pa.float64()))
     out_schema = pa.schema(fields)
 
+    def _mat(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+        # list<float64> → (n, dim) with ONE flatten + reshape (embedding
+        # columns are fixed-dim) — no per-row to_pylist round-trip
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), -1)
+
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
             return out_schema.empty_table()
-        va = _norm_rows(np.asarray(t.column("va").to_pylist(), np.float64))
-        vb = _norm_rows(np.asarray(t.column("vb").to_pylist(), np.float64))
+        va = _norm_rows(_mat(t.column("va")))
+        vb = _norm_rows(_mat(t.column("vb")))
         sims = (va * vb).sum(axis=1)
         keep = sims >= threshold
         cols = {"a": t.column("a").filter(pa.array(keep)),

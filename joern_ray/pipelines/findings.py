@@ -610,8 +610,17 @@ def _scan_shard_factory(eref):
             agg = (c.select(["a"] + _SCAN_COUNTERS)
                    .group_by("a")
                    .aggregate([(x, "sum") for x in _SCAN_COUNTERS[:8]]
-                              + [("t_max", "max"), ("qu_max", "max")])
-                   .rename_columns(["conv_id"] + _SCAN_COUNTERS))
+                              + [("t_max", "max"), ("qu_max", "max")]))
+            # select by the GENERATED aggregate names, never positionally:
+            # pyarrow has moved the key column's position between major
+            # versions, and a positional rename would silently mislabel
+            # every counter
+            gen = ([f"{x}_sum" for x in _SCAN_COUNTERS[:8]]
+                   + ["t_max_max", "qu_max_max"])
+            agg = pa.table(
+                {"conv_id": agg.column("a"),
+                 **{name: agg.column(g)
+                    for name, g in zip(_SCAN_COUNTERS, gen)}})
             outs.append(_conv_finish(agg))
 
         d = sub("d")

@@ -435,14 +435,17 @@ def familiarity(sf_dir: str):
                    .aggregate([("token", "count")])
                    .rename_columns(["token", "n"])),
         batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token").sum("n"))
+        .groupby("token").sum("n")).materialize()
+    # gate on the (distributed, object-store-held) cardinality BEFORE any
+    # driver-side collect — an over-bound vocabulary must never touch the
+    # driver heap, and the materialized count job is reused by iter_batches
+    if counts.count() > FAMILIARITY_MAX_VOCAB:
+        return familiarity_cogroup(sf_dir)
     parts = [b for b in counts.iter_batches(batch_format="pyarrow")
              if b.num_columns]
     vocab = (pa.concat_tables(parts).combine_chunks() if parts
              else pa.schema([("token", pa.string()),
                              ("sum(n)", pa.int64())]).empty_table())
-    if vocab.num_rows > FAMILIARITY_MAX_VOCAB:
-        return familiarity_cogroup(sf_dir)
     tok_arr = vocab.column("token").combine_chunks()
     cnt_np = vocab.column("sum(n)").to_numpy(zero_copy_only=False)
     vocab_ref = ray.put((tok_arr, cnt_np))
@@ -623,15 +626,19 @@ def decontaminate(sf_dir: str, ref_mod: int = DECONTAMINATE_REF_MOD):
         mod = (t.column("doc_id").to_numpy() % ref_mod) == 0
         return t.filter(pa.array(mod)).select(["text"])
 
-    parts = [b for b in ds.map_batches(ref_part, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow") if b.num_columns]
+    ref_ds = ds.map_batches(ref_part, batch_format="pyarrow").materialize()
+    # enforce the broadcast bound with a distributed count BEFORE any
+    # driver-side collect — the bound must protect the driver, not fire
+    # after it has already held the oversized set
+    if ref_ds.count() > DECONTAMINATE_MAX_REF_DOCS:
+        raise ValueError("reference set exceeds the broadcast bound — "
+                         "use a digest cogroup (familiarity_cogroup shape)")
+    parts = [b for b in ref_ds.iter_batches(batch_format="pyarrow")
+             if b.num_columns]
     # NULL reference text matches nothing (NOT EXISTS contract) — and
     # pc.is_in would otherwise match NULL-to-NULL
     ref = (pa.concat_tables(parts).column("text").combine_chunks()
            .drop_null() if parts else pa.array([], pa.string()))
-    if len(ref) > DECONTAMINATE_MAX_REF_DOCS:
-        raise ValueError("reference set exceeds the broadcast bound — "
-                         "use a digest cogroup (familiarity_cogroup shape)")
     ref_ref = ray.put(ref)
 
     def scrub(t: pa.Table) -> pa.Table:
@@ -1075,23 +1082,36 @@ def minhash_clusters(docs_ds: "ray.data.Dataset", *, threshold: float = 0.8,
         n_buckets=n_buckets, dedupe=False)
 
     def verify(t: pa.Table) -> pa.Table:
+        # Vectorized exact-Jaccard verify: flatten BOTH list columns once
+        # (offsets-sliced, no per-pair to_pylist), then count intersections
+        # for every pair in one lexsort — per-doc hash arrays are sorted
+        # UNIQUE (`_shingle_hashes`), so an intersection element is exactly
+        # an adjacent (pair_idx, value) duplicate in the combined sort.
         if t.num_rows == 0 or t.num_columns == 0:
             return pa.schema([("a", pa.string()),
                               ("b", pa.string())]).empty_table()
-        a_out, b_out = [], []
-        for a, b, ha, hb in zip(t.column("a").to_pylist(),
-                                t.column("b").to_pylist(),
-                                t.column("ha").to_pylist(),
-                                t.column("hb").to_pylist()):
-            x = np.asarray(ha, dtype=np.int64)
-            y = np.asarray(hb, dtype=np.int64)
-            inter = np.intersect1d(x, y, assume_unique=True).size
-            denom = x.size + y.size - inter
-            if denom and inter / denom >= threshold:
-                a_out.append(str(a))
-                b_out.append(str(b))
-        return pa.table({"a": pa.array(a_out, pa.string()),
-                         "b": pa.array(b_out, pa.string())})
+        ha = t.column("ha").combine_chunks()
+        hb = t.column("hb").combine_chunks()
+        flat_a = pc.list_flatten(ha).to_numpy(zero_copy_only=False)
+        flat_b = pc.list_flatten(hb).to_numpy(zero_copy_only=False)
+        par_a = pc.list_parent_indices(ha).to_numpy(zero_copy_only=False)
+        par_b = pc.list_parent_indices(hb).to_numpy(zero_copy_only=False)
+        la = pc.list_value_length(ha).to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        lb = pc.list_value_length(hb).to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        vals = np.concatenate([flat_a, flat_b])
+        pids = np.concatenate([par_a, par_b]).astype(np.int64)
+        order = np.lexsort((vals, pids))
+        sv, sp = vals[order], pids[order]
+        dup = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+        inter = np.bincount(sp[1:][dup], minlength=t.num_rows)
+        denom = la + lb - inter
+        keep = (denom > 0) & (inter >= threshold * denom)
+        mask = pa.array(keep)
+        return pa.table({
+            "a": pc.cast(t.column("a").filter(mask), pa.string()),
+            "b": pc.cast(t.column("b").filter(mask), pa.string())})
 
     edges = with_ab.map_batches(verify, batch_format="pyarrow")
     nodes = hashed.map_batches(

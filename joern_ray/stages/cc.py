@@ -71,22 +71,37 @@ def _labels_checksum(labels: "ray.data.Dataset") -> tuple[int, int]:
 
 
 def _msgs_broadcast(sym: "ray.data.Dataset", labels: "ray.data.Dataset"):
-    lookup = {}
+    # Broadcast parallel (node, label) Arrow arrays once (`ray.put`), then
+    # resolve each edge batch with ONE vectorized `pc.index_in` + `take` —
+    # the same kernel discipline as ``pagerank._factorize`` — instead of a
+    # per-row Python dict map.
+    def _concat(parts: list) -> pa.Array:
+        chunks: list[pa.Array] = []
+        for p in parts:
+            chunks.extend(p.chunks if isinstance(p, pa.ChunkedArray) else [p])
+        return (pa.concat_arrays(chunks) if chunks
+                else pa.array([], pa.string()))
+
+    node_parts, label_parts = [], []
     for batch in labels.iter_batches(batch_format="pyarrow"):
-        if batch.num_columns:
-            lookup.update(zip(batch.column("node").to_pylist(),
-                              batch.column("label").to_pylist()))
-    ref = ray.put(lookup)
+        if batch.num_columns and batch.num_rows:
+            node_parts.append(batch.column("node"))
+            label_parts.append(batch.column("label"))
+    ref = ray.put((_concat(node_parts), _concat(label_parts)))
 
     def fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
             return _LABELS.empty_table()
-        d = ray.get(ref)
-        lab = pd.Series(t.column("a").to_pylist()).map(d)
-        mask = lab.notna().to_numpy()
+        nodes, labs = ray.get(ref)
+        idx = pc.index_in(t.column("a"), value_set=nodes)
+        mask = pc.is_valid(idx)
+        hit_idx = idx.filter(mask) if isinstance(idx, pa.ChunkedArray) \
+            else pa.chunked_array([idx]).filter(mask)
+        if len(hit_idx) == 0:
+            return _LABELS.empty_table()
         return pa.table({
-            "node": t.column("b").filter(pa.array(mask)),
-            "label": pa.array(lab.to_numpy()[mask], pa.string()),
+            "node": t.column("b").filter(mask),
+            "label": labs.take(hit_idx.combine_chunks()),
         })
 
     return sym.map_batches(fn, batch_format="pyarrow")

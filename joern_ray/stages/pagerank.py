@@ -26,6 +26,16 @@ from .link import normalize_arrays
 DAMPING = 0.85
 PAGERANK_ITERS = 15
 
+# Beyond this node count the per-iteration contribution fold runs as a
+# DISTRIBUTED groupby("i").sum() (driver receives at most one row per
+# distinct dst node, i.e. ≤ |vocab| pre-summed rows) instead of the
+# driver-side fold over every block's raw sparse partials — the same
+# guard-constant + distributed-escape discipline as ``reach.py`` /
+# ``cc.DRIVER_MAX_NODES``.  The rank vector itself stays driver-held and
+# broadcast per round; it is vocabulary-sized BY CONSTRUCTION (conv
+# natural keys are excluded from the node universe in `_entity_edges`).
+DRIVER_MAX_PAGERANK_NODES = 2_000_000
+
 _NONLINK_ARR = pa.array(sorted(R.NONLINK_KINDS))
 
 
@@ -56,8 +66,31 @@ def _entity_edges(triples_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return triples_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _fold_dense(parts_ds: "ray.data.Dataset", n: int,
+                distributed: bool) -> np.ndarray:
+    """Fold a Dataset of sparse (i, c) partials into a dense length-n
+    vector.  Driver path: take_all the raw per-batch partials and
+    accumulate in canonical (i, c) order (deterministic float order).
+    Distributed path (> DRIVER_MAX_PAGERANK_NODES): one
+    ``groupby("i").sum("c")`` exchange first, so the driver pulls at most
+    one pre-summed row per node — never blocks × nnz rows.  The two paths
+    differ only in float association order; equivalence is tested."""
+    if distributed:
+        from ray.data.aggregate import Sum
+        parts = (parts_ds.groupby("i")
+                 .aggregate(Sum(on="c", alias_name="c")).take_all())
+    else:
+        parts = parts_ds.take_all()
+    out = np.zeros(n)
+    for r in sorted(parts, key=lambda r: (r["i"], r["c"])):
+        out[r["i"]] += r["c"]
+    return out
+
+
 def pagerank(triples_ds: "ray.data.Dataset", *, iters: int = PAGERANK_ITERS,
-             damping: float = DAMPING) -> "ray.data.Dataset":
+             damping: float = DAMPING,
+             driver_max_nodes: int = DRIVER_MAX_PAGERANK_NODES
+             ) -> "ray.data.Dataset":
     """(entity, rank) — weighted PageRank on the mention-fact multigraph."""
     edges = _entity_edges(triples_ds).materialize()
 
@@ -88,16 +121,17 @@ def pagerank(triples_ds: "ray.data.Dataset", *, iters: int = PAGERANK_ITERS,
                          "w": t.column("w").cast(pa.float64())})
 
     iedges = edges.map_batches(to_idx, batch_format="pyarrow").materialize()
+    distributed_fold = n > driver_max_nodes
 
-    # weighted out-degree vector: sparse per-batch bincounts, driver fold
-    ow = np.zeros(n)
-    parts = iedges.map_batches(
-        lambda t: _sparse(np.bincount(t.column("si").to_numpy(),
-                                      weights=t.column("w").to_numpy(),
-                                      minlength=n)),
-        batch_format="pyarrow").take_all()
-    for r in sorted(parts, key=lambda r: (r["i"], r["c"])):
-        ow[r["i"]] += r["c"]
+    # weighted out-degree vector: sparse per-batch bincounts, then the
+    # bounded fold (driver below the guard, groupby-sum exchange above)
+    ow = _fold_dense(
+        iedges.map_batches(
+            lambda t: _sparse(np.bincount(t.column("si").to_numpy(),
+                                          weights=t.column("w").to_numpy(),
+                                          minlength=n)),
+            batch_format="pyarrow"),
+        n, distributed_fold)
 
     ranks = np.full(n, 1.0 / n)
     for _ in range(iters):
@@ -113,11 +147,9 @@ def pagerank(triples_ds: "ray.data.Dataset", *, iters: int = PAGERANK_ITERS,
             c[valid] = rk[si[valid]] * w[valid] / ow_[si[valid]]
             return _sparse(np.bincount(di, weights=c, minlength=len(rk)))
 
-        parts = iedges.map_batches(contrib,
-                                   batch_format="pyarrow").take_all()
-        agg = np.zeros(n)
-        for r in sorted(parts, key=lambda r: (r["i"], r["c"])):
-            agg[r["i"]] += r["c"]
+        agg = _fold_dense(
+            iedges.map_batches(contrib, batch_format="pyarrow"),
+            n, distributed_fold)
         dangling = ranks[ow == 0].sum()
         base = (1.0 - damping) / n + damping * dangling / n
         ranks = base + damping * agg

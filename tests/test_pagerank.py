@@ -71,6 +71,23 @@ def test_pagerank_deterministic(ray_session):
     assert a == b
 
 
+def test_pagerank_distributed_fold_equivalence(ray_session):
+    """The beyond-driver-bound escape path (groupby('i').sum() contribution
+    fold) must produce the same ranks as the driver fold — forced here by
+    shrinking the guard below the node count."""
+    rows = [("Alice", "met", "Bob"), ("Bob", "met", "Carol"),
+            ("Carol", "met", "Dave"), ("Dave", "met", "Alice"),
+            ("Alice", "met", "Carol"), ("Bob", "met", "Dave")]
+    drv = sorted((r["entity"], r["rank"])
+                 for r in pagerank(_triples(rows)).take_all())
+    dist = sorted((r["entity"], r["rank"])
+                  for r in pagerank(_triples(rows),
+                                    driver_max_nodes=1).take_all())
+    assert [e for e, _ in drv] == [e for e, _ in dist]
+    for (_, a), (_, b) in zip(drv, dist):
+        assert abs(a - b) < 1e-12
+
+
 def test_pagerank_excludes_nonlink_conv_nodes(ray_session):
     """'invoked' triples carry a conv-kind subject; conv keys are
     corpus-sized natural keys and must not enter the (vocabulary-sized)
