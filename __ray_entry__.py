@@ -218,7 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from joern_ray.stages import imports as IMP
         return IMP.tool_registry(_transcripts(sf_dir))
 
-    # -- multimodal (stubbed decode, real plumbing) ---------------------
+    # -- multimodal (real pure-numpy PPM/WAV/JRV1 decode) ----------------
     def multimodal_features(sf_dir):
         return MM.media_features(sf_dir)
 
