@@ -229,9 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- oracle-backed (kept inside the driver's 50-entry window) ----
         # KG construction (SURVEY.md §2.2/2.4/2.6)
-        "kg_turns": kg_turns,
         "kg_triples_surface": kg_triples_surface,
-        "kg_triples_surface_exttool": kg_triples_surface_exttool,
         "kg_triples_resolved": kg_triples_resolved,
         "kg_triples_attributed": kg_triples_attributed,
         "kg_next_turn_edges": kg_next_turn_edges,
@@ -264,7 +262,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_orders_by_segment": REL.orders_by_segment,
         "rel_customers_without_orders": REL.customers_without_orders,
         "rel_suppliers_with_shipments": REL.suppliers_with_shipments,
-        "rel_distinct_part_types": REL.distinct_part_types,
         "rel_revenue_by_nation": REL.revenue_by_nation,
         "rel_events_by_user": REL.events_by_user,
         "rel_filter_project_parts": REL.filter_project_parts,
@@ -280,6 +277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_sample_stratified": T.sample_stratified,
         "text_token_bins": T.token_bins,
         "text_redact_persons": T.redact_persons,
+        "text_repetition": T.repetition_stats,
+        "text_familiarity": T.familiarity,
+        "text_decontaminate": T.decontaminate,
         # event-stream ops (sessionize / window / as-of)
         "events_sessionize": EV.sessionize,
         "events_window_counts": EV.window_counts,
@@ -290,11 +290,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": A.ann_bruteforce,
         "embedding_neardup": A.embedding_neardup_planted,
         # ---- oracle-backed but OUTSIDE the driver's 50-entry window
-        # (every window slot is already oracle-backed); verified by the
-        # local dtype-strict gate (scripts/check_correctness.py) ----
-        "text_repetition": T.repetition_stats,
-        "text_familiarity": T.familiarity,
-        "text_decontaminate": T.decontaminate,
+        # (every window slot is already oracle-backed); these three are
+        # multiply-confirmed — kg_turns is a trivial projection with r1-r3
+        # driver rows, kg_triples_surface_exttool shares
+        # kg_triples_surface's oracle, rel_distinct_part_types is a 6-row
+        # distinct — demoted (r4) to make room for the previously
+        # window-overflow text_repetition/familiarity/decontaminate;
+        # verified by the local dtype-strict gate
+        # (scripts/check_correctness.py) ----
+        "kg_turns": kg_turns,
+        "kg_triples_surface_exttool": kg_triples_surface_exttool,
+        "rel_distinct_part_types": REL.distinct_part_types,
         # ---- rows-only, no driver row yet (next in the window) ----
         "ann_lsh": A.ann_lsh,
         "ann_ivf": A.ann_ivf,
