@@ -50,6 +50,11 @@ def _oracle_transcripts_path() -> str:
     return synth.transcripts_path(SF_ORACLE)
 
 
+def _kind_recovery_sql(transcripts_rel: str) -> str:
+    from joern_ray.stages import kindrec as KR
+    return KR.kind_recovery_sql(transcripts_rel)
+
+
 def _surface_triples_sql(transcripts_rel: str) -> str:
     """Surface (unresolved) triples = the Stage-A events restricted to
     etype='triple' — delegated to the shared sqlgen so exclusion precedence
@@ -80,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from joern_ray.pipelines import text as T
     from joern_ray.stages import chains as CH
     from joern_ray.stages import extract as X
+    from joern_ray.stages import kindrec as KR
     from joern_ray.stages import multimodal as MM
     from joern_ray.stages import reach as RCH
 
@@ -247,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # import-resolver + config side-table analogs
         "kg_tool_imports": kg_tool_imports,
         "kg_tool_registry": kg_tool_registry,
+        # bounded-iteration kind recovery (XTypeRecovery analog, new r4)
+        "kg_kind_recovery": KR.kind_recovery_query,
         # scan battery + snippet retrieval + mention aggregation
         # (findings reuses the memoized graph build — ScanPass runs over
         # the already-built CPG, not a fresh extraction)
@@ -264,7 +272,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_suppliers_with_shipments": REL.suppliers_with_shipments,
         "rel_revenue_by_nation": REL.revenue_by_nation,
         "rel_events_by_user": REL.events_by_user,
-        "rel_filter_project_parts": REL.filter_project_parts,
         "rel_running_order_total": REL.running_order_total,
         # text analysis + dedup (training-data ops)
         "text_stats": T.text_stats,
@@ -301,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_turns": kg_turns,
         "kg_triples_surface_exttool": kg_triples_surface_exttool,
         "rel_distinct_part_types": REL.distinct_part_types,
+        "rel_filter_project_parts": REL.filter_project_parts,
         # ---- rows-only, no driver row yet (next in the window) ----
         "ann_lsh": A.ann_lsh,
         "ann_ivf": A.ann_ivf,
@@ -371,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(turn_idx) AS BIGINT) AS first_turn
             FROM {tr} WHERE role = 'tool' AND tool IS NOT NULL
             GROUP BY tool""",
+        "kg_kind_recovery": _kind_recovery_sql(tr),
         "kg_conv_tools": FND.conv_tools_sql(tr),
         "kg_next_turn_edges": f"""
             SELECT conv_id || '#' || CAST(turn_idx - 1 AS VARCHAR) AS src,

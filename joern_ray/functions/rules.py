@@ -306,6 +306,29 @@ COMPILED_MULTI_TEMPLATES = [
 #   (conv:<conv_id>, invoked, tool:<tool>)
 INVOKED_PRED = "invoked"
 
+# ---------------------------------------------------------------------------
+# Untyped-mention template — the input of the kind-recovery pass (the
+# XTypeRecovery analog, ``x2cpg/passes/frontend/XTypeRecovery.scala:23-110``:
+# bounded-iteration inference assigning a type to symbols whose declaration
+# carries none, from the contexts the same symbol appears in).  A
+# "mentioned" sentence names an entity WITHOUT revealing its kind; the
+# recovery pass (stages/kindrec.py) types it from evidence — other
+# mentions of the SAME surface in typed template slots — in two bounded
+# rounds: conversation-local evidence first (closest scope wins), then the
+# global surface vocabulary.  Deliberately NOT part of TEMPLATES: like the
+# reference's pass it is an overlay over the extraction events, not part
+# of the frontend grammar, so it feeds canonicalization but never the
+# surface-triple stream or referent state.
+# ---------------------------------------------------------------------------
+MENTIONED_PRED = "mentioned"
+MENTIONED_RE = (r"^(?P<subj>[A-Z][a-z]+) mentioned "
+                r"(?P<obj>[A-Za-z][A-Za-z0-9_. ]*?)[.?]$")
+MENTIONED_LITERAL = " mentioned "
+UNKNOWN_KIND = "unknown"
+# surfaces synth uses for the UNRECOVERABLE regime (never appear in any
+# typed slot anywhere — the mention stays an untyped stub, round 0)
+NEVER_TYPED = ["Quokka Ventures", "Zephyr Consortium", "Nimbus Collective"]
+
 
 # ---------------------------------------------------------------------------
 # Normalizers (the FULL_NAME discipline — reference:

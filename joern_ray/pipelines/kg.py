@@ -80,21 +80,29 @@ def build_graph(transcripts_ds: "ray.data.Dataset", *,
     # events (inside extract_triples) + the small resolved branch are
     # materialized; triples stays lazy — re-consumers only replay the
     # cheap passthrough map over stored events, never the shuffle
-    triples = X.extract_triples(transcripts_ds)
+    triples, events = X.extract_triples_and_events(transcripts_ds)
     mentions = triples.map_batches(L.mentions_from_triples,
                                    batch_format="pyarrow")
     vocab = L.vocab_from_mentions(mentions)
     entities = L.build_entities(vocab).materialize()
+    # kind-recovery overlay (XTypeRecovery analog, stages/kindrec.py):
+    # untyped "mentioned" objects are typed from the stored events'
+    # evidence and rewritten into the canonicalization input — never into
+    # the surface-grammar stream or the entity vocabulary (recovery
+    # requires an already-typed mention of the same surface, so the
+    # (kind, norm) key is guaranteed present in the directory)
+    from ..stages import kindrec as KR
+    canon_input = triples.union(KR.recovered_triples(transcripts_ds, events))
     # canonical triples are narrow (ids + kinds, no text): one store copy
     # here saves a full chain replay for each of its two consumers.  The
     # store copy is dictionary-encoded (vocabulary-sized columns as int32
     # indices); consumers replay only the decode map over stored blocks.
     if entities.count() > M.BROADCAST_MAX_ENTITIES:
         # directory too big to broadcast → fully distributed cogroup path
-        canon_raw = M.canonical_triples_cogroup(triples, entities)
+        canon_raw = M.canonical_triples_cogroup(canon_input, entities)
     else:
         canon_raw = M.canonical_triples(
-            triples, M.entity_lookup_ref(entities))
+            canon_input, M.entity_lookup_ref(entities))
     canon_store = canon_raw.map_batches(
         M.encode_canonical_store, batch_format="pyarrow").materialize()
     canon = canon_store.map_batches(
@@ -136,9 +144,12 @@ def build_checkpointed(input_path: str, out_dir: str) -> Manifest:
                                 batch_format="pyarrow"))),
         deps=["triples_surface"], fingerprint=True)
 
+    from ..stages import kindrec as KR
     canon = man.run_stage(
         "triples_canonical",
-        lambda: M.canonical_triples(triples, M.entity_lookup_ref(entities)),
+        lambda: M.canonical_triples(
+            triples.union(KR.recovered_triples(transcripts)),
+            M.entity_lookup_ref(entities)),
         deps=["triples_surface", "entities"], fingerprint=True,
         shard_by="conv_id")
 

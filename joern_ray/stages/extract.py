@@ -627,12 +627,31 @@ def extract_triples(transcripts_ds, *, num_partitions: int | None = None,
     materialized, so the returned triples Dataset is cheap to re-consume —
     callers should NOT materialize it again (the passthrough bulk would
     just be copied through the object store a second time)."""
+    return extract_triples_and_events(
+        transcripts_ds, num_partitions=num_partitions,
+        resolve_buckets=resolve_buckets,
+        materialize_events=materialize_events,
+        max_resolve_events_per_conv=max_resolve_events_per_conv,
+        extra_templates=extra_templates,
+        extra_multi_templates=extra_multi_templates)[0]
+
+
+def extract_triples_and_events(
+        transcripts_ds, *, num_partitions: int | None = None,
+        resolve_buckets: int | None = DEFAULT_RESOLVE_BUCKETS,
+        materialize_events: bool = True,
+        max_resolve_events_per_conv: int | None = None,
+        extra_templates: list[tuple] | None = None,
+        extra_multi_templates: list[tuple] | None = None):
+    """extract_triples, but also returns the (materialized) EVENTS Dataset
+    so overlay passes (kind recovery) can reuse the stored events instead
+    of re-extracting the corpus."""
     events = transcripts_ds.map_batches(
         lambda t: extract_events(t, extra_templates, extra_multi_templates),
         batch_format="pyarrow", zero_copy_batch=True)
     if resolve_buckets is None:
-        return events.groupby("conv_id").map_groups(
-            _resolve_group, batch_format="pyarrow")
+        return (events.groupby("conv_id").map_groups(
+            _resolve_group, batch_format="pyarrow"), events)
     if materialize_events:
         events = events.materialize()  # consumed by both branches
     passthrough = events.map_batches(_passthrough_triples,
@@ -646,4 +665,4 @@ def extract_triples(transcripts_ds, *, num_partitions: int | None = None,
         lambda g: _resolve_bucket(g, cap), batch_format="pyarrow")
     if materialize_events:
         resolved = resolved.materialize()
-    return passthrough.union(resolved)
+    return passthrough.union(resolved), events

@@ -1,0 +1,374 @@
+"""Kind recovery: bounded-iteration typing of untyped mentions — the
+``XTypeRecovery`` analog (reference:
+``x2cpg/passes/frontend/XTypeRecovery.scala:23-110`` — bounded-round
+inference of unknown symbol types from the contexts identically-named
+symbols appear in, "avoid the poor scalability of a fixed-point
+algorithm").
+
+Input: "mentioned" sentences (``rules.MENTIONED_RE``) whose object kind is
+UNKNOWN at extraction time.  Evidence: every typed slot of the standard
+extraction-event stream — (conv_id, surface, kind) where the surface
+appears as a template subject/object with a declared kind.  Two rounds,
+closest scope first (deterministic min(kind) tie-break in both):
+
+  round 1 — conversation-local: evidence from the mention's OWN
+            conversation;
+  round 2 — global: the corpus-wide (surface → min kind) vocabulary.
+
+Unrecovered mentions keep kind='unknown', round=0 (stub semantics — they
+are dropped before canonicalization, the ``TypeDeclStubCreator``-without-
+evidence case).
+
+Scale shape:
+  * the untyped-mention set is a small fraction of turns; it is
+    materialized once (narrow columns, no text).
+  * round 1 default path: the unknown (conv_id, surface) key set is
+    broadcast as a sorted uint64 hash array (``ray.put`` once) and every
+    EVENTS batch filters itself map-side — evidence never enters a
+    shuffle; only matching candidate rows (bounded by the unknown count ×
+    per-conv duplication) reach one small groupby.  Beyond
+    ``BROADCAST_MAX_UNKNOWNS`` the conv-bucketed cogroup exchange takes
+    over (equivalence-tested), the same auto-dispatch discipline as
+    ``materialize.BROADCAST_MAX_ENTITIES``.
+  * round 2: global (surface, kind) vocabulary via per-batch distinct
+    partials + one vocab-sized groupby, broadcast once; a surface-bucketed
+    cogroup escape exists beyond ``BROADCAST_MAX_VOCAB``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .. import schema as S
+from ..functions import rules as R
+from .extract import _attrs, _explode_sentences
+
+BROADCAST_MAX_UNKNOWNS = 10_000_000
+BROADCAST_MAX_VOCAB = 50_000_000
+KINDREC_BUCKETS = 256
+
+_SUBJ_PRON_ARR = pa.array(list(R.SUBJ_PRONOUNS))
+
+UNTYPED = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("sent_idx", pa.int32()), ("subj", pa.string()),
+    ("surface", pa.string()),
+    ("negated", pa.bool_()), ("in_question", pa.bool_()),
+])
+
+RECOVERED = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("sent_idx", pa.int32()), ("subj", pa.string()),
+    ("surface", pa.string()), ("kind", pa.string()),
+    ("round", pa.int32()),
+])
+
+
+def untyped_mentions_batch(batch: pa.Table) -> pa.Table:
+    """Transcript batch → untyped-mention rows (vectorized RE2 behind the
+    template's literal prefilter; pronoun subjects excluded, mirroring the
+    template arms)."""
+    sents = _explode_sentences(batch)
+    text = sents.column("sent")
+    cand = pc.indices_nonzero(pc.fill_null(
+        pc.match_substring(text, R.MENTIONED_LITERAL), False))
+    if len(cand) == 0:        # empty-take guard (pyarrow 16 flake class)
+        return UNTYPED.empty_table()
+    sub = text.take(cand).combine_chunks()
+    ex = pc.extract_regex(sub, R.MENTIONED_RE)
+    mask = pc.is_valid(ex)
+    subj = pc.struct_field(ex, "subj")
+    mask = pc.and_(mask, pc.invert(pc.fill_null(
+        pc.is_in(subj, value_set=_SUBJ_PRON_ARR), False)))
+    if not pc.any(mask).as_py():
+        return UNTYPED.empty_table()
+    local = pc.indices_nonzero(mask)
+    idx = cand.take(local)
+    neg, inq = _attrs(sub.take(local))
+    return pa.Table.from_arrays(
+        [sents.column("conv_id").take(idx).cast(pa.string()),
+         sents.column("turn_idx").take(idx).cast(pa.int32()),
+         sents.column("sent_idx").take(idx).cast(pa.int32()),
+         subj.take(local).cast(pa.string()),
+         pc.struct_field(ex, "obj").take(local).cast(pa.string()),
+         neg.cast(pa.bool_()), inq.cast(pa.bool_())],
+        schema=UNTYPED)
+
+
+_EVIDENCE = pa.schema([("conv_id", pa.string()), ("surface", pa.string()),
+                       ("kind", pa.string())])
+
+
+def evidence_batch(events: pa.Table) -> pa.Table:
+    """Events batch → distinct (conv_id, surface, kind) evidence partial:
+    subject slots (non-null, non-conv kind) + object slots (non-null)."""
+    if events.num_rows == 0 or events.num_columns == 0:
+        return _EVIDENCE.empty_table()
+    conv = events.column("conv_id").cast(pa.string())
+    parts = []
+    sk = events.column("subj_kind").cast(pa.string())
+    smask = pc.and_(pc.is_valid(events.column("subj")),
+                    pc.invert(pc.is_in(sk, value_set=pa.array(
+                        sorted(R.NONLINK_KINDS)))))
+    if pc.any(smask).as_py():
+        idx = pc.indices_nonzero(smask)
+        parts.append(pa.table({
+            "conv_id": conv.take(idx),
+            "surface": events.column("subj").take(idx).cast(pa.string()),
+            "kind": sk.take(idx)}))
+    omask = pc.is_valid(events.column("obj"))
+    if pc.any(omask).as_py():
+        idx = pc.indices_nonzero(omask)
+        parts.append(pa.table({
+            "conv_id": conv.take(idx),
+            "surface": events.column("obj").take(idx).cast(pa.string()),
+            "kind": events.column("obj_kind").take(idx).cast(pa.string())}))
+    if not parts:
+        return _EVIDENCE.empty_table()
+    return (pa.concat_tables(parts)
+            .group_by(["conv_id", "surface", "kind"]).aggregate([]))
+
+
+def _key_hash(conv, surface) -> np.ndarray:
+    key = pc.binary_join_element_wise(
+        pc.cast(conv, pa.string()), pc.cast(surface, pa.string()), "\x1f")
+    return pd.util.hash_array(key.to_numpy(zero_copy_only=False))
+
+
+def _local_kinds_broadcast(events_ds, unk: pa.Table) -> pa.Table:
+    """Round-1 dictionary (conv_id, surface → min kind) via the
+    broadcast-unknowns map-side filter: evidence batches emit only rows
+    whose (conv_id, surface) hash is in the broadcast sorted key array."""
+    keys = np.unique(_key_hash(unk.column("conv_id"),
+                               unk.column("surface")))
+    kref = ray.put(keys)
+
+    def cand(ev: pa.Table) -> pa.Table:
+        t = evidence_batch(ev)
+        if t.num_rows == 0:
+            return _EVIDENCE.empty_table()
+        ks = ray.get(kref)
+        h = _key_hash(t.column("conv_id"), t.column("surface"))
+        pos = np.searchsorted(ks, h)
+        hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == h)
+        if not hit.any():
+            return _EVIDENCE.empty_table()
+        return t.filter(pa.array(hit))
+
+    parts = [b for b in events_ds.map_batches(
+        cand, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        if b.num_columns and b.num_rows]
+    if not parts:
+        return _EVIDENCE.empty_table()
+    allc = pa.concat_tables(parts).combine_chunks()
+    return (allc.group_by(["conv_id", "surface"])
+            .aggregate([("kind", "min")])
+            .rename_columns(["conv_id", "surface", "kind"]))
+
+
+def _local_kinds_cogroup(events_ds, unk_ds,
+                         n_buckets: int = KINDREC_BUCKETS) -> pa.Table:
+    """Round-1 dictionary via a conv-bucketed cogroup exchange — the
+    beyond-broadcast escape (evidence partials and unknown keys co-locate
+    by hash(conv_id); each shard joins vectorized)."""
+    union_schema = pa.schema([("conv_id", pa.string()),
+                              ("surface", pa.string()),
+                              ("kind", pa.string()),
+                              ("bucket", pa.int64())])
+
+    def _bucket(conv) -> pa.Array:
+        h = pd.util.hash_array(conv.to_numpy(zero_copy_only=False))
+        return pa.array((h % n_buckets).astype("int64"))
+
+    def tag_ev(ev: pa.Table) -> pa.Table:
+        t = evidence_batch(ev)
+        if t.num_rows == 0:
+            return union_schema.empty_table()
+        return t.append_column("bucket", _bucket(t.column("conv_id")))
+
+    def tag_unk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return union_schema.empty_table()
+        keys = (t.select(["conv_id", "surface"])
+                .group_by(["conv_id", "surface"]).aggregate([]))
+        return pa.table({
+            "conv_id": keys.column("conv_id"),
+            "surface": keys.column("surface"),
+            "kind": pa.nulls(keys.num_rows, pa.string()),
+            "bucket": _bucket(keys.column("conv_id"))})
+
+    def shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _EVIDENCE.empty_table()
+        g = g.drop_columns(["bucket"]).combine_chunks()
+        is_unk = pc.is_null(g.column("kind"))
+        unks = g.filter(is_unk).select(["conv_id", "surface"])
+        evs = g.filter(pc.invert(is_unk))
+        if unks.num_rows == 0 or evs.num_rows == 0:
+            return _EVIDENCE.empty_table()
+        d = (evs.group_by(["conv_id", "surface"])
+             .aggregate([("kind", "min")])
+             .rename_columns(["conv_id", "surface", "kind"]))
+        return unks.join(d, keys=["conv_id", "surface"],
+                         join_type="inner")
+
+    tagged = (events_ds.map_batches(tag_ev, batch_format="pyarrow")
+              .union(unk_ds.map_batches(tag_unk, batch_format="pyarrow")))
+    parts = [b for b in tagged.groupby("bucket").map_groups(
+        shard, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        if b.num_columns and b.num_rows]
+    return (pa.concat_tables(parts).combine_chunks() if parts
+            else _EVIDENCE.empty_table())
+
+
+def _global_kinds(events_ds) -> pa.Table:
+    """Round-2 dictionary: corpus-wide (surface → min kind) — per-batch
+    distinct partials, one vocab-sized groupby, collected once (the
+    vocabulary is entity-vocabulary-sized, ≪ corpus; guarded)."""
+    vocab_ds = (events_ds.map_batches(
+        lambda t: evidence_batch(t).select(["surface", "kind"])
+        .group_by(["surface", "kind"]).aggregate([]),
+        batch_format="pyarrow")
+        .groupby("surface").min("kind")).materialize()
+    if vocab_ds.count() > BROADCAST_MAX_VOCAB:
+        raise ValueError("kind-recovery vocabulary exceeds broadcast "
+                         "bound — route round 2 through the "
+                         "surface-bucketed cogroup (same shape as "
+                         "_local_kinds_cogroup keyed by surface)")
+    parts = [b for b in vocab_ds.iter_batches(batch_format="pyarrow")
+             if b.num_columns and b.num_rows]
+    if not parts:
+        return pa.table({"surface": pa.array([], pa.string()),
+                         "kind": pa.array([], pa.string())})
+    return (pa.concat_tables(parts).combine_chunks()
+            .rename_columns(["surface", "kind"]))
+
+
+def recover(transcripts_ds, events_ds=None, *,
+            strategy: str = "auto") -> pa.Table:
+    """Run the 2-round kind recovery; returns the RECOVERED Arrow table
+    (one row per untyped mention; the set is a small fraction of turns —
+    driver-held like the entity directory, with the same documented
+    bounds).  strategy: 'auto' | 'broadcast' | 'cogroup' for round 1."""
+    from . import extract as X
+
+    if events_ds is None:
+        events_ds = transcripts_ds.map_batches(
+            X.extract_events, batch_format="pyarrow", zero_copy_batch=True)
+    unk_ds = transcripts_ds.map_batches(
+        untyped_mentions_batch, batch_format="pyarrow").materialize()
+    parts = [b for b in unk_ds.iter_batches(batch_format="pyarrow")
+             if b.num_columns and b.num_rows]
+    if not parts:
+        return RECOVERED.empty_table()
+    unk = pa.concat_tables(parts).combine_chunks()
+
+    if strategy == "auto":
+        strategy = ("broadcast" if unk.num_rows <= BROADCAST_MAX_UNKNOWNS
+                    else "cogroup")
+    local = (_local_kinds_broadcast(events_ds, unk)
+             if strategy == "broadcast"
+             else _local_kinds_cogroup(events_ds, unk_ds))
+    glob = _global_kinds(events_ds)
+
+    j = unk.join(local.rename_columns(["conv_id", "surface", "k1"]),
+                 keys=["conv_id", "surface"], join_type="left outer")
+    j = j.join(glob.rename_columns(["surface", "k2"]),
+               keys=["surface"], join_type="left outer")
+    k1, k2 = j.column("k1"), j.column("k2")
+    kind = pc.coalesce(k1, k2, pa.scalar(R.UNKNOWN_KIND, pa.string()))
+    rnd = pc.if_else(pc.is_valid(k1), pa.scalar(1, pa.int32()),
+                     pc.if_else(pc.is_valid(k2), pa.scalar(2, pa.int32()),
+                                pa.scalar(0, pa.int32())))
+    return pa.Table.from_arrays(
+        [j.column(n).cast(t) for n, t in
+         [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+          ("sent_idx", pa.int32()), ("subj", pa.string()),
+          ("surface", pa.string())]] +
+        [kind.cast(pa.string()), rnd],
+        schema=RECOVERED)
+
+
+def recovered_triples(transcripts_ds, events_ds=None) -> "ray.data.Dataset":
+    """Recovered mentions as TRIPLES_SURFACE rows (pred='mentioned',
+    obj_kind = the recovered kind) — the rewrite-before-canonicalization
+    step: these rows feed canonical_triples (where the normal
+    normalize+link pipeline assigns ids/canonicals) but never the surface
+    grammar stream or the entity vocabulary (recovery requires an
+    existing typed mention of the same surface, so the (kind, norm) key
+    is already in the directory).  Unrecovered mentions (round 0) are
+    DROPPED — the stub-without-evidence case."""
+    rec = recover(transcripts_ds, events_ds)
+    rec = rec.filter(pc.greater(rec.column("round"), 0))
+    n = rec.num_rows
+    # untyped mentions re-extract attrs here (recover() output is the
+    # narrow query shape); negated/in_question are sentence-level and the
+    # mentioned template admits '?' terminators
+    t = pa.Table.from_arrays(
+        [rec.column("conv_id"), rec.column("turn_idx"),
+         rec.column("subj"),
+         pa.array([R.MENTIONED_PRED] * n, pa.string()),
+         rec.column("surface"),
+         pa.array(["person"] * n, pa.string()),
+         rec.column("kind"),
+         rec.column("sent_idx"),
+         pa.array([False] * n, pa.bool_()),
+         pa.array([False] * n, pa.bool_()),
+         pa.array([0] * n, pa.int32()),
+         pa.array([R.DEFAULT_CLAUSE] * n, pa.string())],
+        schema=S.TRIPLES_SURFACE)
+    return ray.data.from_arrow(t if n else S.TRIPLES_SURFACE.empty_table())
+
+
+def kind_recovery_query(sf_dir: str):
+    """(conv_id, turn_idx, sent_idx, subj, surface, kind, round) for every
+    untyped mention in the corpus."""
+    from .. import synth
+    tds = ray.data.read_parquet(synth.transcripts_path(sf_dir),
+                                columns=["conv_id", "turn_idx", "role",
+                                         "text", "tool"])
+    return ray.data.from_arrow(recover(tds))
+
+
+def kind_recovery_sql(tr: str) -> str:
+    """DuckDB mirror: same two CTE rounds over the shared events arms."""
+    from ..extract import sqlgen as G
+
+    rxs = R.MENTIONED_RE
+    import re as _re
+    rx_plain = _re.sub(r"\(\?P<[a-z0-9]+>", "(", rxs).replace("'", "''")
+    pron_in = ", ".join(f"'{p}'" for p in R.SUBJ_PRONOUNS)
+    sents = G._sents_cte(tr)
+    nonlink_in = ", ".join(f"'{k}'" for k in sorted(R.NONLINK_KINDS))
+    return f"""
+    WITH ev0 AS ({G.events_sql(tr)}),
+    ev AS (
+      SELECT conv_id, subj AS surface, subj_kind AS kind FROM ev0
+      WHERE subj IS NOT NULL AND subj_kind NOT IN ({nonlink_in})
+      UNION ALL
+      SELECT conv_id, obj, obj_kind FROM ev0 WHERE obj IS NOT NULL),
+    unk AS (
+      SELECT conv_id, turn_idx, sent_idx,
+             regexp_extract(sent, '{rx_plain}', 1) AS subj,
+             regexp_extract(sent, '{rx_plain}', 2) AS surface
+      FROM {sents}
+      WHERE regexp_matches(sent, '{rx_plain}')
+        AND regexp_extract(sent, '{rx_plain}', 1) NOT IN ({pron_in})),
+    loc AS (SELECT conv_id, surface, min(kind) AS k
+            FROM ev GROUP BY 1, 2),
+    gdict AS (SELECT surface, min(kind) AS k FROM ev GROUP BY 1)
+    SELECT u.conv_id, u.turn_idx, u.sent_idx, u.subj, u.surface,
+           coalesce(l.k, g.k, '{R.UNKNOWN_KIND}') AS kind,
+           CAST(CASE WHEN l.k IS NOT NULL THEN 1
+                     WHEN g.k IS NOT NULL THEN 2
+                     ELSE 0 END AS INTEGER) AS round
+    FROM unk u
+    LEFT JOIN loc l ON l.conv_id = u.conv_id AND l.surface = u.surface
+    LEFT JOIN gdict g ON g.surface = u.surface
+    """

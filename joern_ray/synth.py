@@ -23,7 +23,13 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v9"  # v9: OBJECT-side pronoun turns ("Alice met with
+CORPUS_VERSION = "v10"  # v10: untyped-mention turns ("Alice mentioned
+#                         Acme Corp." — object kind UNKNOWN at extraction,
+#                         typed by the bounded 2-round kind-recovery pass:
+#                         conv-local evidence, then the global surface
+#                         vocabulary; ~25% draw never-typed surfaces or
+#                         global-only evidence);
+#                         v9: OBJECT-side pronoun turns ("Alice met with
 #                         her." — pronoun fills the object slot, resolved
 #                         to the committed referent; the explicit subject
 #                         anchors the relation and commits state);
@@ -79,6 +85,10 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
     rows: list[dict] = []
     gts: list[dict] = []
     last_person: str | None = None  # surface form
+    # typed surfaces seen so far in THIS conversation — the draw pool for
+    # same-conv "mentioned" turns (kind recovery's round-1 regime); a
+    # SAMPLE of the conv's evidence, not an exhaustive mirror
+    conv_ev: list[tuple[str, str, str]] = []   # (surface, kind, canonical)
 
     def add_row(t, role, text, tool=None):
         rows.append(dict(
@@ -224,24 +234,32 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             text = f"{subj} {neg}works at {obj_surface}{end}"
             subj_canon = subj.lower()
             person_slot = subj
+            conv_ev.extend([(subj, "person", subj_canon),
+                        (obj_surface, "org", obj_canon)])
         elif pred == "reported_bug":
             subj = _pick_person(rng)
             obj_surface = obj_canon = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
             text = f"{subj} reported a bug in {obj_surface}{end}"
             subj_canon = subj.lower()
             person_slot = subj
+            conv_ev.extend([(subj, "person", subj_canon),
+                        (obj_surface, "module", obj_canon)])
         elif pred == "uses":
             subj = _pick_person(rng)
             obj_surface = obj_canon = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
             text = f"{subj} {neg}uses {obj_surface} daily{end}"
             subj_canon = subj.lower()
             person_slot = subj
+            conv_ev.extend([(subj, "person", subj_canon),
+                        (obj_surface, "tool", obj_canon)])
         elif pred == "acquired":
             s_surface, subj_canon = _pick_org(rng)
             obj_surface, obj_canon = _pick_org(rng)
             while obj_canon == subj_canon:
                 obj_surface, obj_canon = _pick_org(rng)
             text = f"{s_surface} acquired {obj_surface}{end}"
+            conv_ev.extend([(s_surface, "org", subj_canon),
+                        (obj_surface, "org", obj_canon)])
         elif pred in ("met", "manages"):
             verb = "met with" if pred == "met" else "manages"
             subj = _pick_person(rng)
@@ -252,6 +270,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             text = f"{subj} {verb} {obj_surface}{end}"
             subj_canon = subj.lower()
             person_slot = obj_surface  # object is the later person slot
+            conv_ev.extend([(subj, "person", subj_canon),
+                        (obj_surface, "person", obj_canon)])
         elif pred in ("joined", "left_org"):
             verb = "joined" if pred == "joined" else "left"
             subj = _pick_person(rng)
@@ -259,18 +279,24 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             text = f"{subj} {verb} {obj_surface}{end}"
             subj_canon = subj.lower()
             person_slot = subj
+            conv_ev.extend([(subj, "person", subj_canon),
+                        (obj_surface, "org", obj_canon)])
         elif pred == "maintains":
             subj = _pick_person(rng)
             obj_surface = obj_canon = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
             text = f"{subj} maintains {obj_surface}{end}"
             subj_canon = subj.lower()
             person_slot = subj
+            conv_ev.extend([(subj, "person", subj_canon),
+                        (obj_surface, "module", obj_canon)])
         else:  # partnered
             s_surface, subj_canon = _pick_org(rng)
             obj_surface, obj_canon = _pick_org(rng)
             while obj_canon == subj_canon:
                 obj_surface, obj_canon = _pick_org(rng)
             text = f"{s_surface} partnered with {obj_surface}{end}"
+            conv_ev.extend([(s_surface, "org", subj_canon),
+                        (obj_surface, "org", obj_canon)])
         return text, [(sk, subj_canon, pred, ok, obj_canon)], person_slot
 
     t = 0
@@ -384,8 +410,33 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             n_items = int(rng.integers(1, 100))
             add_row(t + 1, "tool", f"result: ok ({n_items} items)", tool=tool)
             add_gt(t + 1, "conv", conv_id, R.INVOKED_PRED, "tool", tool)
+            conv_ev.append((tool, "tool", tool))
             t += 2
             continue
+        elif rng.random() < 0.12:
+            # untyped-mention turn (kind recovery's input, v10): three
+            # regimes — same-conv evidence (round 1), global person
+            # evidence (round 2; persons are globally typed in any
+            # non-trivial corpus), never-typed surface (unrecoverable
+            # stub, round 0 — NO ground-truth row: dropped before
+            # canonicalization).  Not a template match: referent state and
+            # every surface-grammar stream are untouched.
+            subj = _pick_person(rng)
+            u = rng.random()
+            if u < 0.6 and conv_ev:
+                surface, kind, canon = conv_ev[
+                    int(rng.integers(0, len(conv_ev)))]
+                add_gt(t, "person", subj.lower(), R.MENTIONED_PRED,
+                       kind, canon)
+            elif u < 0.85:
+                other = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+                surface = other
+                add_gt(t, "person", subj.lower(), R.MENTIONED_PRED,
+                       "person", other.lower())
+            else:
+                surface = R.NEVER_TYPED[
+                    int(rng.integers(0, len(R.NEVER_TYPED)))]
+            add_row(t, role, f"{subj} mentioned {surface}.")
         else:
             add_row(t, role, R.FILLERS[int(rng.integers(0, len(R.FILLERS)))])
         t += 1

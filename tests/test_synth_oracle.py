@@ -41,6 +41,10 @@ def test_oracle_matches_ground_truth_surface_level():
         rows_all.extend(r)
         gt_all.extend(g)
     pred = oracle.extract_all(rows_all)
+    # GT also records kind-recovery OVERLAY rows (pred='mentioned', v10);
+    # the grammar-level oracle extractor is compared against the grammar
+    # subset (overlay parity lives in test_kindrec.py + the SQL oracle)
+    gt_all = [d for d in gt_all if d["pred"] != R.MENTIONED_PRED]
     assert len(pred) == len(gt_all)
 
     org_alias = {}
