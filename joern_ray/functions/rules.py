@@ -290,6 +290,19 @@ QUESTION_MARK = "?"               # sentence suffix test
 #   surface wins — a deterministic tie-break independent of row arrival
 #   order.  Resolved pronoun triples do not update the referent state.
 #   Unresolvable pronouns emit no triple.
+#
+# Quoted-speech referent-scope contract (v11): a pronoun INSIDE quoted
+#   speech ('Alice said "She uses search daily."') resolves in the QUOTING
+#   turn's scope — the standard committed referent of the latest
+#   strictly-earlier turn.  The SPEAKER is not an emitted slot, so it
+#   neither shadows the referent nor commits state (consistent with every
+#   quoted template since v4); emitted NON-pronoun person slots inside the
+#   quote DO commit state as usual.  This is a deliberate simplification —
+#   true reported-speech deixis can bind the pronoun inside the quotation's
+#   own discourse — chosen because it keeps resolution a pure function of
+#   the committed turn-state stream (the same property every implementation
+#   relies on); the clause='quoted' attribute preserves enough structure
+#   for a consumer to re-bind under a different convention.
 
 COMPILED_TEMPLATES = [
     (pred, re.compile(rx), sk, ok) for pred, rx, sk, ok in TEMPLATES

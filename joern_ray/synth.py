@@ -23,7 +23,12 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v10"  # v10: untyped-mention turns ("Alice mentioned
+CORPUS_VERSION = "v11"  # v11: pronouns INSIDE quoted speech ('X said "She
+#                         uses y daily."' and 'X said "She and Bob use y
+#                         daily."') — resolved in the QUOTING turn's scope
+#                         (speaker is not an emitted slot; documented
+#                         referent-scope contract in rules.py);
+#                         v10: untyped-mention turns ("Alice mentioned
 #                         Acme Corp." — object kind UNKNOWN at extraction,
 #                         typed by the bounded 2-round kind-recovery pass:
 #                         conv-local evidence, then the global surface
@@ -343,6 +348,36 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 add_gt(t, "person", last_person.lower(), pred2, ok2, oc)
                 add_gt(t, "person", partner.lower(), pred2, ok2, oc)
                 last_person = partner
+                t += 1
+                continue
+            if 0.45 <= u < 0.60:
+                # pronoun INSIDE quoted speech (v11): resolves in the
+                # QUOTING turn's scope — the committed referent of the
+                # latest earlier turn; the SPEAKER is not an emitted slot
+                # (no state commit, no shadowing).  Half the draws nest a
+                # coordination inside the quote ('X said "She and Bob use
+                # y daily."') — the non-pronoun partner DOES commit state.
+                speaker = _pick_person(rng)
+                pronoun = R.PRONOUNS[int(rng.integers(0, 2))]
+                tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
+                if rng.random() < 0.5:
+                    text = f'{speaker} said "{pronoun} uses {tool} daily."'
+                    add_row(t, role, text)
+                    add_gt(t, "person", last_person.lower(), "uses",
+                           "tool", tool)
+                else:
+                    partner = _pick_person(rng)
+                    while partner == last_person:
+                        partner = R.PERSONS[
+                            int(rng.integers(0, len(R.PERSONS)))]
+                    text = (f'{speaker} said "{pronoun} and {partner} '
+                            f'use {tool} daily."')
+                    add_row(t, role, text)
+                    add_gt(t, "person", last_person.lower(), "uses",
+                           "tool", tool)
+                    add_gt(t, "person", partner.lower(), "uses",
+                           "tool", tool)
+                    last_person = partner
                 t += 1
                 continue
             ti = int(rng.integers(0, len(R.PRONOUN_TEMPLATES)))

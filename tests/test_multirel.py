@@ -182,3 +182,49 @@ def test_object_pronoun_unresolvable_drops():
     t = _turns(["Alice met with her."])
     got = _rows(X._resolve_group(X.extract_events(t)))
     assert got == []
+
+
+def test_pronoun_inside_quoted_speech_resolves_in_quoting_scope():
+    """v11: 'X said "She uses y daily."' — the quoted pronoun resolves in
+    the QUOTING turn's scope (committed referent of the latest earlier
+    turn); the SPEAKER neither shadows the referent nor commits state
+    (rules.py quoted-speech referent-scope contract)."""
+    t = _turns(["Grace works at Acme Corp.",
+                'Nina said "She uses search daily."',
+                "He uses compiler daily."])
+    got = _rows(X._resolve_group(X.extract_events(t)))
+    # referent is Grace, NOT the speaker Nina; clause is 'quoted'
+    assert ("c1", 1, "Grace", "uses", "search", 0, "quoted") in got
+    # the quoted-pronoun turn committed no state: turn-2 pronoun still
+    # resolves to Grace (turn 0 remains the latest person-bearing turn)
+    assert ("c1", 2, "Grace", "uses", "compiler", 0, "main") in got
+
+
+def test_pronoun_in_quoted_coordination_partner_commits():
+    """v11 nested case: 'X said "She and Bob use y daily."' — pronoun slot
+    resolves with slot_idx 0 in the quoted clause; the non-pronoun partner
+    emits its own triple AND commits state for later turns."""
+    t = _turns(["Grace works at Acme Corp.",
+                'Nina said "She and Bob use search daily."',
+                "She uses compiler daily."])
+    got = _rows(X._resolve_group(X.extract_events(t)))
+    assert ("c1", 1, "Grace", "uses", "search", 0, "quoted") in got
+    assert ("c1", 1, "Bob", "uses", "search", 1, "quoted") in got
+    # partner Bob committed: turn-2 'She' resolves to Bob
+    assert ("c1", 2, "Bob", "uses", "compiler", 0, "main") in got
+
+
+def test_quoted_pronoun_engine_oracle_lockstep():
+    texts = [
+        "Alice works at Acme Corp.",
+        'Dave said "She uses search daily."',
+        'Erin said "He and Frank use browser daily."',
+        "She uses terminal daily.",
+    ]
+    t = _turns(texts)
+    eng = _rows(X._resolve_group(X.extract_events(t)))
+    ora = sorted(
+        (d["conv_id"], d["turn_idx"], d["subj"], d["pred"], d["obj"],
+         d["slot_idx"], d["clause"])
+        for d in O.extract_conversation(t.to_pylist()))
+    assert eng == ora
