@@ -31,18 +31,20 @@ TRANSCRIPTS = pa.schema([
 # This table is the single biggest object-store resident of the headline
 # build (materialized once, read by both the passthrough and resolve
 # branches), so its layout is store-optimized: there is NO etype column —
-# the invariant ``subj IS NULL ⇔ pronoun event`` carries that bit — and the
-# vocabulary-sized categorical columns (pred / kinds) are
+# the invariant ``subj IS NULL ⇔ pronoun event`` carries that bit — and
+# EVERY vocabulary-sized column (pred / kinds / clause AND the subj / obj
+# entity surfaces, which are vocabulary-drawn too — r4) is
 # dictionary-encoded (int32 index + tiny dictionary per chunk) instead of
-# repeating their strings per row.  Downstream schemas (TRIPLES_SURFACE on)
-# decode back to plain strings at the passthrough map, after the store hop.
+# repeating its strings per row; NULL discriminators survive encoding as
+# null indices.  Downstream schemas (TRIPLES_SURFACE on) decode back to
+# plain strings at the passthrough map, after the store hop.
 EVENTS_DICT = pa.dictionary(pa.int32(), pa.string())
 EVENTS = pa.schema([
     ("conv_id", pa.string()),
     ("turn_idx", pa.int32()),
-    ("subj", pa.string()),           # NULL ⇔ subject-pronoun event
+    ("subj", EVENTS_DICT),           # NULL ⇔ subject-pronoun event
     ("pred", EVENTS_DICT),
-    ("obj", pa.string()),            # NULL ⇔ object-pronoun event
+    ("obj", EVENTS_DICT),            # NULL ⇔ object-pronoun event
     ("subj_kind", EVENTS_DICT),
     ("obj_kind", EVENTS_DICT),
     ("sent_idx", pa.int32()),        # sentence position within the turn

@@ -66,14 +66,22 @@ def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
 
     def dcol(v):
         if isinstance(v, (pa.Array, pa.ChunkedArray)):
-            return v if pa.types.is_dictionary(v.type) \
-                else pc.dictionary_encode(v).cast(S.EVENTS_DICT)
+            if pa.types.is_dictionary(v.type):
+                return v
+            if v.type != pa.string():
+                v = v.cast(pa.string())
+            # NULL-bearing columns (subj/obj pronoun discriminators)
+            # encode to null indices — the store invariant survives
+            return pc.dictionary_encode(v).cast(S.EVENTS_DICT)
+        if v is None:
+            return pa.DictionaryArray.from_arrays(
+                pa.nulls(n, pa.int32()), pa.array([], pa.string()))
         # scalar: n identical values = one dictionary entry, n zero indices
         return pa.DictionaryArray.from_arrays(
             pa.array([0] * n, pa.int32()), pa.array([v], pa.string()))
     return pa.Table.from_arrays(
         [col(conv, pa.string()), col(turn_idx, pa.int32()),
-         col(subj, pa.string()), dcol(pred), col(obj, pa.string()),
+         dcol(subj), dcol(pred), dcol(obj),
          dcol(sk), dcol(ok),
          col(sent_idx, pa.int32()), col(negated, pa.bool_()),
          col(in_question, pa.bool_()),
@@ -571,14 +579,16 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
                        pc.is_null(t.column("obj")))
     is_pron = pc.or_(is_spron, is_opron)
     # decode the dictionary categoricals once per batch (post store hop)
+    subj_s = t.column("subj").cast(pa.string())
+    obj_s = t.column("obj").cast(pa.string())
     pred_s = t.column("pred").cast(pa.string())
     sk_s = t.column("subj_kind").cast(pa.string())
     ok_s = t.column("obj_kind").cast(pa.string())
     person_val = pc.if_else(
-        pc.and_(pc.equal(ok_s, "person"), pc.is_valid(t.column("obj"))),
-        t.column("obj"),
+        pc.and_(pc.equal(ok_s, "person"), pc.is_valid(obj_s)),
+        obj_s,
         pc.if_else(pc.equal(sk_s, "person"),
-                   t.column("subj"), pa.nulls(t.num_rows, pa.string())))
+                   subj_s, pa.nulls(t.num_rows, pa.string())))
     # subject-pronoun rows never contribute state; object-pronoun rows
     # contribute their explicit SUBJECT (person_val == subj — the rule
     # pack guarantees object-pronoun templates have person subjects,
@@ -592,7 +602,7 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
         "turn_idx": t.column("turn_idx"),
         "person": person_val,
         "pred": pc.if_else(is_pron, pred_s, nulls),
-        "obj": pc.if_else(is_spron, t.column("obj"), nulls),
+        "obj": pc.if_else(is_spron, obj_s, nulls),
         "obj_kind": pc.if_else(is_pron, ok_s, nulls),
         "sent_idx": t.column("sent_idx"),
         "negated": t.column("negated"),
