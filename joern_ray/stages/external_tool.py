@@ -110,6 +110,14 @@ for line in sys.stdin:
                     evs.append([m.group(sg), pred, m.group(og), sk, ok,
                                 *attrs, slot, clause])
                 break
+            # untyped-mention overlay event (kind-recovery input): an
+            # independent re-match of rules.MENTIONED_RE, mirroring the
+            # kernel's fused emission (obj_kind='unknown')
+            m = re.match(R.MENTIONED_RE, sent)
+            if m and m.group("subj") not in R.SUBJ_PRONOUNS:
+                evs.append([m.group("subj"), R.MENTIONED_PRED,
+                            m.group("obj"), "person", R.UNKNOWN_KIND,
+                            *attrs, 0, R.DEFAULT_CLAUSE])
     sys.stdout.write(json.dumps({"events": evs}) + "\n")
     sys.stdout.flush()
 """

@@ -48,7 +48,9 @@ import re as _re  # noqa: E402
 
 _ANY_LITERAL_RE = "|".join(
     _re.escape(lit) for lit in
-    list(_TEMPLATE_LITERALS.values()) + list(R.MULTI_TEMPLATE_LITERALS.values()))
+    list(_TEMPLATE_LITERALS.values())
+    + list(R.MULTI_TEMPLATE_LITERALS.values())
+    + [R.MENTIONED_LITERAL])
 
 
 def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
@@ -335,6 +337,33 @@ def extract_events(batch: pa.Table,
                         pc.struct_field(ex, obj_g).take(local), sk, ok,
                         sidx.take(idx), neg, inq, slot, clause))
 
+    # untyped-mention events (kind-recovery overlay input, rules.MENTIONED_RE,
+    # obj_kind='unknown') ride the SAME extraction map and events store —
+    # no second text scan for the overlay.  They are NOT surface triples
+    # (excluded by _passthrough_triples), contribute NO referent state
+    # (excluded in _resolve_subset/_resolve_group) and NO kind evidence
+    # (excluded in kindrec.evidence_batch): the store is a superset, the
+    # grammar semantics are unchanged.
+    if n_cand:
+        pre = pc.match_substring(cand_text, R.MENTIONED_LITERAL)
+        idx0 = cand_idx.take(pc.indices_nonzero(pc.fill_null(pre, False)))
+        if len(idx0):
+            ex = pc.extract_regex(text.take(idx0), R.MENTIONED_RE)
+            mask = pc.is_valid(ex)
+            subj = pc.struct_field(ex, "subj")
+            mask = pc.and_(mask, pc.invert(pc.fill_null(
+                pc.is_in(subj, value_set=_PRONOUN_SET), False)))
+            if pc.any(mask).as_py():
+                local = pc.indices_nonzero(mask)
+                idx = idx0.take(local)
+                neg, inq = neg_all.take(idx), inq_all.take(idx)
+                outs.append(_events_table(
+                    len(idx), conv.take(idx), tidx.take(idx),
+                    subj.take(local), R.MENTIONED_PRED,
+                    pc.struct_field(ex, "obj").take(local),
+                    "person", R.UNKNOWN_KIND,
+                    sidx.take(idx), neg, inq))
+
     if not outs:
         return S.EVENTS.empty_table()
     return pa.concat_tables(outs)
@@ -348,6 +377,11 @@ def _resolve_group(group: pa.Table) -> pa.Table:
     multi-match turns resolve deterministically regardless of block arrival
     order."""
     group = group.sort_by([("turn_idx", "ascending")])
+    # untyped-mention overlay rows (obj_kind='unknown') are not grammar
+    # events: neither output triples nor referent state — drop up front
+    # (mirrors _passthrough_triples + _resolve_subset)
+    group = group.filter(pc.not_equal(
+        group.column("obj_kind").cast(pa.string()), R.UNKNOWN_KIND))
     # pronoun events: NULL subj (subject pronoun) or NULL obj (object
     # pronoun) — the EVENTS store invariants
     has_pronoun = (pc.any(pc.is_null(group.column("subj"))).as_py()
@@ -562,10 +596,15 @@ def _passthrough_triples(t: pa.Table) -> pa.Table:
     surface triples; decoding the dictionary categoricals back to plain
     strings happens here, AFTER the store hop, so the materialized events
     stay in their compact layout.  (NULL subj ⇔ subject-pronoun event;
-    NULL obj ⇔ object-pronoun event — both resolve in Stage B.)"""
-    return t.filter(pc.and_(pc.is_valid(t.column("subj")),
-                            pc.is_valid(t.column("obj")))) \
-            .cast(S.TRIPLES_SURFACE)
+    NULL obj ⇔ object-pronoun event — both resolve in Stage B.
+    obj_kind='unknown' rows are the kind-recovery overlay's input, not
+    surface triples — excluded here.)"""
+    keep = pc.and_(
+        pc.and_(pc.is_valid(t.column("subj")),
+                pc.is_valid(t.column("obj"))),
+        pc.not_equal(t.column("obj_kind").cast(pa.string()),
+                     R.UNKNOWN_KIND))
+    return t.filter(keep).cast(S.TRIPLES_SURFACE)
 
 
 def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
@@ -592,9 +631,12 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
     # subject-pronoun rows never contribute state; object-pronoun rows
     # contribute their explicit SUBJECT (person_val == subj — the rule
     # pack guarantees object-pronoun templates have person subjects,
-    # which doubles as the row's opron discriminator downstream)
-    person_val = pc.if_else(is_spron, pa.nulls(t.num_rows, pa.string()),
-                            person_val)
+    # which doubles as the row's opron discriminator downstream).
+    # Untyped-mention overlay rows (obj_kind='unknown') are not template
+    # matches: they contribute NO state and never enter the resolver.
+    person_val = pc.if_else(
+        pc.or_(is_spron, pc.equal(ok_s, R.UNKNOWN_KIND)),
+        pa.nulls(t.num_rows, pa.string()), person_val)
     mask = pc.or_(is_pron, pc.is_valid(person_val))
     nulls = pa.nulls(t.num_rows, pa.string())
     narrow = pa.table({

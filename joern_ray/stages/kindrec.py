@@ -101,14 +101,42 @@ def untyped_mentions_batch(batch: pa.Table) -> pa.Table:
         schema=UNTYPED)
 
 
+def untyped_from_events(events: pa.Table) -> pa.Table:
+    """Events batch → UNTYPED rows from the fused overlay events
+    (obj_kind='unknown' — emitted by the SAME extraction map as the
+    grammar events, so recovery costs no second text scan)."""
+    if events.num_rows == 0 or events.num_columns == 0:
+        return UNTYPED.empty_table()
+    sub = events.filter(pc.equal(
+        events.column("obj_kind").cast(pa.string()), R.UNKNOWN_KIND))
+    if sub.num_rows == 0:
+        return UNTYPED.empty_table()
+    return pa.Table.from_arrays(
+        [sub.column("conv_id").cast(pa.string()),
+         sub.column("turn_idx").cast(pa.int32()),
+         sub.column("sent_idx").cast(pa.int32()),
+         sub.column("subj").cast(pa.string()),
+         sub.column("obj").cast(pa.string()),
+         sub.column("negated").cast(pa.bool_()),
+         sub.column("in_question").cast(pa.bool_())],
+        schema=UNTYPED)
+
+
 _EVIDENCE = pa.schema([("conv_id", pa.string()), ("surface", pa.string()),
                        ("kind", pa.string())])
 
 
 def evidence_batch(events: pa.Table) -> pa.Table:
     """Events batch → distinct (conv_id, surface, kind) evidence partial:
-    subject slots (non-null, non-conv kind) + object slots (non-null)."""
+    subject slots (non-null, non-conv kind) + object slots (non-null).
+    Untyped-mention overlay rows (obj_kind='unknown') contribute NO
+    evidence — neither slot; the evidence universe is exactly the grammar
+    arms (the SQL oracle's ev CTE)."""
     if events.num_rows == 0 or events.num_columns == 0:
+        return _EVIDENCE.empty_table()
+    events = events.filter(pc.not_equal(
+        events.column("obj_kind").cast(pa.string()), R.UNKNOWN_KIND))
+    if events.num_rows == 0:
         return _EVIDENCE.empty_table()
     conv = events.column("conv_id").cast(pa.string())
     parts = []
@@ -260,9 +288,10 @@ def recover(transcripts_ds, events_ds=None, *,
 
     if events_ds is None:
         events_ds = transcripts_ds.map_batches(
-            X.extract_events, batch_format="pyarrow", zero_copy_batch=True)
-    unk_ds = transcripts_ds.map_batches(
-        untyped_mentions_batch, batch_format="pyarrow").materialize()
+            X.extract_events, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+    unk_ds = events_ds.map_batches(
+        untyped_from_events, batch_format="pyarrow").materialize()
     parts = [b for b in unk_ds.iter_batches(batch_format="pyarrow")
              if b.num_columns and b.num_rows]
     if not parts:
