@@ -30,9 +30,10 @@ Scale shape:
     ``BROADCAST_MAX_UNKNOWNS`` the conv-bucketed cogroup exchange takes
     over (equivalence-tested), the same auto-dispatch discipline as
     ``materialize.BROADCAST_MAX_ENTITIES``.
-  * round 2: global (surface, kind) vocabulary via per-batch distinct
-    partials + one vocab-sized groupby, broadcast once; a surface-bucketed
-    cogroup escape exists beyond ``BROADCAST_MAX_VOCAB``.
+  * round 2: the global dictionary is restricted to surfaces that appear
+    among the UNKNOWNS (never the full vocabulary) — same broadcast
+    key-set filter keyed by surface; surface-bucketed cogroup escape
+    beyond the same bound.
 """
 
 from __future__ import annotations
@@ -50,7 +51,6 @@ from ..functions import rules as R
 from .extract import _attrs, _explode_sentences
 
 BROADCAST_MAX_UNKNOWNS = 10_000_000
-BROADCAST_MAX_VOCAB = 50_000_000
 KINDREC_BUCKETS = 256
 
 _SUBJ_PRON_ARR = pa.array(list(R.SUBJ_PRONOUNS))
@@ -255,27 +255,96 @@ def _local_kinds_cogroup(events_ds, unk_ds,
             else _EVIDENCE.empty_table())
 
 
-def _global_kinds(events_ds) -> pa.Table:
-    """Round-2 dictionary: corpus-wide (surface → min kind) — per-batch
-    distinct partials, one vocab-sized groupby, collected once (the
-    vocabulary is entity-vocabulary-sized, ≪ corpus; guarded)."""
-    vocab_ds = (events_ds.map_batches(
-        lambda t: evidence_batch(t).select(["surface", "kind"])
-        .group_by(["surface", "kind"]).aggregate([]),
-        batch_format="pyarrow")
-        .groupby("surface").min("kind")).materialize()
-    if vocab_ds.count() > BROADCAST_MAX_VOCAB:
-        raise ValueError("kind-recovery vocabulary exceeds broadcast "
-                         "bound — route round 2 through the "
-                         "surface-bucketed cogroup (same shape as "
-                         "_local_kinds_cogroup keyed by surface)")
-    parts = [b for b in vocab_ds.iter_batches(batch_format="pyarrow")
-             if b.num_columns and b.num_rows]
+_GLOBAL_DICT = pa.schema([("surface", pa.string()), ("kind", pa.string())])
+
+
+def _surface_hash(surface) -> "np.ndarray":
+    return pd.util.hash_array(
+        pc.cast(surface, pa.string()).to_numpy(zero_copy_only=False))
+
+
+def _global_kinds_broadcast(events_ds, unk: pa.Table) -> pa.Table:
+    """Round-2 dictionary (surface → corpus-wide min kind), restricted to
+    the surfaces that actually appear among the unknowns: their hash set
+    broadcasts once and evidence batches filter themselves map-side —
+    the full vocabulary is never built, and the driver holds at most a
+    few rows per unknown surface."""
+    keys = np.unique(_surface_hash(unk.column("surface")))
+    kref = ray.put(keys)
+
+    def cand(ev: pa.Table) -> pa.Table:
+        t = evidence_batch(ev)
+        if t.num_rows == 0:
+            return _GLOBAL_DICT.empty_table()
+        ks = ray.get(kref)
+        h = _surface_hash(t.column("surface"))
+        pos = np.searchsorted(ks, h)
+        hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == h)
+        if not hit.any():
+            return _GLOBAL_DICT.empty_table()
+        return (t.filter(pa.array(hit)).select(["surface", "kind"])
+                .group_by(["surface", "kind"]).aggregate([]))
+
+    parts = [b for b in events_ds.map_batches(
+        cand, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        if b.num_columns and b.num_rows]
     if not parts:
-        return pa.table({"surface": pa.array([], pa.string()),
-                         "kind": pa.array([], pa.string())})
+        return _GLOBAL_DICT.empty_table()
     return (pa.concat_tables(parts).combine_chunks()
+            .group_by("surface").aggregate([("kind", "min")])
             .rename_columns(["surface", "kind"]))
+
+
+def _global_kinds_cogroup(events_ds, unk_ds,
+                          n_buckets: int = KINDREC_BUCKETS) -> pa.Table:
+    """Round-2 dictionary via a surface-bucketed cogroup exchange — the
+    beyond-broadcast escape (evidence partials and unknown surface keys
+    co-locate by hash(surface); each shard resolves vectorized)."""
+    union_schema = pa.schema([("surface", pa.string()),
+                              ("kind", pa.string()),
+                              ("bucket", pa.int64())])
+
+    def _bucket(surface) -> pa.Array:
+        return pa.array((_surface_hash(surface) % n_buckets)
+                        .astype("int64"))
+
+    def tag_ev(ev: pa.Table) -> pa.Table:
+        t = evidence_batch(ev)
+        if t.num_rows == 0:
+            return union_schema.empty_table()
+        t = (t.select(["surface", "kind"])
+             .group_by(["surface", "kind"]).aggregate([]))
+        return t.append_column("bucket", _bucket(t.column("surface")))
+
+    def tag_unk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return union_schema.empty_table()
+        keys = t.select(["surface"]).group_by("surface").aggregate([])
+        return pa.table({
+            "surface": keys.column("surface"),
+            "kind": pa.nulls(keys.num_rows, pa.string()),
+            "bucket": _bucket(keys.column("surface"))})
+
+    def shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _GLOBAL_DICT.empty_table()
+        g = g.drop_columns(["bucket"]).combine_chunks()
+        is_unk = pc.is_null(g.column("kind"))
+        unks = g.filter(is_unk).select(["surface"])
+        evs = g.filter(pc.invert(is_unk))
+        if unks.num_rows == 0 or evs.num_rows == 0:
+            return _GLOBAL_DICT.empty_table()
+        d = (evs.group_by("surface").aggregate([("kind", "min")])
+             .rename_columns(["surface", "kind"]))
+        return unks.join(d, keys=["surface"], join_type="inner")
+
+    tagged = (events_ds.map_batches(tag_ev, batch_format="pyarrow")
+              .union(unk_ds.map_batches(tag_unk, batch_format="pyarrow")))
+    parts = [b for b in tagged.groupby("bucket").map_groups(
+        shard, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        if b.num_columns and b.num_rows]
+    return (pa.concat_tables(parts).combine_chunks() if parts
+            else _GLOBAL_DICT.empty_table())
 
 
 def recover(transcripts_ds, events_ds=None, *,
@@ -301,10 +370,12 @@ def recover(transcripts_ds, events_ds=None, *,
     if strategy == "auto":
         strategy = ("broadcast" if unk.num_rows <= BROADCAST_MAX_UNKNOWNS
                     else "cogroup")
-    local = (_local_kinds_broadcast(events_ds, unk)
-             if strategy == "broadcast"
-             else _local_kinds_cogroup(events_ds, unk_ds))
-    glob = _global_kinds(events_ds)
+    if strategy == "broadcast":
+        local = _local_kinds_broadcast(events_ds, unk)
+        glob = _global_kinds_broadcast(events_ds, unk)
+    else:
+        local = _local_kinds_cogroup(events_ds, unk_ds)
+        glob = _global_kinds_cogroup(events_ds, unk_ds)
 
     j = unk.join(local.rename_columns(["conv_id", "surface", "k1"]),
                  keys=["conv_id", "surface"], join_type="left outer")
