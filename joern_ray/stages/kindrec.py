@@ -19,21 +19,21 @@ Unrecovered mentions keep kind='unknown', round=0 (stub semantics — they
 are dropped before canonicalization, the ``TypeDeclStubCreator``-without-
 evidence case).
 
-Scale shape:
-  * the untyped-mention set is a small fraction of turns; it is
-    materialized once (narrow columns, no text).
-  * round 1 default path: the unknown (conv_id, surface) key set is
-    broadcast as a sorted uint64 hash array (``ray.put`` once) and every
-    EVENTS batch filters itself map-side — evidence never enters a
-    shuffle; only matching candidate rows (bounded by the unknown count ×
-    per-conv duplication) reach one small groupby.  Beyond
-    ``BROADCAST_MAX_UNKNOWNS`` the conv-bucketed cogroup exchange takes
-    over (equivalence-tested), the same auto-dispatch discipline as
-    ``materialize.BROADCAST_MAX_ENTITIES``.
-  * round 2: the global dictionary is restricted to surfaces that appear
-    among the UNKNOWNS (never the full vocabulary) — same broadcast
-    key-set filter keyed by surface; surface-bucketed cogroup escape
-    beyond the same bound.
+Scale shape — auto-dispatch at ``DRIVER_MAX_UNKNOWNS`` (the
+``materialize.BROADCAST_MAX_ENTITIES`` discipline):
+  * driver path (≤ bound; fixed-latency win at bench scale): the unknown
+    (conv_id, surface) key set broadcasts as a sorted uint64 hash array
+    (``ray.put`` once) and every EVENTS batch filters itself map-side —
+    evidence never enters a shuffle; only matching candidate rows reach
+    one small groupby.  Round 2's dictionary is restricted to surfaces
+    that appear among the unknowns (never the full vocabulary).
+  * distributed path (> bound; the 100-TB shape — the unknown set is
+    corpus-proportional and must never be collected):
+    ``recover_distributed`` — two narrow keyed exchanges carrying the
+    unknown rows' payload through hash-bucketed shard joins (conv-bucket
+    attaches the conv-local kind, surface-bucket attaches the global
+    kind and emits the final rows).  NO driver state at any point;
+    equivalence with the driver path is pytest-asserted.
 """
 
 from __future__ import annotations
@@ -50,7 +50,12 @@ from .. import schema as S
 from ..functions import rules as R
 from .extract import _attrs, _explode_sentences
 
-BROADCAST_MAX_UNKNOWNS = 10_000_000
+# above this many unknown-mention rows the recovery runs FULLY
+# distributed (recover_distributed — two keyed exchanges, no driver
+# state); below it the driver path wins on fixed latency.  2M rows keeps
+# worst-case driver residency ~300MB (the 128M-turn smoke measured the
+# old 10M bound letting ~6.4M rows + joins reach ~GBs of driver RSS).
+DRIVER_MAX_UNKNOWNS = 2_000_000
 KINDREC_BUCKETS = 256
 
 _SUBJ_PRON_ARR = pa.array(list(R.SUBJ_PRONOUNS))
@@ -200,59 +205,156 @@ def _local_kinds_broadcast(events_ds, unk: pa.Table) -> pa.Table:
             .rename_columns(["conv_id", "surface", "kind"]))
 
 
-def _local_kinds_cogroup(events_ds, unk_ds,
-                         n_buckets: int = KINDREC_BUCKETS) -> pa.Table:
-    """Round-1 dictionary via a conv-bucketed cogroup exchange — the
-    beyond-broadcast escape (evidence partials and unknown keys co-locate
-    by hash(conv_id); each shard joins vectorized)."""
-    union_schema = pa.schema([("conv_id", pa.string()),
-                              ("surface", pa.string()),
-                              ("kind", pa.string()),
-                              ("bucket", pa.int64())])
+def _stage_schema(extra: list[tuple[str, "pa.DataType"]]) -> pa.Schema:
+    return pa.schema([(f.name, f.type) for f in UNTYPED] + extra)
 
-    def _bucket(conv) -> pa.Array:
-        h = pd.util.hash_array(conv.to_numpy(zero_copy_only=False))
+
+def recover_distributed(events_ds,
+                        n_buckets: int = KINDREC_BUCKETS
+                        ) -> "ray.data.Dataset":
+    """Fully distributed recovery — the beyond-broadcast path: NO driver
+    state at any point (the unknown-mention set is corpus-proportional,
+    ~5% of turns, so at 10^12-turn scale it must never be collected).
+    Two narrow keyed exchanges, each carrying the unknown rows' full
+    payload through a hash-bucketed shard join (the
+    ``materialize._cogroup_resolve_pass`` discipline):
+
+      1. conv-bucket: unknown rows + per-batch (conv_id, surface, kind)
+         evidence partials co-locate by hash(conv_id); each shard builds
+         the conv-local min-kind dict and LEFT-joins it onto its unknown
+         rows (k1).
+      2. surface-bucket: stage-1 rows + (surface, kind) evidence partials
+         co-locate by hash(surface); each shard attaches the global
+         min-kind (k2) and emits the final RECOVERED rows
+         (kind = coalesce(k1, k2, 'unknown'), round 1/2/0).
+
+    Equivalence with the driver path is pytest-asserted."""
+    s1_in = _stage_schema([("kind", pa.string()), ("bucket", pa.int64())])
+    s1_out = _stage_schema([("k1", pa.string())])
+    s2_in = _stage_schema([("k1", pa.string()), ("kind", pa.string()),
+                           ("bucket", pa.int64())])
+    unt_names = [f.name for f in UNTYPED]
+
+    def _bucket_conv(conv) -> pa.Array:
+        h = pd.util.hash_array(pc.cast(conv, pa.string())
+                               .to_numpy(zero_copy_only=False))
         return pa.array((h % n_buckets).astype("int64"))
 
-    def tag_ev(ev: pa.Table) -> pa.Table:
+    def tag_ev1(ev: pa.Table) -> pa.Table:
         t = evidence_batch(ev)
         if t.num_rows == 0:
-            return union_schema.empty_table()
-        return t.append_column("bucket", _bucket(t.column("conv_id")))
+            return s1_in.empty_table()
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("conv_id"),
+             pa.nulls(n, pa.int32()), pa.nulls(n, pa.int32()),
+             pa.nulls(n, pa.string()),
+             t.column("surface"),
+             pa.nulls(n, pa.bool_()), pa.nulls(n, pa.bool_()),
+             t.column("kind"), _bucket_conv(t.column("conv_id"))],
+            schema=s1_in)
 
-    def tag_unk(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or t.num_columns == 0:
-            return union_schema.empty_table()
-        keys = (t.select(["conv_id", "surface"])
-                .group_by(["conv_id", "surface"]).aggregate([]))
-        return pa.table({
-            "conv_id": keys.column("conv_id"),
-            "surface": keys.column("surface"),
-            "kind": pa.nulls(keys.num_rows, pa.string()),
-            "bucket": _bucket(keys.column("conv_id"))})
+    def tag_unk1(ev: pa.Table) -> pa.Table:
+        t = untyped_from_events(ev)
+        if t.num_rows == 0:
+            return s1_in.empty_table()
+        t = t.append_column("kind", pa.nulls(t.num_rows, pa.string()))
+        return t.append_column("bucket", _bucket_conv(t.column("conv_id")))
 
-    def shard(g: pa.Table) -> pa.Table:
+    def shard1(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return _EVIDENCE.empty_table()
+            return s1_out.empty_table()
         g = g.drop_columns(["bucket"]).combine_chunks()
-        is_unk = pc.is_null(g.column("kind"))
-        unks = g.filter(is_unk).select(["conv_id", "surface"])
-        evs = g.filter(pc.invert(is_unk))
-        if unks.num_rows == 0 or evs.num_rows == 0:
-            return _EVIDENCE.empty_table()
-        d = (evs.group_by(["conv_id", "surface"])
+        # evidence rows carry kind; unknown rows carry turn_idx
+        is_ev = pc.is_valid(g.column("kind"))
+        unks = g.filter(pc.invert(is_ev)).select(unt_names)
+        if unks.num_rows == 0:
+            return s1_out.empty_table()
+        evs = g.filter(is_ev)
+        if evs.num_rows == 0:
+            return unks.append_column(
+                "k1", pa.nulls(unks.num_rows, pa.string()))
+        d = (evs.select(["conv_id", "surface", "kind"])
+             .group_by(["conv_id", "surface"])
              .aggregate([("kind", "min")])
-             .rename_columns(["conv_id", "surface", "kind"]))
-        return unks.join(d, keys=["conv_id", "surface"],
-                         join_type="inner")
+             .rename_columns(["conv_id", "surface", "k1"]))
+        out = unks.join(d, keys=["conv_id", "surface"],
+                        join_type="left outer")
+        return pa.Table.from_arrays(
+            [out.column(n) for n in unt_names] + [out.column("k1")],
+            schema=s1_out)
 
-    tagged = (events_ds.map_batches(tag_ev, batch_format="pyarrow")
-              .union(unk_ds.map_batches(tag_unk, batch_format="pyarrow")))
-    parts = [b for b in tagged.groupby("bucket").map_groups(
-        shard, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
-        if b.num_columns and b.num_rows]
-    return (pa.concat_tables(parts).combine_chunks() if parts
-            else _EVIDENCE.empty_table())
+    def _bucket_surface(surface) -> pa.Array:
+        return pa.array((_surface_hash(surface) % n_buckets)
+                        .astype("int64"))
+
+    def tag_ev2(ev: pa.Table) -> pa.Table:
+        t = evidence_batch(ev)
+        if t.num_rows == 0:
+            return s2_in.empty_table()
+        t = (t.select(["surface", "kind"])
+             .group_by(["surface", "kind"]).aggregate([]))
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [pa.nulls(n, pa.string()),
+             pa.nulls(n, pa.int32()), pa.nulls(n, pa.int32()),
+             pa.nulls(n, pa.string()),
+             t.column("surface"),
+             pa.nulls(n, pa.bool_()), pa.nulls(n, pa.bool_()),
+             pa.nulls(n, pa.string()), t.column("kind"),
+             _bucket_surface(t.column("surface"))],
+            schema=s2_in)
+
+    def tag_unk2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return s2_in.empty_table()
+        t = t.append_column("kind", pa.nulls(t.num_rows, pa.string()))
+        return t.append_column("bucket",
+                               _bucket_surface(t.column("surface")))
+
+    def shard2(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return RECOVERED.empty_table()
+        g = g.drop_columns(["bucket"]).combine_chunks()
+        # evidence rows carry kind; unknown rows carry conv_id
+        is_ev = pc.is_valid(g.column("kind"))
+        unks = g.filter(pc.invert(is_ev)).select(unt_names + ["k1"])
+        if unks.num_rows == 0:
+            return RECOVERED.empty_table()
+        evs = g.filter(is_ev)
+        if evs.num_rows:
+            d = (evs.select(["surface", "kind"]).group_by("surface")
+                 .aggregate([("kind", "min")])
+                 .rename_columns(["surface", "k2"]))
+            unks = unks.join(d, keys=["surface"], join_type="left outer")
+        else:
+            unks = unks.append_column(
+                "k2", pa.nulls(unks.num_rows, pa.string()))
+        k1 = unks.column("k1").combine_chunks()
+        k2 = unks.column("k2").combine_chunks()
+        kind = pc.coalesce(k1, k2, pa.scalar(R.UNKNOWN_KIND, pa.string()))
+        rnd = pc.if_else(
+            pc.is_valid(k1), pa.scalar(1, pa.int32()),
+            pc.if_else(pc.is_valid(k2), pa.scalar(2, pa.int32()),
+                       pa.scalar(0, pa.int32())))
+        return pa.Table.from_arrays(
+            [unks.column(n).cast(t) for n, t in
+             [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+              ("sent_idx", pa.int32()), ("subj", pa.string()),
+              ("surface", pa.string())]] + [kind.cast(pa.string()), rnd],
+            schema=RECOVERED)
+
+    stage1 = (events_ds.map_batches(tag_ev1, batch_format="pyarrow")
+              .union(events_ds.map_batches(tag_unk1,
+                                           batch_format="pyarrow"))
+              .groupby("bucket").map_groups(shard1,
+                                            batch_format="pyarrow"))
+    stage2 = (events_ds.map_batches(tag_ev2, batch_format="pyarrow")
+              .union(stage1.map_batches(tag_unk2,
+                                        batch_format="pyarrow"))
+              .groupby("bucket").map_groups(shard2,
+                                            batch_format="pyarrow"))
+    return stage2
 
 
 _GLOBAL_DICT = pa.schema([("surface", pa.string()), ("kind", pa.string())])
@@ -295,58 +397,6 @@ def _global_kinds_broadcast(events_ds, unk: pa.Table) -> pa.Table:
             .rename_columns(["surface", "kind"]))
 
 
-def _global_kinds_cogroup(events_ds, unk_ds,
-                          n_buckets: int = KINDREC_BUCKETS) -> pa.Table:
-    """Round-2 dictionary via a surface-bucketed cogroup exchange — the
-    beyond-broadcast escape (evidence partials and unknown surface keys
-    co-locate by hash(surface); each shard resolves vectorized)."""
-    union_schema = pa.schema([("surface", pa.string()),
-                              ("kind", pa.string()),
-                              ("bucket", pa.int64())])
-
-    def _bucket(surface) -> pa.Array:
-        return pa.array((_surface_hash(surface) % n_buckets)
-                        .astype("int64"))
-
-    def tag_ev(ev: pa.Table) -> pa.Table:
-        t = evidence_batch(ev)
-        if t.num_rows == 0:
-            return union_schema.empty_table()
-        t = (t.select(["surface", "kind"])
-             .group_by(["surface", "kind"]).aggregate([]))
-        return t.append_column("bucket", _bucket(t.column("surface")))
-
-    def tag_unk(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or t.num_columns == 0:
-            return union_schema.empty_table()
-        keys = t.select(["surface"]).group_by("surface").aggregate([])
-        return pa.table({
-            "surface": keys.column("surface"),
-            "kind": pa.nulls(keys.num_rows, pa.string()),
-            "bucket": _bucket(keys.column("surface"))})
-
-    def shard(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return _GLOBAL_DICT.empty_table()
-        g = g.drop_columns(["bucket"]).combine_chunks()
-        is_unk = pc.is_null(g.column("kind"))
-        unks = g.filter(is_unk).select(["surface"])
-        evs = g.filter(pc.invert(is_unk))
-        if unks.num_rows == 0 or evs.num_rows == 0:
-            return _GLOBAL_DICT.empty_table()
-        d = (evs.group_by("surface").aggregate([("kind", "min")])
-             .rename_columns(["surface", "kind"]))
-        return unks.join(d, keys=["surface"], join_type="inner")
-
-    tagged = (events_ds.map_batches(tag_ev, batch_format="pyarrow")
-              .union(unk_ds.map_batches(tag_unk, batch_format="pyarrow")))
-    parts = [b for b in tagged.groupby("bucket").map_groups(
-        shard, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
-        if b.num_columns and b.num_rows]
-    return (pa.concat_tables(parts).combine_chunks() if parts
-            else _GLOBAL_DICT.empty_table())
-
-
 def recover(transcripts_ds, events_ds=None, *,
             strategy: str = "auto") -> pa.Table:
     """Run the 2-round kind recovery; returns the RECOVERED Arrow table
@@ -368,14 +418,19 @@ def recover(transcripts_ds, events_ds=None, *,
     unk = pa.concat_tables(parts).combine_chunks()
 
     if strategy == "auto":
-        strategy = ("broadcast" if unk.num_rows <= BROADCAST_MAX_UNKNOWNS
+        strategy = ("broadcast" if unk.num_rows <= DRIVER_MAX_UNKNOWNS
                     else "cogroup")
-    if strategy == "broadcast":
-        local = _local_kinds_broadcast(events_ds, unk)
-        glob = _global_kinds_broadcast(events_ds, unk)
-    else:
-        local = _local_kinds_cogroup(events_ds, unk_ds)
-        glob = _global_kinds_cogroup(events_ds, unk_ds)
+    if strategy == "cogroup":
+        # fully distributed chain, collected only because this entry
+        # point returns a driver table (query/tests); the headline build
+        # consumes the Dataset directly (recovered_triples)
+        out = [b for b in recover_distributed(events_ds)
+               .iter_batches(batch_format="pyarrow")
+               if b.num_columns and b.num_rows]
+        return (pa.concat_tables(out).combine_chunks() if out
+                else RECOVERED.empty_table())
+    local = _local_kinds_broadcast(events_ds, unk)
+    glob = _global_kinds_broadcast(events_ds, unk)
 
     j = unk.join(local.rename_columns(["conv_id", "surface", "k1"]),
                  keys=["conv_id", "surface"], join_type="left outer")
@@ -403,27 +458,44 @@ def recovered_triples(transcripts_ds, events_ds=None) -> "ray.data.Dataset":
     grammar stream or the entity vocabulary (recovery requires an
     existing typed mention of the same surface, so the (kind, norm) key
     is already in the directory).  Unrecovered mentions (round 0) are
-    DROPPED — the stub-without-evidence case."""
-    rec = recover(transcripts_ds, events_ds)
-    rec = rec.filter(pc.greater(rec.column("round"), 0))
-    n = rec.num_rows
-    # untyped mentions re-extract attrs here (recover() output is the
-    # narrow query shape); negated/in_question are sentence-level and the
-    # mentioned template admits '?' terminators
-    t = pa.Table.from_arrays(
-        [rec.column("conv_id"), rec.column("turn_idx"),
-         rec.column("subj"),
-         pa.array([R.MENTIONED_PRED] * n, pa.string()),
-         rec.column("surface"),
-         pa.array(["person"] * n, pa.string()),
-         rec.column("kind"),
-         rec.column("sent_idx"),
-         pa.array([False] * n, pa.bool_()),
-         pa.array([False] * n, pa.bool_()),
-         pa.array([0] * n, pa.int32()),
-         pa.array([R.DEFAULT_CLAUSE] * n, pa.string())],
-        schema=S.TRIPLES_SURFACE)
-    return ray.data.from_arrow(t if n else S.TRIPLES_SURFACE.empty_table())
+    DROPPED — the stub-without-evidence case.
+
+    Dispatch: below DRIVER_MAX_UNKNOWNS the driver path (fixed-latency
+    win); above it the result STREAMS from the fully distributed chain —
+    no corpus-proportional driver state ever (the 128M-turn smoke caught
+    the old always-collect shape at ~GBs of driver RSS)."""
+    from . import extract as X
+
+    def to_surface(rec: pa.Table) -> pa.Table:
+        rec = rec.filter(pc.greater(rec.column("round"), 0))
+        n = rec.num_rows
+        if n == 0:
+            return S.TRIPLES_SURFACE.empty_table()
+        return pa.Table.from_arrays(
+            [rec.column("conv_id"), rec.column("turn_idx"),
+             rec.column("subj"),
+             pa.array([R.MENTIONED_PRED] * n, pa.string()),
+             rec.column("surface"),
+             pa.array(["person"] * n, pa.string()),
+             rec.column("kind"),
+             rec.column("sent_idx"),
+             pa.array([False] * n, pa.bool_()),
+             pa.array([False] * n, pa.bool_()),
+             pa.array([0] * n, pa.int32()),
+             pa.array([R.DEFAULT_CLAUSE] * n, pa.string())],
+            schema=S.TRIPLES_SURFACE)
+
+    if events_ds is None:
+        events_ds = transcripts_ds.map_batches(
+            X.extract_events, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+    n_unk = events_ds.map_batches(
+        untyped_from_events, batch_format="pyarrow").count()
+    if n_unk > DRIVER_MAX_UNKNOWNS:
+        return recover_distributed(events_ds).map_batches(
+            to_surface, batch_format="pyarrow")
+    return ray.data.from_arrow(
+        to_surface(recover(transcripts_ds, events_ds)))
 
 
 def kind_recovery_query(sf_dir: str):

@@ -66,7 +66,19 @@ def test_kindrec_local_scope_wins_over_global(ray_session):
 
 
 def test_kindrec_strategy_equivalence(ray_session):
+    # 'cogroup' = the fully distributed 2-exchange chain
     assert _recover("broadcast") == _recover("cogroup")
+
+
+def test_recovered_triples_distributed_dispatch(ray_session, monkeypatch):
+    """Beyond DRIVER_MAX_UNKNOWNS, recovered_triples streams from the
+    distributed chain — same rows as the driver path."""
+    drv = sorted((r["conv_id"], r["subj"], r["obj"], r["obj_kind"])
+                 for r in KR.recovered_triples(_tds(_ROWS)).take_all())
+    monkeypatch.setattr(KR, "DRIVER_MAX_UNKNOWNS", 0)
+    dist = sorted((r["conv_id"], r["subj"], r["obj"], r["obj_kind"])
+                  for r in KR.recovered_triples(_tds(_ROWS)).take_all())
+    assert drv == dist and len(drv) == 2
 
 
 def test_kindrec_rewrites_into_canonical(ray_session):
