@@ -135,6 +135,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "slot_idx", "clause"]),
             batch_format="pyarrow")
 
+    def kg_triples_definite(sf_dir):
+        """Cross-sentence definite-description anaphora (v12): 'The
+        maintainer of <mod> met with <Y>.' resolved against module-keyed
+        committed maintainer state (the cross-AST linking analog; clause =
+        'definite')."""
+        import pyarrow.compute as pc
+        from joern_ray.functions import rules as R
+        return X.extract_triples(_transcripts(sf_dir)).map_batches(
+            lambda t: t.filter(pc.equal(t.column("clause"), R.DESC_CLAUSE))
+                       .select(["conv_id", "turn_idx", "subj", "pred",
+                                "obj"]),
+            batch_format="pyarrow")
+
+    def kg_list_coordination(sf_dir):
+        """Open-ended coordination lists (v12): members at slot_idx >= 3
+        exist ONLY in 4+-way lists (the list-capture split path)."""
+        import pyarrow.compute as pc
+        return X.extract_triples(_transcripts(sf_dir)).map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("slot_idx"), 3))
+                       .select(["conv_id", "turn_idx", "subj", "pred",
+                                "obj", "slot_idx"]),
+            batch_format="pyarrow")
+
     def kg_next_turn_edges(sf_dir):
         from joern_ray.stages import materialize as M
         return _transcripts(sf_dir).map_batches(
@@ -238,6 +261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_surface": kg_triples_surface,
         "kg_triples_resolved": kg_triples_resolved,
         "kg_triples_attributed": kg_triples_attributed,
+        # v12 constructs: definite-description anaphora + 4+-way lists
+        "kg_triples_definite": kg_triples_definite,
+        "kg_list_coordination": kg_list_coordination,
         "kg_next_turn_edges": kg_next_turn_edges,
         "kg_dominators": kg_dominators,
         "kg_post_dominators": kg_post_dominators,
@@ -275,8 +301,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_running_order_total": REL.running_order_total,
         # text analysis + dedup (training-data ops)
         "text_stats": T.text_stats,
-        "text_lang_id": T.lang_id,
-        "text_fingerprint": T.doc_fingerprint,
         "text_token_counts": T.token_counts,
         "text_quality": T.text_quality,
         "dedup_exact": T.dedup_exact,
@@ -303,10 +327,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kg_triples_surface's oracle, rel_distinct_part_types is a 6-row
         # distinct — demoted (r4) to make room for the previously
         # window-overflow text_repetition/familiarity/decontaminate;
+        # text_lang_id / text_fingerprint (3× driver-confirmed r1-r3,
+        # pure per-row kernels) demoted late-r4 for the v12 grammar
+        # queries kg_triples_definite / kg_list_coordination; all
         # verified by the local dtype-strict gate
         # (scripts/check_correctness.py) ----
         "kg_turns": kg_turns,
         "kg_triples_surface_exttool": kg_triples_surface_exttool,
+        "text_lang_id": T.lang_id,
+        "text_fingerprint": T.doc_fingerprint,
         "rel_distinct_part_types": REL.distinct_part_types,
         "rel_filter_project_parts": REL.filter_project_parts,
         # ---- rows-only, no driver row yet (next in the window) ----
@@ -359,6 +388,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, sent_idx, subj, pred, obj, "
             "negated, in_question, slot_idx, clause "
             f"FROM ({G.resolved_triples_sql(tr)})"),
+        "kg_triples_definite": (
+            "SELECT conv_id, turn_idx, subj, pred, obj "
+            f"FROM ({G.resolved_triples_sql(tr)}) "
+            "WHERE clause = 'definite'"),
+        "kg_list_coordination": (
+            "SELECT conv_id, turn_idx, subj, pred, obj, slot_idx "
+            f"FROM ({G.resolved_triples_sql(tr)}) "
+            "WHERE slot_idx >= 3"),
         "kg_findings": FND.findings_sql(tr),
         "kg_snippets": FND.snippets_sql(tr),
         "kg_mention_counts": G.mention_counts_sql(tr),

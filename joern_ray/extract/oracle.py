@@ -30,12 +30,16 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
     last_person: str | None = None   # committed from strictly-earlier turns
     cur_turn: int | None = None
     cur_person: str | None = None    # max person slot in the current turn
+    last_maint: dict[str, str] = {}  # committed module -> maintainer
+    cur_maint: dict[str, str] = {}   # this turn's max maintainer per module
     for row in turns:
         conv_id, t = row["conv_id"], row["turn_idx"]
         if t != cur_turn:
             if cur_person is not None:
                 last_person = cur_person
-            cur_turn, cur_person = t, None
+            if cur_maint:
+                last_maint.update(cur_maint)
+            cur_turn, cur_person, cur_maint = t, None, {}
         if row.get("role") == "tool" and row.get("tool"):
             out.append(dict(conv_id=conv_id, turn_idx=t, subj=conv_id,
                             pred=R.INVOKED_PRED, obj=row["tool"],
@@ -70,6 +74,16 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                 nonlocal cur_person
                 if p is not None and (cur_person is None or p > cur_person):
                     cur_person = p
+
+            def _commit_maint(subj, pred, obj):
+                """Explicit maintains rows feed the module-keyed state
+                (definite-description resolution; pronoun-resolved rows
+                never reach here — resolution stays a pure function of the
+                committed stream)."""
+                if pred == R.DESC_STATE_PRED:
+                    m = cur_maint.get(obj)
+                    if m is None or subj > m:
+                        cur_maint[obj] = subj
 
             # object-pronoun templates ("Alice met with her."): the
             # explicit subject anchors the relation AND feeds referent
@@ -111,6 +125,7 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                 # turn take the lexicographic max (rules.py contract)
                 _commit(obj if ok == "person"
                         else subj if sk == "person" else None)
+                _commit_maint(subj, pred, obj)
                 break
             # multi-relation templates (disjoint from single templates by
             # anchors): every emitted slot feeds referent state per-row
@@ -137,6 +152,52 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                                     slot_idx=slot, clause=clause))
                     _commit(obj if ok == "person"
                             else subj if sk == "person" else None)
+                    _commit_maint(subj, pred, obj)
+                break
+            # LIST templates (open-ended coordination, v12): split the
+            # captured head on the shared separator; one emission per
+            # member, slot_idx = list position
+            for name, rx, pred, mk, ok, clause in R.COMPILED_LIST_TEMPLATES:
+                m = rx.match(sent)
+                if m is None:
+                    continue
+                obj = m.group("obj")
+                members = m.group("list").split(R.LIST_SEP) + [
+                    m.group("last")]
+                for slot, mem in enumerate(members):
+                    if mem in R.SUBJ_PRONOUNS:
+                        if mk == "person" and last_person is not None:
+                            out.append(dict(
+                                conv_id=conv_id, turn_idx=t,
+                                subj=last_person, pred=pred, obj=obj,
+                                subj_kind=mk, obj_kind=ok, **attrs,
+                                slot_idx=slot, clause=clause))
+                        continue
+                    out.append(dict(conv_id=conv_id, turn_idx=t, subj=mem,
+                                    pred=pred, obj=obj, subj_kind=mk,
+                                    obj_kind=ok, **attrs,
+                                    slot_idx=slot, clause=clause))
+                    _commit(obj if ok == "person"
+                            else mem if mk == "person" else None)
+                break
+            # definite-description templates (v12): the descriptor resolves
+            # against the committed module-keyed maintainer state; the
+            # explicit person object feeds referent state; the resolved row
+            # feeds no state (the pronoun-resolution discipline)
+            for pred, rx, ok in R.COMPILED_DESC_TEMPLATES:
+                m = rx.match(sent)
+                if m is None:
+                    continue
+                ref = last_maint.get(m.group("key"))
+                obj = m.group("obj")
+                if ref is not None:
+                    out.append(dict(conv_id=conv_id, turn_idx=t, subj=ref,
+                                    pred=pred, obj=obj, subj_kind="person",
+                                    obj_kind=ok, **attrs,
+                                    slot_idx=R.DEFAULT_SLOT_IDX,
+                                    clause=R.DESC_CLAUSE))
+                if ok == "person":
+                    _commit(obj)
                 break
     return out
 

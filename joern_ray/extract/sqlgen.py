@@ -62,7 +62,8 @@ def events_sql(rel: str) -> str:
                regexp_extract(sent, '{rxs}', 1) AS obj,
                'person' AS subj_kind, '{ok}' AS obj_kind, {_attr_cols()},
                {R.DEFAULT_SLOT_IDX} AS slot_idx,
-               '{R.DEFAULT_CLAUSE}' AS clause
+               '{R.DEFAULT_CLAUSE}' AS clause,
+               CAST(NULL AS VARCHAR) AS desc_key
         FROM {sents} WHERE regexp_matches(sent, '{rxs}')""")
     # object-pronoun templates ("Alice met with her."): subject captured,
     # object NULL until the shared resolution window fills it
@@ -74,7 +75,7 @@ def events_sql(rel: str) -> str:
                CAST(NULL AS VARCHAR) AS obj,
                'person' AS subj_kind, '{ok}' AS obj_kind, {_attr_cols()},
                {R.DEFAULT_SLOT_IDX} AS slot_idx,
-               '{R.DEFAULT_CLAUSE}' AS clause
+               '{R.DEFAULT_CLAUSE}' AS clause, CAST(NULL AS VARCHAR)
         FROM {sents}
         WHERE regexp_matches(sent, '{rxs}')
           AND regexp_extract(sent, '{rxs}', 1) NOT IN ({pron_in})""")
@@ -84,7 +85,8 @@ def events_sql(rel: str) -> str:
         SELECT conv_id, turn_idx, 'triple',
                regexp_extract(sent, '{rxs}', 1), '{pred}',
                regexp_extract(sent, '{rxs}', 2), '{sk}', '{ok}',
-               {_attr_cols()}, {R.DEFAULT_SLOT_IDX}, '{R.DEFAULT_CLAUSE}'
+               {_attr_cols()}, {R.DEFAULT_SLOT_IDX}, '{R.DEFAULT_CLAUSE}',
+               CAST(NULL AS VARCHAR)
         FROM {sents}
         WHERE regexp_matches(sent, '{rxs}')
           AND regexp_extract(sent, '{rxs}', 1) NOT IN ({pron_in})
@@ -100,7 +102,7 @@ def events_sql(rel: str) -> str:
         SELECT conv_id, turn_idx, 'triple',
                regexp_extract(sent, '{rxs}', {nums[subj_g]}), '{pred}',
                regexp_extract(sent, '{rxs}', {nums[obj_g]}), '{sk}', '{ok}',
-               {_attr_cols()}, {slot}, '{clause}'
+               {_attr_cols()}, {slot}, '{clause}', CAST(NULL AS VARCHAR)
         FROM {sents}
         WHERE regexp_matches(sent, '{rxs}')
           AND regexp_extract(sent, '{rxs}', {nums[subj_g]})
@@ -114,16 +116,86 @@ def events_sql(rel: str) -> str:
         SELECT conv_id, turn_idx, 'pronoun',
                CAST(NULL AS VARCHAR), '{pred}',
                regexp_extract(sent, '{rxs}', {nums[obj_g]}), '{sk}', '{ok}',
-               {_attr_cols()}, {slot}, '{clause}'
+               {_attr_cols()}, {slot}, '{clause}', CAST(NULL AS VARCHAR)
         FROM {sents}
         WHERE regexp_matches(sent, '{rxs}')
           AND regexp_extract(sent, '{rxs}', {nums[subj_g]})
               IN ({pron_in})
           AND NOT ({pron_any})""")
+    # LIST templates (open-ended coordination, v12): the list head is ONE
+    # regex capture split on the shared separator; DuckDB's parallel-unnest
+    # idiom (the _sents_cte trick) zips members with their slot ordinal.
+    # The trailing conjunct is its own arm at slot len(head).
+    sep = R.LIST_SEP.replace("'", "''")
+    for name, rx, pred, mk, ok, clause in R.LIST_TEMPLATES:
+        rxs = _plain(rx)
+        nums = R.named_group_numbers(rx)
+        ln, an, on = nums["list"], nums["last"], nums["obj"]
+        inner = f"""(
+          SELECT conv_id, turn_idx, sent_idx, negated, in_question,
+                 unnest(ml) AS member,
+                 CAST(unnest(range(len(ml))) AS INTEGER) AS slot, obj0
+          FROM (SELECT conv_id, turn_idx, {_attr_cols()},
+                       string_split(regexp_extract(sent, '{rxs}', {ln}),
+                                    '{sep}') AS ml,
+                       regexp_extract(sent, '{rxs}', {on}) AS obj0
+                FROM {sents}
+                WHERE regexp_matches(sent, '{rxs}')
+                  AND NOT ({pron_any})))"""
+        parts.append(f"""
+        SELECT conv_id, turn_idx, 'triple', member, '{pred}', obj0,
+               '{mk}', '{ok}', sent_idx, negated, in_question,
+               slot, '{clause}', CAST(NULL AS VARCHAR)
+        FROM {inner} WHERE member NOT IN ({pron_in})""")
+        parts.append(f"""
+        SELECT conv_id, turn_idx, 'triple',
+               regexp_extract(sent, '{rxs}', {an}), '{pred}',
+               regexp_extract(sent, '{rxs}', {on}), '{mk}', '{ok}',
+               {_attr_cols()},
+               CAST(len(string_split(regexp_extract(sent, '{rxs}', {ln}),
+                                     '{sep}')) AS INTEGER),
+               '{clause}', CAST(NULL AS VARCHAR)
+        FROM {sents}
+        WHERE regexp_matches(sent, '{rxs}')
+          AND regexp_extract(sent, '{rxs}', {an}) NOT IN ({pron_in})
+          AND NOT ({pron_any})""")
+        if mk == "person":
+            parts.append(f"""
+        SELECT conv_id, turn_idx, 'pronoun', CAST(NULL AS VARCHAR),
+               '{pred}', obj0, '{mk}', '{ok}',
+               sent_idx, negated, in_question,
+               slot, '{clause}', CAST(NULL AS VARCHAR)
+        FROM {inner} WHERE member IN ({pron_in})""")
+            parts.append(f"""
+        SELECT conv_id, turn_idx, 'pronoun', CAST(NULL AS VARCHAR),
+               '{pred}', regexp_extract(sent, '{rxs}', {on}), '{mk}', '{ok}',
+               {_attr_cols()},
+               CAST(len(string_split(regexp_extract(sent, '{rxs}', {ln}),
+                                     '{sep}')) AS INTEGER),
+               '{clause}', CAST(NULL AS VARCHAR)
+        FROM {sents}
+        WHERE regexp_matches(sent, '{rxs}')
+          AND regexp_extract(sent, '{rxs}', {an}) IN ({pron_in})
+          AND NOT ({pron_any})""")
+    # definite-description templates (v12): descriptor events — subj NULL,
+    # desc_key = the module the descriptor resolves against in the shared
+    # module-state window of resolved_triples_sql
+    for pred, rx, ok in R.DESC_TEMPLATES:
+        rxs = _plain(rx)
+        nums = R.named_group_numbers(rx)
+        parts.append(f"""
+        SELECT conv_id, turn_idx, 'desc', CAST(NULL AS VARCHAR), '{pred}',
+               regexp_extract(sent, '{rxs}', {nums["obj"]}),
+               'person', '{ok}', {_attr_cols()},
+               {R.DEFAULT_SLOT_IDX}, '{R.DESC_CLAUSE}',
+               regexp_extract(sent, '{rxs}', {nums["key"]})
+        FROM {sents}
+        WHERE regexp_matches(sent, '{rxs}') AND NOT ({pron_any})""")
     parts.append(f"""
         SELECT conv_id, turn_idx, 'triple', conv_id, '{R.INVOKED_PRED}',
                tool, 'conv', 'tool', 0, FALSE, FALSE,
-               {R.DEFAULT_SLOT_IDX}, '{R.DEFAULT_CLAUSE}'
+               {R.DEFAULT_SLOT_IDX}, '{R.DEFAULT_CLAUSE}',
+               CAST(NULL AS VARCHAR)
         FROM {rel} WHERE role = 'tool' AND tool IS NOT NULL""")
     return " UNION ALL ".join(parts)
 
@@ -143,6 +215,8 @@ def resolved_triples_sql(rel: str) -> str:
                CASE WHEN obj_kind = 'person' THEN obj
                     WHEN subj_kind = 'person' THEN subj END
              WHEN etype = 'pronoun_obj' THEN subj
+             WHEN etype = 'desc' THEN
+               CASE WHEN obj_kind = 'person' THEN obj END
              END AS person
       FROM ev),
     tp AS (
@@ -154,10 +228,34 @@ def resolved_triples_sql(rel: str) -> str:
                PARTITION BY conv_id ORDER BY turn_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS prev_person
-      FROM tp)
+      FROM tp),
+    -- module-keyed maintainer state (definite-description resolution):
+    -- committed = latest strictly-earlier turn's max EXPLICIT maintainer
+    -- of the descriptor's module (pronoun-resolved rows never feed it)
+    mm AS (
+      SELECT conv_id, obj AS mkey, turn_idx, max(subj) AS turn_m
+      FROM ev
+      WHERE etype = 'triple' AND pred = '{R.DESC_STATE_PRED}'
+        AND subj IS NOT NULL AND obj IS NOT NULL
+      GROUP BY 1, 2, 3),
+    mdom AS (
+      SELECT DISTINCT conv_id, mkey, turn_idx FROM (
+        SELECT conv_id, mkey, turn_idx FROM mm
+        UNION ALL
+        SELECT conv_id, desc_key, turn_idx FROM ev WHERE etype = 'desc')),
+    mtr AS (
+      SELECT d.conv_id, d.mkey, d.turn_idx,
+             last_value(mm.turn_m IGNORE NULLS) OVER (
+               PARTITION BY d.conv_id, d.mkey ORDER BY d.turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_m
+      FROM mdom d LEFT JOIN mm
+        ON mm.conv_id = d.conv_id AND mm.mkey = d.mkey
+       AND mm.turn_idx = d.turn_idx)
     SELECT st.conv_id, st.turn_idx,
-           CASE WHEN etype = 'pronoun' THEN tr.prev_person ELSE st.subj END
-             AS subj,
+           CASE WHEN etype = 'pronoun' THEN tr.prev_person
+                WHEN etype = 'desc' THEN mtr.prev_m
+                ELSE st.subj END AS subj,
            pred,
            CASE WHEN etype = 'pronoun_obj' THEN tr.prev_person
                 ELSE obj END AS obj,
@@ -165,7 +263,13 @@ def resolved_triples_sql(rel: str) -> str:
            slot_idx, clause
     FROM st JOIN tr
       ON st.conv_id = tr.conv_id AND st.turn_idx = tr.turn_idx
-    WHERE etype = 'triple' OR tr.prev_person IS NOT NULL
+    LEFT JOIN mtr
+      ON st.conv_id = mtr.conv_id AND st.desc_key = mtr.mkey
+     AND st.turn_idx = mtr.turn_idx
+    WHERE etype = 'triple'
+       OR (etype IN ('pronoun', 'pronoun_obj')
+           AND tr.prev_person IS NOT NULL)
+       OR (etype = 'desc' AND mtr.prev_m IS NOT NULL)
     """
 
 

@@ -211,6 +211,79 @@ MULTI_TEMPLATES = [
       ("uses", "subj2", "person", "obj", "tool", 1, "quoted")]),
 ]
 
+# ---------------------------------------------------------------------------
+# LIST templates (v12): open-ended coordination — "A, B, C and D work at X."
+# with FOUR OR MORE coordinated names.  RE2 cannot capture a repeated group's
+# every occurrence, so the whole head of the list is ONE capture that every
+# implementation splits on the shared separator (LIST_SEP); the trailing
+# conjunct is its own group.  Shared semantics contract:
+#   members  = split(group 'list', LIST_SEP) ++ [group 'last']
+#   emission = (pred, member_i, member_kind, obj, obj_kind,
+#               slot_idx=i, clause) for every member i
+#   pronoun members (SUBJ_PRONOUNS) emit PRONOUN events carrying their
+#   slot_idx (resolved by the standard Stage-B rule, no state commit);
+#   non-pronoun members feed referent state per-row as usual.
+# Disjointness by anchor: the {2,} repetition requires >=3 comma-separated
+# names before ' and ' (>=4 total), so coord_works_at (no comma) and
+# coord3_works_at (exactly one name before its comma, none after) can never
+# match the same sentence.
+# Entry: (name, regex, pred, member_kind, obj_kind, clause).
+# ---------------------------------------------------------------------------
+LIST_SEP = ", "
+LIST_TEMPLATES = [
+    ("coordN_works_at",
+     r'^(?P<list>[A-Z][a-z]+(?:, [A-Z][a-z]+){2,}) and (?P<last>[A-Z][a-z]+)'
+     r' work at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
+     "works_at", "person", "org", "main"),
+]
+LIST_TEMPLATE_LITERALS = {
+    "coordN_works_at": " work at ",
+}
+
+# ---------------------------------------------------------------------------
+# Definite-description templates (v12): CROSS-SENTENCE anaphora — the
+# appositive established in an earlier turn ("Alice, the maintainer of
+# auth.core, ...") is referenced by a definite description later ("The
+# maintainer of auth.core met with Bob.").  The reference resolves such
+# cross-AST references structurally during linking; here it is the
+# descriptor analog of pronoun resolution, with MODULE-KEYED state:
+#
+#   * state: every emitted maintains event with an EXPLICIT person subject
+#     (the maintains template, the appos_maintainer / passive_maintains
+#     emissions) commits (module -> person) state at its turn — turn-level
+#     commit, lexicographic-max person tie-break within a turn, exactly the
+#     pronoun-state discipline.  Pronoun-RESOLVED maintains rows never feed
+#     this state (resolution stays a pure function of the committed stream).
+#   * resolution: the descriptor's referent is the committed maintainer of
+#     its key from the LATEST strictly-earlier turn of the same
+#     conversation; unresolvable descriptors emit no triple.
+#   * the resolved row does not feed any state; its EXPLICIT person object
+#     feeds pronoun-referent state as usual (the object-pronoun-template
+#     discipline: the explicit slot anchors and commits).
+#
+# Event-store discriminator: subj IS NULL AND desc_key IS NOT NULL — the
+# desc_key column exists only for these rows.  Entry: (pred, regex,
+# obj_kind); group 'key' is the module key, group 'obj' the explicit object.
+# ---------------------------------------------------------------------------
+DESC_TEMPLATES = [
+    ("met",
+     r"^The maintainer of (?P<key>[a-z_]+(?:\.[a-z_]+)*) met with "
+     r"(?P<obj>[A-Z][a-z]+)[.?]$",
+     "person"),
+]
+DESC_LITERAL = "The maintainer of "
+DESC_STATE_PRED = "maintains"    # the predicate whose events feed the state
+DESC_KEY_KIND = "module"
+DESC_CLAUSE = "definite"         # clause attribute of resolved rows
+
+COMPILED_LIST_TEMPLATES = [
+    (name, re.compile(rx), pred, mk, ok, clause)
+    for name, rx, pred, mk, ok, clause in LIST_TEMPLATES
+]
+COMPILED_DESC_TEMPLATES = [
+    (pred, re.compile(rx), ok) for pred, rx, ok in DESC_TEMPLATES
+]
+
 # literal prefilters for the multi-relation templates (same discipline as
 # _TEMPLATE_LITERALS: memchr scan before the RE2 kernel)
 MULTI_TEMPLATE_LITERALS = {

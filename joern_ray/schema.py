@@ -52,6 +52,11 @@ EVENTS = pa.schema([
     ("in_question", pa.bool_()),     # sentence ends with '?'
     ("slot_idx", pa.int32()),        # subject position in a coordinated list
     ("clause", EVENTS_DICT),         # main | appositive | relative | quoted
+    # definite-description events ONLY (v12): the module key the descriptor
+    # resolves against.  Invariant: subj IS NULL ∧ desc_key IS NOT NULL ⇔
+    # descriptor event; subj IS NULL ∧ desc_key IS NULL ⇔ subject-pronoun
+    # event.  NULL (a bitmap bit + null dictionary index) on all other rows.
+    ("desc_key", EVENTS_DICT),
 ])
 
 # Surface-level triples (post pronoun resolution; surfaces not yet canonical)

@@ -10,7 +10,7 @@ through it over a line-delimited JSON pipe protocol:
     driver row  →  {"conv_id", "turn_idx", "role", "text", "tool"}\\n
     tool reply  →  {"events": [[subj, pred, obj, subj_kind, obj_kind,
                                  sent_idx, negated, in_question,
-                                 slot_idx, clause], ...]}\\n
+                                 slot_idx, clause, desc_key], ...]}\\n
 
 There is no astgen binary in this environment, so the default external
 tool is a small Python worker script (``_WORKER_SRC``) executed with
@@ -56,7 +56,8 @@ for line in sys.stdin:
     evs = []
     if row.get("role") == "tool" and row.get("tool"):
         evs.append([row["conv_id"], R.INVOKED_PRED, row["tool"],
-                    "conv", "tool", 0, False, False, 0, R.DEFAULT_CLAUSE])
+                    "conv", "tool", 0, False, False, 0, R.DEFAULT_CLAUSE,
+                    None])
     else:
         text = row.get("text") or ""
         sents = re.sub(R.SENT_MARK_RE, R.SENT_MARK_SUB,
@@ -69,7 +70,7 @@ for line in sys.stdin:
                 m = rx.match(sent)
                 if m:
                     evs.append([None, pred, m.group("obj"), "person", ok,
-                                *attrs, 0, R.DEFAULT_CLAUSE])
+                                *attrs, 0, R.DEFAULT_CLAUSE, None])
                     matched = True
                     break
             if matched:
@@ -81,7 +82,7 @@ for line in sys.stdin:
                 if m.group("subj") in R.SUBJ_PRONOUNS:
                     break
                 evs.append([m.group("subj"), pred, None, "person", ok,
-                            *attrs, 0, R.DEFAULT_CLAUSE])
+                            *attrs, 0, R.DEFAULT_CLAUSE, None])
                 matched = True
                 break
             if matched:
@@ -93,7 +94,7 @@ for line in sys.stdin:
                 if m.group("subj") in R.SUBJ_PRONOUNS:
                     continue
                 evs.append([m.group("subj"), pred, m.group("obj"), sk, ok,
-                            *attrs, 0, R.DEFAULT_CLAUSE])
+                            *attrs, 0, R.DEFAULT_CLAUSE, None])
                 break
             for name, rx, emissions in R.COMPILED_MULTI_TEMPLATES:
                 m = rx.match(sent)
@@ -105,10 +106,36 @@ for line in sys.stdin:
                         # event carrying the emission's slot/clause
                         if sk == "person":
                             evs.append([None, pred, m.group(og), sk, ok,
-                                        *attrs, slot, clause])
+                                        *attrs, slot, clause, None])
                         continue
                     evs.append([m.group(sg), pred, m.group(og), sk, ok,
-                                *attrs, slot, clause])
+                                *attrs, slot, clause, None])
+                break
+            # LIST templates (open-ended coordination): split the captured
+            # head on the shared separator, one event per member
+            for name, rx, pred, mk, ok, clause in R.COMPILED_LIST_TEMPLATES:
+                m = rx.match(sent)
+                if m is None:
+                    continue
+                members = m.group("list").split(R.LIST_SEP) + [
+                    m.group("last")]
+                for slot, mem in enumerate(members):
+                    if mem in R.SUBJ_PRONOUNS:
+                        if mk == "person":
+                            evs.append([None, pred, m.group("obj"), mk, ok,
+                                        *attrs, slot, clause, None])
+                        continue
+                    evs.append([mem, pred, m.group("obj"), mk, ok,
+                                *attrs, slot, clause, None])
+                break
+            # definite-description templates: descriptor event (subj NULL,
+            # desc_key = the module), resolved downstream in Stage B
+            for pred, rx, ok in R.COMPILED_DESC_TEMPLATES:
+                m = rx.match(sent)
+                if m is None:
+                    continue
+                evs.append([None, pred, m.group("obj"), "person", ok,
+                            *attrs, 0, R.DESC_CLAUSE, m.group("key")])
                 break
             # untyped-mention overlay event (kind-recovery input): an
             # independent re-match of rules.MENTIONED_RE, mirroring the
@@ -117,7 +144,7 @@ for line in sys.stdin:
             if m and m.group("subj") not in R.SUBJ_PRONOUNS:
                 evs.append([m.group("subj"), R.MENTIONED_PRED,
                             m.group("obj"), "person", R.UNKNOWN_KIND,
-                            *attrs, 0, R.DEFAULT_CLAUSE])
+                            *attrs, 0, R.DEFAULT_CLAUSE, None])
     sys.stdout.write(json.dumps({"events": evs}) + "\n")
     sys.stdout.flush()
 """
@@ -189,6 +216,7 @@ class ExternalToolExtractor:
             "in_question": pa.array(cols[7], pa.bool_()),
             "slot_idx": pa.array(cols[8], pa.int32()),
             "clause": pa.array(cols[9], pa.string()),
+            "desc_key": pa.array(cols[10], pa.string()),
         }).cast(S.EVENTS)
 
     def __del__(self):

@@ -50,12 +50,14 @@ _ANY_LITERAL_RE = "|".join(
     _re.escape(lit) for lit in
     list(_TEMPLATE_LITERALS.values())
     + list(R.MULTI_TEMPLATE_LITERALS.values())
-    + [R.MENTIONED_LITERAL])
+    + list(R.LIST_TEMPLATE_LITERALS.values())
+    + [R.MENTIONED_LITERAL, R.DESC_LITERAL])
 
 
 def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
                   sent_idx=0, negated=False, in_question=False,
-                  slot_idx=0, clause=R.DEFAULT_CLAUSE) -> pa.Table:
+                  slot_idx=0, clause=R.DEFAULT_CLAUSE,
+                  desc_key=None) -> pa.Table:
     """One template's matches as an EVENTS table.  subj=None rows are
     pronoun events (schema invariant — there is no etype column); the
     categorical pred/kind columns are dictionary-encoded so the
@@ -87,7 +89,7 @@ def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
          dcol(sk), dcol(ok),
          col(sent_idx, pa.int32()), col(negated, pa.bool_()),
          col(in_question, pa.bool_()),
-         col(slot_idx, pa.int32()), dcol(clause)],
+         col(slot_idx, pa.int32()), dcol(clause), dcol(desc_key)],
         schema=S.EVENTS)
 
 
@@ -337,6 +339,100 @@ def extract_events(batch: pa.Table,
                         pc.struct_field(ex, obj_g).take(local), sk, ok,
                         sidx.take(idx), neg, inq, slot, clause))
 
+    # LIST templates (open-ended coordination, v12): RE2 captures the list
+    # head as ONE group; the split into member slots is a vectorized
+    # split_pattern + list_flatten (the _explode_sentences discipline) —
+    # one event per member, slot_idx = list position, the trailing
+    # conjunct at slot len(head).
+    for name, rx, pred, mk, ok, clause in R.LIST_TEMPLATES:
+        lit = R.LIST_TEMPLATE_LITERALS.get(name)
+        if lit is not None and not n_cand:
+            continue
+        idx0 = (cand_idx.take(pc.indices_nonzero(pc.fill_null(
+                    pc.match_substring(cand_text, lit), False)))
+                if lit is not None
+                else pa.array(range(len(text)), pa.int64()))
+        if len(idx0) == 0:
+            continue
+        ex = pc.extract_regex(text.take(idx0), rx)
+        base_mask = pc.is_valid(ex)
+        not_pm = pc.invert(pa.array(
+            pron_matched_np[idx0.to_numpy(zero_copy_only=False)]))
+        base_mask = pc.and_(base_mask, not_pm)
+        if not pc.any(base_mask).as_py():
+            continue
+        local = pc.indices_nonzero(base_mask)
+        idx = idx0.take(local)
+
+        def _arr(x):
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+        head = _arr(pc.struct_field(ex, "list").take(local))
+        last = _arr(pc.struct_field(ex, "last").take(local))
+        obj = pc.struct_field(ex, "obj").take(local)
+        parts = _arr(pc.split_pattern(head, R.LIST_SEP))
+        parent = _arr(pc.list_parent_indices(parts))
+        flat = _arr(pc.list_flatten(parts))
+        offs = parts.offsets.to_numpy()
+        lens = np.diff(offs)
+        slot_head = (np.arange(len(flat), dtype=np.int64)
+                     - np.repeat(offs[:-1], lens))
+        # members = head members ++ trailing conjunct (slot = head length)
+        members = pa.concat_arrays([flat, _arr(pc.cast(last, pa.string()))])
+        m_sent = pa.concat_arrays([  # per-member index into the match rows
+            _arr(parent.cast(pa.int64())),
+            pa.array(np.arange(len(idx), dtype=np.int64), pa.int64())])
+        m_slot = pa.array(np.concatenate(
+            [slot_head, lens.astype(np.int64)]).astype("int32"), pa.int32())
+        m_idx = idx.take(m_sent)   # sentence-row index per member
+        m_obj = obj.take(m_sent)
+        m_neg, m_inq = neg_all.take(m_idx), inq_all.take(m_idx)
+        is_pron = pc.fill_null(
+            pc.is_in(members, value_set=_PRONOUN_SET), False)
+        npron = pc.indices_nonzero(pc.invert(is_pron))
+        if len(npron):
+            outs.append(_events_table(
+                len(npron), conv.take(m_idx.take(npron)),
+                tidx.take(m_idx.take(npron)),
+                members.take(npron), pred, m_obj.take(npron), mk, ok,
+                sidx.take(m_idx.take(npron)), m_neg.take(npron),
+                m_inq.take(npron), m_slot.take(npron), clause))
+        if mk == "person":
+            ppron = pc.indices_nonzero(is_pron)
+            if len(ppron):
+                outs.append(_events_table(
+                    len(ppron), conv.take(m_idx.take(ppron)),
+                    tidx.take(m_idx.take(ppron)),
+                    pa.array([None] * len(ppron), pa.string()), pred,
+                    m_obj.take(ppron), mk, ok,
+                    sidx.take(m_idx.take(ppron)), m_neg.take(ppron),
+                    m_inq.take(ppron), m_slot.take(ppron), clause))
+
+    # definite-description templates (cross-sentence anaphora, v12): emit a
+    # DESCRIPTOR event — subj NULL + desc_key (the module) — resolved in
+    # Stage B against module-keyed maintainer state; the explicit person
+    # object rides along and feeds pronoun-referent state as usual.
+    if n_cand:
+        pre = pc.match_substring(cand_text, R.DESC_LITERAL)
+        idx0 = cand_idx.take(pc.indices_nonzero(pc.fill_null(pre, False)))
+        for pred, rx, ok in (R.DESC_TEMPLATES if len(idx0) else []):
+            ex = pc.extract_regex(text.take(idx0), rx)
+            mask = pc.is_valid(ex)
+            not_pm = pc.invert(pa.array(
+                pron_matched_np[idx0.to_numpy(zero_copy_only=False)]))
+            mask = pc.and_(mask, not_pm)
+            if not pc.any(mask).as_py():
+                continue
+            local = pc.indices_nonzero(mask)
+            idx = idx0.take(local)
+            neg, inq = neg_all.take(idx), inq_all.take(idx)
+            outs.append(_events_table(
+                len(idx), conv.take(idx), tidx.take(idx),
+                pa.array([None] * len(idx), pa.string()), pred,
+                pc.struct_field(ex, "obj").take(local), "person", ok,
+                sidx.take(idx), neg, inq, R.DEFAULT_SLOT_IDX, R.DESC_CLAUSE,
+                pc.struct_field(ex, "key").take(local)))
+
     # untyped-mention events (kind-recovery overlay input, rules.MENTIONED_RE,
     # obj_kind='unknown') ride the SAME extraction map and events store —
     # no second text scan for the overlay.  They are NOT surface triples
@@ -382,24 +478,42 @@ def _resolve_group(group: pa.Table) -> pa.Table:
     # (mirrors _passthrough_triples + _resolve_subset)
     group = group.filter(pc.not_equal(
         group.column("obj_kind").cast(pa.string()), R.UNKNOWN_KIND))
-    # pronoun events: NULL subj (subject pronoun) or NULL obj (object
-    # pronoun) — the EVENTS store invariants
+    # events needing Stage B: NULL subj (subject pronoun / descriptor) or
+    # NULL obj (object pronoun) — the EVENTS store invariants
     has_pronoun = (pc.any(pc.is_null(group.column("subj"))).as_py()
                    or pc.any(pc.is_null(group.column("obj"))).as_py())
     if not has_pronoun:
-        return group.cast(S.TRIPLES_SURFACE)   # decode dict categoricals
+        return (group.drop_columns(["desc_key"])
+                .cast(S.TRIPLES_SURFACE))   # decode dict categoricals
     rows = group.to_pylist()
     keep: list[dict] = []
     last_person: str | None = None   # committed: from strictly-earlier turns
     cur_turn: int | None = None
     cur_person: str | None = None    # max person seen in the current turn
+    last_maint: dict[str, str] = {}  # committed module -> maintainer
+    cur_maint: dict[str, str] = {}   # current turn's max maintainer / module
     for r in rows:
         if r["turn_idx"] != cur_turn:
             if cur_person is not None:
                 last_person = cur_person
+            if cur_maint:
+                last_maint.update(cur_maint)
             cur_turn = r["turn_idx"]
             cur_person = None
+            cur_maint = {}
         if r["subj"] is None:
+            if r.get("desc_key") is not None:
+                # definite-description event: resolve against the committed
+                # module-keyed maintainer state; the explicit person object
+                # feeds pronoun-referent state (the object-pronoun
+                # discipline); the resolved row feeds no state
+                ref = last_maint.get(r["desc_key"])
+                if ref is not None:
+                    keep.append(dict(r, subj=ref))
+                p = r["obj"] if r["obj_kind"] == "person" else None
+                if p is not None and (cur_person is None or p > cur_person):
+                    cur_person = p
+                continue
             if last_person is not None:
                 keep.append(dict(r, subj=last_person))
             continue
@@ -415,6 +529,10 @@ def _resolve_group(group: pa.Table) -> pa.Table:
              else r["subj"] if r["subj_kind"] == "person" else None)
         if p is not None and (cur_person is None or p > cur_person):
             cur_person = p
+        if r["pred"] == R.DESC_STATE_PRED:   # explicit maintains → state
+            m = cur_maint.get(r["obj"])
+            if m is None or r["subj"] > m:
+                cur_maint[r["obj"]] = r["subj"]
     if not keep:
         return S.TRIPLES_SURFACE.empty_table()
     return pa.Table.from_pylist(keep, schema=S.TRIPLES_SURFACE)
@@ -455,56 +573,102 @@ def _resolve_bucket(group: pa.Table,
     person = g.column("person").to_numpy(zero_copy_only=False)
     is_state = pc.is_valid(g.column("person")).to_numpy(
         zero_copy_only=False)
-    is_pron = pc.is_valid(g.column("pred")).to_numpy(zero_copy_only=False)
-    if not is_state.any() or not is_pron.any():
+    has_pred = pc.is_valid(g.column("pred")).to_numpy(zero_copy_only=False)
+    has_dk = pc.is_valid(g.column("desc_key")).to_numpy(
+        zero_copy_only=False)
+    # narrow-schema row classes (see _resolve_subset): pronoun rows carry
+    # pred without desc_key; descriptor rows carry both; maintainer-state
+    # rows carry desc_key without pred
+    is_pron = has_pred & ~has_dk
+    is_desc = has_pred & has_dk
+    is_mst = ~has_pred & has_dk
+
+    def _emit(rows: np.ndarray, referent: np.ndarray,
+              ref_is_subj_only: bool) -> pa.Table:
+        """Resolved rows → TRIPLES_SURFACE.  For pronoun rows the referent
+        fills whichever slot the row class dictates (own person ⇒ object-
+        pronoun ⇒ referent is the OBJECT); descriptor rows always take the
+        referent as SUBJECT and keep their explicit object."""
+        sub = g.take(pa.array(rows, pa.int64()))
+        n = sub.num_rows
+        ref_arr = pa.array(referent, pa.string())
+        own = sub.column("person").cast(pa.string())
+        if isinstance(own, pa.ChunkedArray):
+            own = own.combine_chunks()
+        if ref_is_subj_only:
+            subj_out, obj_out = ref_arr, sub.column("obj").cast(pa.string())
+        else:
+            opron = pc.is_valid(own)
+            subj_out = pc.if_else(opron, own, ref_arr)
+            obj_out = pc.if_else(opron, ref_arr,
+                                 sub.column("obj").cast(pa.string()))
+        return pa.Table.from_arrays(
+            [sub.column("conv_id").cast(pa.string()),
+             sub.column("turn_idx").cast(pa.int32()),
+             subj_out,
+             sub.column("pred").cast(pa.string()),
+             obj_out,
+             pa.array(["person"] * n, pa.string()),
+             sub.column("obj_kind").cast(pa.string()),
+             sub.column("sent_idx").cast(pa.int32()),
+             sub.column("negated").cast(pa.bool_()),
+             sub.column("in_question").cast(pa.bool_()),
+             sub.column("slot_idx").cast(pa.int32()),
+             sub.column("clause").cast(pa.string())],
+            schema=S.TRIPLES_SURFACE)
+
+    def _latest_earlier(skeys, svals_codes, uniq, qkeys):
+        """Turn-level committed-state lookup: per-key max value via one int
+        lexsort, then latest strictly-earlier turn of the same entity via
+        searchsorted.  Returns (ok_mask, referent values for ok rows)."""
+        order = np.lexsort((svals_codes, skeys))
+        sk = skeys[order]
+        pcs = svals_codes[order]
+        last = np.nonzero(np.concatenate((sk[1:] != sk[:-1], [True])))[0]
+        tp_keys = sk[last]                            # sorted ascending
+        tp_vals = np.asarray(uniq, dtype=object)[pcs[last]]
+        pos = np.searchsorted(tp_keys, qkeys, side="left") - 1
+        ok = pos >= 0
+        safe = np.where(ok, pos, 0)
+        ok &= (tp_keys[safe] >> 32) == (qkeys >> 32)  # same entity
+        return ok, tp_vals[safe[ok]]
+
+    parts: list[pa.Table] = []
+    if is_state.any() and is_pron.any():
+        # per-turn max person, fully vectorized: sorted factorize gives
+        # person codes order-isomorphic to the lexicographic strings
+        # (pandas object groupby.max would fall back to per-group Python)
+        pcodes, puniq = pd.factorize(person[is_state], sort=True)
+        ok, referent = _latest_earlier(
+            key[is_state], pcodes, puniq, key[is_pron])
+        pron_rows = np.nonzero(is_pron)[0][ok]
+        if len(pron_rows):  # empty-take guard (pyarrow 16 flake class)
+            parts.append(_emit(pron_rows, referent, False))
+    if is_desc.any() and is_mst.any():
+        # module-keyed maintainer state: composite (conv, module) entity
+        # codes from one factorize over the SMALL desc-relevant subset
+        # (descriptor + maintains rows only), then the same turn-level
+        # machinery as the pronoun path
+        rel = is_desc | is_mst
+        rel_idx = np.nonzero(rel)[0]
+        sub = g.take(pa.array(rel_idx, pa.int64()))
+        pair = pc.binary_join_element_wise(
+            sub.column("conv_id").cast(pa.string()),
+            sub.column("desc_key").cast(pa.string()), "\x1f")
+        pcodes2, _ = pd.factorize(pair.to_numpy(zero_copy_only=False),
+                                  sort=False)
+        dkey = (pcodes2.astype(np.int64) << 32) | turn[rel_idx]
+        sub_mst = is_mst[rel_idx]
+        sub_desc = is_desc[rel_idx]
+        mcodes, muniq = pd.factorize(person[rel_idx][sub_mst], sort=True)
+        ok, referent = _latest_earlier(
+            dkey[sub_mst], mcodes, muniq, dkey[sub_desc])
+        desc_rows = rel_idx[sub_desc][ok]
+        if len(desc_rows):
+            parts.append(_emit(desc_rows, referent, True))
+    if not parts:
         return S.TRIPLES_SURFACE.empty_table()
-    skeys = key[is_state]
-    # per-turn max person, fully vectorized: sorted factorize gives person
-    # codes order-isomorphic to the lexicographic strings (pandas object
-    # groupby.max would fall back to per-group Python), so max person per
-    # turn = last (key, code) after one int lexsort
-    pcodes, puniq = pd.factorize(person[is_state], sort=True)
-    order = np.lexsort((pcodes, skeys))
-    sk = skeys[order]
-    pcs = pcodes[order]
-    last = np.nonzero(np.concatenate((sk[1:] != sk[:-1], [True])))[0]
-    tp_keys = sk[last]                            # sorted ascending
-    tp_vals = np.asarray(puniq, dtype=object)[pcs[last]]
-    pkeys = key[is_pron]
-    pos = np.searchsorted(tp_keys, pkeys, side="left") - 1
-    ok = pos >= 0
-    safe = np.where(ok, pos, 0)
-    ok &= (tp_keys[safe] >> 32) == (pkeys >> 32)   # same conversation
-    pron_rows = np.nonzero(is_pron)[0][ok]
-    if not len(pron_rows):  # empty-take guard (pyarrow 16 flake class)
-        return S.TRIPLES_SURFACE.empty_table()
-    referent = tp_vals[safe[ok]]
-    sub = g.take(pa.array(pron_rows, pa.int64()))
-    n = sub.num_rows
-    # object-pronoun rows (person == their explicit subject) keep their
-    # subject and take the referent as OBJECT; subject-pronoun rows
-    # (person null) take the referent as SUBJECT
-    ref_arr = pa.array(referent, pa.string())
-    own = sub.column("person").cast(pa.string())
-    if isinstance(own, pa.ChunkedArray):
-        own = own.combine_chunks()
-    opron = pc.is_valid(own)
-    subj_out = pc.if_else(opron, own, ref_arr)
-    obj_out = pc.if_else(opron, ref_arr, sub.column("obj").cast(pa.string()))
-    return pa.Table.from_arrays(
-        [sub.column("conv_id").cast(pa.string()),
-         sub.column("turn_idx").cast(pa.int32()),
-         subj_out,
-         sub.column("pred").cast(pa.string()),
-         obj_out,
-         pa.array(["person"] * n, pa.string()),
-         sub.column("obj_kind").cast(pa.string()),
-         sub.column("sent_idx").cast(pa.int32()),
-         sub.column("negated").cast(pa.bool_()),
-         sub.column("in_question").cast(pa.bool_()),
-         sub.column("slot_idx").cast(pa.int32()),
-         sub.column("clause").cast(pa.string())],
-        schema=S.TRIPLES_SURFACE)
+    return pa.concat_tables(parts)
 
 
 def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
@@ -520,51 +684,87 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
     # sentence differing only in slot_idx
     df = df.sort_values(
         ["conv_id", "turn_idx", "person", "pred", "obj", "sent_idx",
-         "slot_idx", "clause"],
+         "slot_idx", "clause", "desc_key"],
         kind="mergesort", ignore_index=True)
     within = df.groupby(df["conv_id"].to_numpy(), sort=False).cumcount()
     if (within >= cap).any():
         df = df[within < cap].reset_index(drop=True)
     import numpy as np
 
-    is_pron = df["pred"].notna().to_numpy()
+    def _payload(sel: pd.DataFrame) -> pd.DataFrame:
+        return sel[["conv_id", "turn_idx", "pred", "obj", "obj_kind",
+                    "sent_idx", "negated", "in_question",
+                    "slot_idx", "clause", "person"]] \
+            .rename(columns={"person": "own_person"})
+
+    def _table(out: pd.DataFrame, subj_np, obj_np) -> pa.Table:
+        n = len(out)
+        return pa.Table.from_arrays(
+            [pa.array(out["conv_id"].to_numpy(object), pa.string()),
+             pa.array(out["turn_idx"].to_numpy(), pa.int32()),
+             pa.array(subj_np, pa.string()),
+             pa.array(out["pred"].to_numpy(object), pa.string()),
+             pa.array(obj_np, pa.string()),
+             pa.array(["person"] * n, pa.string()),
+             pa.array(out["obj_kind"].to_numpy(object), pa.string()),
+             pa.array(out["sent_idx"].to_numpy(), pa.int32()),
+             pa.array(out["negated"].to_numpy(bool), pa.bool_()),
+             pa.array(out["in_question"].to_numpy(bool), pa.bool_()),
+             pa.array(out["slot_idx"].to_numpy(), pa.int32()),
+             pa.array(out["clause"].to_numpy(object), pa.string())],
+            schema=S.TRIPLES_SURFACE)
+
+    has_dk = df["desc_key"].notna().to_numpy()
+    is_pron = df["pred"].notna().to_numpy() & ~has_dk
+    is_desc = df["pred"].notna().to_numpy() & has_dk
+    parts: list[pa.Table] = []
     state = df.loc[df["person"].notna(), ["conv_id", "turn_idx", "person"]]
-    pron = df.loc[is_pron, ["conv_id", "turn_idx", "pred", "obj", "obj_kind",
-                            "sent_idx", "negated", "in_question",
-                            "slot_idx", "clause", "person"]] \
-             .rename(columns={"person": "own_person"})
-    if not len(state) or not len(pron):
+    pron = _payload(df.loc[is_pron])
+    if len(state) and len(pron):
+        turn_person = (state.groupby(["conv_id", "turn_idx"], sort=False)
+                       ["person"].max().reset_index()
+                       .sort_values("turn_idx", kind="mergesort",
+                                    ignore_index=True))
+        pron = pron.sort_values("turn_idx", kind="mergesort",
+                                ignore_index=True)
+        out = pd.merge_asof(pron, turn_person, on="turn_idx", by="conv_id",
+                            direction="backward",
+                            allow_exact_matches=False)
+        out = out[out["person"].notna()]
+        # object-pronoun rows (own_person set) keep their subject; referent
+        # fills the object.  Subject-pronoun rows take the referent as subj
+        opron = out["own_person"].notna().to_numpy()
+        subj_np = np.where(opron, out["own_person"].to_numpy(object),
+                           out["person"].to_numpy(object))
+        obj_np = np.where(opron, out["person"].to_numpy(object),
+                          out["obj"].to_numpy(object))
+        if len(out):
+            parts.append(_table(out, subj_np, obj_np))
+    # definite-description rows: module-keyed maintainer state (rows with
+    # desc_key but no pred), merge_asof by (conv_id, desc_key)
+    mstate = df.loc[~df["pred"].notna() & has_dk,
+                    ["conv_id", "desc_key", "turn_idx", "person"]]
+    desc = _payload(df.loc[is_desc]).join(
+        df.loc[is_desc, ["desc_key"]])
+    if len(mstate) and len(desc):
+        turn_m = (mstate.groupby(["conv_id", "desc_key", "turn_idx"],
+                                 sort=False)
+                  ["person"].max().reset_index()
+                  .sort_values("turn_idx", kind="mergesort",
+                               ignore_index=True))
+        desc = desc.sort_values("turn_idx", kind="mergesort",
+                                ignore_index=True)
+        out = pd.merge_asof(desc, turn_m, on="turn_idx",
+                            by=["conv_id", "desc_key"],
+                            direction="backward",
+                            allow_exact_matches=False)
+        out = out[out["person"].notna()]
+        if len(out):
+            parts.append(_table(out, out["person"].to_numpy(object),
+                                out["obj"].to_numpy(object)))
+    if not parts:
         return S.TRIPLES_SURFACE.empty_table()
-    turn_person = (state.groupby(["conv_id", "turn_idx"], sort=False)
-                   ["person"].max().reset_index()
-                   .sort_values("turn_idx", kind="mergesort",
-                                ignore_index=True))
-    pron = pron.sort_values("turn_idx", kind="mergesort", ignore_index=True)
-    out = pd.merge_asof(pron, turn_person, on="turn_idx", by="conv_id",
-                        direction="backward", allow_exact_matches=False)
-    out = out[out["person"].notna()]
-    n = len(out)
-    # object-pronoun rows (own_person set) keep their subject; referent
-    # fills the object.  Subject-pronoun rows take the referent as subject
-    opron = out["own_person"].notna().to_numpy()
-    subj_np = np.where(opron, out["own_person"].to_numpy(object),
-                       out["person"].to_numpy(object))
-    obj_np = np.where(opron, out["person"].to_numpy(object),
-                      out["obj"].to_numpy(object))
-    return pa.Table.from_arrays(
-        [pa.array(out["conv_id"].to_numpy(object), pa.string()),
-         pa.array(out["turn_idx"].to_numpy(), pa.int32()),
-         pa.array(subj_np, pa.string()),
-         pa.array(out["pred"].to_numpy(object), pa.string()),
-         pa.array(obj_np, pa.string()),
-         pa.array(["person"] * n, pa.string()),
-         pa.array(out["obj_kind"].to_numpy(object), pa.string()),
-         pa.array(out["sent_idx"].to_numpy(), pa.int32()),
-         pa.array(out["negated"].to_numpy(bool), pa.bool_()),
-         pa.array(out["in_question"].to_numpy(bool), pa.bool_()),
-         pa.array(out["slot_idx"].to_numpy(), pa.int32()),
-         pa.array(out["clause"].to_numpy(object), pa.string())],
-        schema=S.TRIPLES_SURFACE)
+    return pa.concat_tables(parts)
 
 
 # Bucketed-resolve partitioning assumption: every conversation lands wholly
@@ -604,7 +804,8 @@ def _passthrough_triples(t: pa.Table) -> pa.Table:
                 pc.is_valid(t.column("obj"))),
         pc.not_equal(t.column("obj_kind").cast(pa.string()),
                      R.UNKNOWN_KIND))
-    return t.filter(keep).cast(S.TRIPLES_SURFACE)
+    return (t.filter(keep).drop_columns(["desc_key"])
+            .cast(S.TRIPLES_SURFACE))
 
 
 def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
@@ -613,10 +814,13 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
     person-carrying triples collapse to a single ``person`` state value.
     Everything else skips the shuffle entirely, and no wide or redundant
     column ever enters it."""
-    is_spron = pc.is_null(t.column("subj"))
+    dk_s = t.column("desc_key").cast(pa.string())
+    is_desc = pc.and_(pc.is_null(t.column("subj")), pc.is_valid(dk_s))
+    is_spron = pc.and_(pc.is_null(t.column("subj")), pc.is_null(dk_s))
     is_opron = pc.and_(pc.is_valid(t.column("subj")),
                        pc.is_null(t.column("obj")))
     is_pron = pc.or_(is_spron, is_opron)
+    needs_res = pc.or_(is_pron, is_desc)
     # decode the dictionary categoricals once per batch (post store hop)
     subj_s = t.column("subj").cast(pa.string())
     obj_s = t.column("obj").cast(pa.string())
@@ -631,21 +835,31 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
     # subject-pronoun rows never contribute state; object-pronoun rows
     # contribute their explicit SUBJECT (person_val == subj — the rule
     # pack guarantees object-pronoun templates have person subjects,
-    # which doubles as the row's opron discriminator downstream).
+    # which doubles as the row's opron discriminator downstream);
+    # descriptor rows contribute their explicit person OBJECT.
     # Untyped-mention overlay rows (obj_kind='unknown') are not template
     # matches: they contribute NO state and never enter the resolver.
     person_val = pc.if_else(
         pc.or_(is_spron, pc.equal(ok_s, R.UNKNOWN_KIND)),
         pa.nulls(t.num_rows, pa.string()), person_val)
-    mask = pc.or_(is_pron, pc.is_valid(person_val))
+    # module-keyed maintainer state (the definite-description analog of
+    # person state): every explicit maintains row ships its module as
+    # desc_key; descriptor rows ship their own resolution key.  Narrow-
+    # schema discriminators downstream:  pred∧desc_key ⇒ descriptor row;
+    # pred∧¬desc_key ⇒ pronoun row; ¬pred∧desc_key ⇒ maintainer state.
     nulls = pa.nulls(t.num_rows, pa.string())
+    is_maint = pc.and_(pc.and_(pc.is_valid(subj_s), pc.is_valid(obj_s)),
+                       pc.equal(pred_s, R.DESC_STATE_PRED))
+    dk_val = pc.if_else(is_desc, dk_s, pc.if_else(is_maint, obj_s, nulls))
+    mask = pc.or_(pc.or_(needs_res, pc.is_valid(person_val)),
+                  pc.is_valid(dk_val))
     narrow = pa.table({
         "conv_id": t.column("conv_id"),
         "turn_idx": t.column("turn_idx"),
         "person": person_val,
-        "pred": pc.if_else(is_pron, pred_s, nulls),
-        "obj": pc.if_else(is_spron, obj_s, nulls),
-        "obj_kind": pc.if_else(is_pron, ok_s, nulls),
+        "pred": pc.if_else(needs_res, pred_s, nulls),
+        "obj": pc.if_else(pc.or_(is_spron, is_desc), obj_s, nulls),
+        "obj_kind": pc.if_else(needs_res, ok_s, nulls),
         "sent_idx": t.column("sent_idx"),
         "negated": t.column("negated"),
         "in_question": t.column("in_question"),
@@ -653,10 +867,11 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
         # slot/clause (e.g. "Bob and She use x daily" → slot_idx 1); only
         # PRONOUN rows need them — state rows ship null (bitmap-only), so
         # the exchange stays as narrow as before v8
-        "slot_idx": pc.if_else(is_pron, t.column("slot_idx"),
+        "slot_idx": pc.if_else(needs_res, t.column("slot_idx"),
                                pa.nulls(t.num_rows, pa.int32())),
-        "clause": pc.if_else(is_pron, t.column("clause").cast(pa.string()),
+        "clause": pc.if_else(needs_res, t.column("clause").cast(pa.string()),
                              nulls),
+        "desc_key": dk_val,
     }).filter(mask)
     return _with_bucket(narrow, n_buckets)
 

@@ -23,7 +23,13 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v11"  # v11: pronouns INSIDE quoted speech ('X said "She
+CORPUS_VERSION = "v12"  # v12: open-ended coordination LISTS ("A, B, C and
+#                         D work at X." with 4-6 names, incl. a pronoun
+#                         member variant) and CROSS-SENTENCE definite
+#                         descriptions ("The maintainer of auth.core met
+#                         with Bob." resolving against module-keyed
+#                         committed maintainer state);
+#                         v11: pronouns INSIDE quoted speech ('X said "She
 #                         uses y daily."' and 'X said "She and Bob use y
 #                         daily."') — resolved in the QUOTING turn's scope
 #                         (speaker is not an emitted slot; documented
@@ -113,7 +119,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         subj per row)."""
         kinds = ["coord_works_at", "coord_uses", "appos_maintainer",
                  "relative_manages", "passive_maintains",
-                 "possessive_manager", "coord_orgs", "coord3_works_at"] \
+                 "possessive_manager", "coord_orgs", "coord3_works_at",
+                 "coordN_works_at"] \
             + (["quoted_uses", "quoted_coord_uses"] if allow_quoted else [])
         kind = kinds[int(rng.integers(0, len(kinds)))]
         end = "?" if (rng.random() < 0.05
@@ -175,6 +182,21 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             gts = [("person", a.lower(), "works_at", "org", o1c),
                    ("person", a.lower(), "works_at", "org", o2c)]
             return text, gts, a
+        if kind == "coordN_works_at":
+            # open-ended coordination list (v12): 4-6 distinct names; one
+            # works_at emission per member, slot_idx = list position
+            k = int(rng.integers(4, 7))
+            names: list[str] = []
+            while len(names) < k:
+                q = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+                if q not in names:
+                    names.append(q)
+            obj_surface, obj_canon = _pick_org(rng)
+            text = (f"{', '.join(names[:-1])} and {names[-1]} work at "
+                    f"{obj_surface}{end}")
+            gts = [("person", nm.lower(), "works_at", "org", obj_canon)
+                   for nm in names]
+            return text, gts, max(names)
         if kind == "coord3_works_at":
             a = _pick_person(rng)
             b = _pick_person(rng)
@@ -304,6 +326,21 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                         (obj_surface, "org", obj_canon)])
         return text, [(sk, subj_canon, pred, ok, obj_canon)], person_slot
 
+    # committed module -> maintainer (canonical), mirroring the engine's
+    # definite-description state: per-turn max, committed at the turn
+    # boundary (each turn is fully generated before the next, so updating
+    # after a turn's gts are known gives exactly strictly-earlier-turn state)
+    last_maint: dict[str, str] = {}
+
+    def track_maint(turn_gts: list[tuple]) -> None:
+        turn_m: dict[str, str] = {}
+        for (sk2, s2, p2, ok2, o2) in turn_gts:
+            if p2 == "maintains":
+                m = turn_m.get(o2)
+                if m is None or s2 > m:
+                    turn_m[o2] = s2
+        last_maint.update(turn_m)
+
     t = 0
     while t < n:
         role = "user" if t % 2 == 0 else "assistant"
@@ -333,7 +370,30 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 # slot_idx; the non-pronoun partner commits the new state
                 pronoun = R.PRONOUNS[int(rng.integers(0, 2))]
                 partner = _pick_person(rng)
-                variant = int(rng.integers(0, 3))
+                variant = int(rng.integers(0, 4))
+                if variant == 3:
+                    # pronoun inside a 4-way coordination LIST (v12): the
+                    # pronoun slot resolves to the committed referent with
+                    # its list position; every explicit member commits
+                    partners: list[str] = []
+                    while len(partners) < 3:
+                        q = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+                        if q not in partners:
+                            partners.append(q)
+                    obj_surface, obj_canon = _pick_org(rng)
+                    names = partners.copy()
+                    names.insert(int(rng.integers(0, 4)), pronoun)
+                    text = (f"{names[0]}, {names[1]}, {names[2]} and "
+                            f"{names[3]} work at {obj_surface}.")
+                    add_row(t, role, text)
+                    add_gt(t, "person", last_person.lower(), "works_at",
+                           "org", obj_canon)
+                    for q in partners:
+                        add_gt(t, "person", q.lower(), "works_at",
+                               "org", obj_canon)
+                    last_person = max(partners)
+                    t += 1
+                    continue
                 if variant == 2:
                     tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
                     text = f"{pronoun} and {partner} use {tool} daily."
@@ -412,6 +472,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 add_gt(t, *gt)
             if slot is not None:
                 last_person = slot
+            track_maint(gts2)
         elif r < 0.45:
             # multi-sentence turn: filler + template, or two templates —
             # referent commit is turn-level, ties take the lexicographic max
@@ -420,12 +481,14 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             # terminator carries no sentence boundary).
             slots = []
             texts = []
+            turn_gts: list[tuple] = []
             if rng.random() < 0.5:
                 texts.append(R.FILLERS[int(rng.integers(0, len(R.FILLERS)))])
                 s_text, gts2, slot = gen_sentence(rng)
                 texts.append(s_text)
                 for gt in gts2:
                     add_gt(t, *gt)
+                turn_gts.extend(gts2)
                 slots.append(slot)
             else:
                 for last in (False, True):
@@ -434,11 +497,13 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                     texts.append(s_text)
                     for gt in gts2:
                         add_gt(t, *gt)
+                    turn_gts.extend(gts2)
                     slots.append(slot)
             add_row(t, role, " ".join(texts))
             persons = [s for s in slots if s is not None]
             if persons:
                 last_person = max(persons)
+            track_maint(turn_gts)
         elif r < 0.58 and t + 1 < n:
             tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
             add_row(t, "assistant", f"Calling {tool} now.")
@@ -448,6 +513,19 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             conv_ev.append((tool, "tool", tool))
             t += 2
             continue
+        elif last_maint and rng.random() < 0.15:
+            # CROSS-SENTENCE definite description (v12): "The maintainer of
+            # <mod> met with <Y>." — the descriptor resolves against the
+            # committed maintainer of <mod> from a strictly-earlier turn
+            # (the dict mirrors the engine's turn-boundary commit); the
+            # explicit person object commits referent state
+            mods = sorted(last_maint)
+            mod = mods[int(rng.integers(0, len(mods)))]
+            other = _pick_person(rng)
+            add_row(t, role, f"The maintainer of {mod} met with {other}.")
+            add_gt(t, "person", last_maint[mod], "met",
+                   "person", other.lower())
+            last_person = other
         elif rng.random() < 0.12:
             # untyped-mention turn (kind recovery's input, v10): three
             # regimes — same-conv evidence (round 1), global person

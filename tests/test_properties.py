@@ -151,6 +151,7 @@ def test_resolve_bucket_fast_equals_slow(rows):
         "in_question": [False] * len(rows),
         "slot_idx": pa.array([0] * len(rows), pa.int32()),
         "clause": ["main"] * len(rows),
+        "desc_key": pa.array([None] * len(rows), pa.string()),
         "bucket": pa.array([0] * len(rows), pa.int64()),
     }
     t = pa.Table.from_pydict(cols)
