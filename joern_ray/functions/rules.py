@@ -270,6 +270,15 @@ DESC_TEMPLATES = [
      r"^The maintainer of (?P<key>[a-z_]+(?:\.[a-z_]+)*) met with "
      r"(?P<obj>[A-Z][a-z]+)[.?]$",
      "person"),
+    # org-object descriptor: the resolved subject is still the committed
+    # maintainer, but the explicit object is an ORG — it must NOT feed
+    # pronoun-referent state (the kind-conditional feed rule); disjoint
+    # from the plain 'joined' template because its subject group admits
+    # no space ("The" alone is never followed by " joined").
+    ("joined",
+     r"^The maintainer of (?P<key>[a-z_]+(?:\.[a-z_]+)*) joined "
+     r"(?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     "org"),
 ]
 DESC_LITERAL = "The maintainer of "
 DESC_STATE_PRED = "maintains"    # the predicate whose events feed the state

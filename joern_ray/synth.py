@@ -23,7 +23,12 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v12"  # v12: open-ended coordination LISTS ("A, B, C and
+CORPUS_VERSION = "v13"  # v13: org-object definite descriptions ("The
+#                         maintainer of auth.core joined Globex Corp." —
+#                         the explicit org object feeds NO pronoun state:
+#                         the kind-conditional feed rule, exercised
+#                         corpus-wide);
+#                         v12: open-ended coordination LISTS ("A, B, C and
 #                         D work at X." with 4-6 names, incl. a pronoun
 #                         member variant) and CROSS-SENTENCE definite
 #                         descriptions ("The maintainer of auth.core met
@@ -521,11 +526,22 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             # explicit person object commits referent state
             mods = sorted(last_maint)
             mod = mods[int(rng.integers(0, len(mods)))]
-            other = _pick_person(rng)
-            add_row(t, role, f"The maintainer of {mod} met with {other}.")
-            add_gt(t, "person", last_maint[mod], "met",
-                   "person", other.lower())
-            last_person = other
+            if rng.random() < 0.6:
+                other = _pick_person(rng)
+                add_row(t, role,
+                        f"The maintainer of {mod} met with {other}.")
+                add_gt(t, "person", last_maint[mod], "met",
+                       "person", other.lower())
+                last_person = other
+            else:
+                # org-object descriptor (v13): the explicit object is an
+                # org, so it feeds NO pronoun-referent state (the
+                # kind-conditional feed rule)
+                obj_surface, obj_canon = _pick_org(rng)
+                add_row(t, role,
+                        f"The maintainer of {mod} joined {obj_surface}.")
+                add_gt(t, "person", last_maint[mod], "joined",
+                       "org", obj_canon)
         elif rng.random() < 0.12:
             # untyped-mention turn (kind recovery's input, v10): three
             # regimes — same-conv evidence (round 1), global person

@@ -179,6 +179,33 @@ def test_definite_object_feeds_pronoun_state(ray_session):
     assert got == _resolved_ray(rows, ray_session)
 
 
+def test_definite_org_object_resolves_and_feeds_no_state(ray_session):
+    """v13 descriptor: 'The maintainer of <mod> joined <Org>.' — the
+    resolved subject is the committed maintainer; the explicit ORG object
+    must NOT feed pronoun-referent state (kind-conditional feed rule)."""
+    rows = _turns(["Bob uses compiler daily.",
+                   "Alice maintains auth.core.",
+                   "The maintainer of auth.core joined Globex Corp.",
+                   "She uses editor daily."])
+    got = _resolved(rows)
+    assert (2, "Alice", "joined", "Globex Corp", 0, "definite") in got
+    # turn-3 pronoun referent: turn-2's only person contribution would be
+    # the org (excluded); Alice's turn-1 maintains commit wins
+    assert (3, "Alice", "uses", "editor", 0, "main") in got
+    assert got == _resolved_ray(rows, ray_session)
+
+
+def test_definite_org_descriptor_disjoint_from_plain_joined():
+    rows = _turns(["Dave joined Initech.",
+                   "Alice maintains auth.core.",
+                   "The maintainer of auth.core joined Initech."])
+    ev = _ev(X.extract_events(_table(rows)))
+    plain = [(s, c) for s, p, o, sl, c in ev if p == "joined"]
+    assert ("Dave", "main") in plain
+    # the descriptor sentence emits exactly one event, the definite one
+    assert sorted(c for s, c in plain) == ["definite", "main"]
+
+
 def test_definite_events_carry_desc_key_discriminator():
     rows = _turns(["The maintainer of auth.core met with Bob."])
     ev = X.extract_events(_table(rows)).to_pylist()
