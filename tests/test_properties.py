@@ -57,7 +57,7 @@ def _random_conversation_rows(draw):
     conv = f"conv{draw(st.integers(0, 3)):03d}"
     rows = []
     for t in range(n):
-        kind = draw(st.integers(0, 3))
+        kind = draw(st.integers(0, 6))
         if kind == 0:
             p = draw(st.sampled_from(R.PERSONS[:6]))
             o = draw(st.sampled_from(R.ORG_BASES[:4]))
@@ -70,6 +70,29 @@ def _random_conversation_rows(draw):
             a = draw(st.sampled_from(R.PERSONS[:6]))
             b = draw(st.sampled_from(R.PERSONS[6:12]))
             text = f"{a} met with {b}."
+        elif kind == 3:
+            # definite-description state + descriptor (v12/v13): both the
+            # module-keyed commit and the descriptor itself, mixed freely
+            # so buckets see descriptors with/without resolvable state
+            p = draw(st.sampled_from(R.PERSONS[:6]))
+            mod = draw(st.sampled_from(R.MODULES[:3]))
+            if draw(st.booleans()):
+                text = f"{p} maintains {mod}."
+            elif draw(st.booleans()):
+                text = f"The maintainer of {mod} met with {p}."
+            else:
+                o = draw(st.sampled_from(R.ORG_BASES[:4]))
+                text = f"The maintainer of {mod} joined {o} Corp."
+        elif kind == 4:
+            # open-ended coordination list (v12), possibly with a pronoun
+            # member at a random slot
+            names = list(draw(st.permutations(R.PERSONS[:6])))[:4]
+            if draw(st.booleans()):
+                names[draw(st.integers(0, 3))] = \
+                    draw(st.sampled_from(["She", "He"]))
+            o = draw(st.sampled_from(R.ORG_BASES[:4]))
+            text = (f"{names[0]}, {names[1]}, {names[2]} and {names[3]} "
+                    f"work at {o} Corp.")
         else:
             text = "Nothing to extract here."
         rows.append(dict(conv_id=conv, turn_idx=t, role="user",
