@@ -669,6 +669,126 @@ def decontaminate_sql(ref_mod: int = DECONTAMINATE_REF_MOD) -> str:
     """
 
 
+NGRAM_DECON_N = 4       # 13 in production pipelines (GPT-3 appendix C);
+#                         4 on the synthetic vocabulary so the small-SF
+#                         result is non-trivial (n=13 never collides there)
+DECON_NGRAM_MAX_REF_HASHES = 50_000_000   # 8 B/hash → ≤400 MB broadcast
+
+
+def _ngram_hashes(text_col, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flat 64-bit hashes of whitespace token n-grams (tokens joined by
+    one space — the SQL mirror's ``tok || ' ' || lead(tok,1)...`` string)
+    plus the owning row index per hash.  Fully vectorized: ONE regex
+    split, n shifted slices of the flat token array joined element-wise
+    in one kernel call, a numpy doc-boundary mask, one hash pass.
+    Requires n >= 2 (the empty-text sentinel token must not form a gram).
+    """
+    import pandas as pd
+
+    txt = pc.fill_null(ascii_trim(text_col), "")
+    toks = pc.split_pattern_regex(txt, _WS_RE)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy().astype(np.int64)
+    flat = toks.values
+    cnt = np.maximum(offsets[1:] - offsets[:-1] - (n - 1), 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    parts = [flat.slice(j, len(flat) - n + 1) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    # absolute flat-start index of every within-document n-gram
+    starts = np.repeat(offsets[:-1], cnt)
+    within = (np.arange(total, dtype=np.int64)
+              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+    sel = grams.take(pa.array(starts + within, pa.int64()))
+    h = pd.util.hash_array(
+        sel.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    doc_idx = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    return h, doc_idx
+
+
+def decontaminate_ngram(sf_dir: str, ref_mod: int = DECONTAMINATE_REF_MOD,
+                        n: int = NGRAM_DECON_N):
+    """Fuzzy (n-gram-overlap) benchmark decontamination — the GPT-3-style
+    13-gram scrub: drop every training document sharing at least one
+    whitespace token n-gram with any reference-set document.  Subsumes the
+    exact scrub (``decontaminate``) for n <= doc length and catches
+    partial/embedded contamination exact matching misses.
+
+    100-TB shape: the reference n-gram set is benchmark-sized by nature —
+    its unique 64-bit hashes are collected once (bounded by a distributed
+    count BEFORE any driver collect) and broadcast via ``ray.put`` as ONE
+    sorted uint64 array; every training batch probes it with a numpy
+    searchsorted — the training stream is never shuffled.  Beyond the
+    broadcast bound, the escape is the digest-cogroup shape
+    (``familiarity_cogroup``).  The SQL oracle compares n-gram STRINGS
+    (exact semantics); results agree absent a 64-bit hash collision
+    (P < 1e-9 per ~10^5-gram reference set — the dedup_exact digest
+    discipline)."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+
+    def ref_part(t: pa.Table) -> pa.Table:
+        mod = (t.column("doc_id").to_numpy() % ref_mod) == 0
+        sub = t.filter(pa.array(mod))
+        h, _ = _ngram_hashes(sub.column("text"), n)
+        return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
+
+    ref_ds = ds.map_batches(ref_part, batch_format="pyarrow").materialize()
+    if ref_ds.count() > DECON_NGRAM_MAX_REF_HASHES:
+        raise ValueError("reference n-gram set exceeds the broadcast "
+                         "bound — use a digest cogroup "
+                         "(familiarity_cogroup shape)")
+    parts = [b.column("h").to_numpy() for b in
+             ref_ds.iter_batches(batch_format="pyarrow") if b.num_columns]
+    ref = (np.unique(np.concatenate(parts)) if parts
+           else np.empty(0, np.uint64))
+    ref_ref = ray.put(ref)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        train = t.filter(pa.array(
+            (t.column("doc_id").to_numpy() % ref_mod) != 0))
+        out_schema = pa.schema([("doc_id", pa.int64())])
+        if train.num_rows == 0:
+            return out_schema.empty_table()
+        refs = ray.get(ref_ref)
+        hit_doc = np.zeros(train.num_rows, bool)
+        h, doc_idx = _ngram_hashes(train.column("text"), n)
+        if len(h) and len(refs):
+            pos = np.clip(np.searchsorted(refs, h), 0, len(refs) - 1)
+            hit_doc[doc_idx[refs[pos] == h]] = True
+        return (train.filter(pa.array(~hit_doc))
+                .select(["doc_id"]).cast(out_schema))
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def decontaminate_ngram_sql(ref_mod: int = DECONTAMINATE_REF_MOD,
+                            n: int = NGRAM_DECON_N) -> str:
+    ws = "' ' || chr(9) || chr(10) || chr(12) || chr(13)"
+    leads = " || ' ' || ".join(f"lead(tok, {j}) OVER w" for j in range(1, n))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text, {ws}), '\\s+')) AS tok,
+             generate_subscripts(
+               regexp_split_to_array(trim(text, {ws}), '\\s+'), 1) AS pos
+      FROM documents WHERE text IS NOT NULL),
+    ng AS (
+      SELECT doc_id, tok || ' ' || {leads} AS ngram
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING)
+      QUALIFY lead(tok, {n - 1}) OVER w IS NOT NULL),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id FROM ng g
+      JOIN (SELECT DISTINCT ngram FROM ng WHERE doc_id % {ref_mod} = 0) r
+        USING (ngram)
+      WHERE g.doc_id % {ref_mod} <> 0)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % {ref_mod} <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """
+
+
 def text_quality(sf_dir: str):
     """Composite quality signals in integer permille (deterministic under
     any execution order, unlike float ratios): digit density, stopword

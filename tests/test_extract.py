@@ -202,3 +202,60 @@ def test_text_ops_null_text_contracts(ray_session):
     b = sorted(map(tuple,
                    (r.values() for r in T.familiarity_cogroup(d).take_all())))
     assert a == b
+
+
+def test_decontaminate_ngram_drops_embedded_overlap(ray_session):
+    """The fuzzy scrub must catch contamination EMBEDDED in a longer
+    training doc (which exact matching misses), must not drop docs with
+    sub-n overlap, and must agree with its SQL oracle including on NULL
+    and short (< n tokens) texts."""
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joern_ray.pipelines import text as T
+
+    d = "/tmp/jr_decon_ngram_sf"
+    os.makedirs(d, exist_ok=True)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 11], pa.int64()),
+        # doc_id % 10 == 0 → reference slice (id 0)
+        "text": pa.array([
+            "alpha beta gamma delta",              # reference doc (4-gram)
+            "prefix alpha beta gamma delta suffix",  # embedded → drop
+            "alpha beta gamma other words here",   # only a 3-gram → keep
+            "totally different clean text doc",    # keep
+            "tiny doc",                            # < n tokens → keep
+            None,                                  # NULL text → keep
+        ], pa.string()),
+        "lang": ["en"] * 6,
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    kept = sorted(r["doc_id"] for r in
+                  T.decontaminate_ngram(d).take_all())
+    assert kept == [2, 3, 4, 11]
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{os.path.join(d, 'documents.parquet')}')")
+    want = sorted(con.sql(T.decontaminate_ngram_sql()).df()["doc_id"])
+    assert kept == list(want)
+
+
+def test_decontaminate_ngram_matches_oracle_at_sf001(ray_session):
+    """Full-corpus agreement with the n-gram-STRING SQL oracle at sf0.01
+    (hash-vs-string equivalence absent 64-bit collisions)."""
+    import duckdb
+
+    from joern_ray.pipelines import text as T
+
+    sf = "/root/testdata/sf0.01"
+    got = sorted(r["doc_id"] for r in T.decontaminate_ngram(sf).take_all())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    want = sorted(con.sql(T.decontaminate_ngram_sql()).df()["doc_id"])
+    assert got == list(want) and len(got) > 0
