@@ -136,16 +136,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
 
     def kg_triples_definite(sf_dir):
-        """Cross-sentence definite-description anaphora (v12): 'The
-        maintainer of <mod> met with <Y>.' resolved against module-keyed
-        committed maintainer state (the cross-AST linking analog; clause =
-        'definite')."""
+        """Cross-sentence definite-description anaphora (v12-v14): 'The
+        maintainer of <mod> met with <Y>.' — plain, org/tool-object and
+        quoted-nested variants — resolved against module-keyed committed
+        maintainer state (the cross-AST linking analog; clause 'definite'
+        or 'quoted_definite'); the clause column distinguishes nesting."""
+        import pyarrow as pa
         import pyarrow.compute as pc
         from joern_ray.functions import rules as R
+        vs = pa.array([R.DESC_CLAUSE, R.DESC_QUOTED_CLAUSE])
         return X.extract_triples(_transcripts(sf_dir)).map_batches(
-            lambda t: t.filter(pc.equal(t.column("clause"), R.DESC_CLAUSE))
+            lambda t: t.filter(pc.is_in(t.column("clause"), value_set=vs))
                        .select(["conv_id", "turn_idx", "subj", "pred",
-                                "obj"]),
+                                "obj", "clause"]),
             batch_format="pyarrow")
 
     def kg_list_coordination(sf_dir):
@@ -338,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": T.doc_fingerprint,
         "rel_distinct_part_types": REL.distinct_part_types,
         "rel_filter_project_parts": REL.filter_project_parts,
+        "text_decontaminate_ngram": T.decontaminate_ngram,
         # ---- rows-only, no driver row yet (next in the window) ----
         "ann_lsh": A.ann_lsh,
         "ann_ivf": A.ann_ivf,
@@ -389,9 +393,9 @@ def oracle_sql() -> dict[str, str]:
             "negated, in_question, slot_idx, clause "
             f"FROM ({G.resolved_triples_sql(tr)})"),
         "kg_triples_definite": (
-            "SELECT conv_id, turn_idx, subj, pred, obj "
+            "SELECT conv_id, turn_idx, subj, pred, obj, clause "
             f"FROM ({G.resolved_triples_sql(tr)}) "
-            "WHERE clause = 'definite'"),
+            "WHERE clause IN ('definite', 'quoted_definite')"),
         "kg_list_coordination": (
             "SELECT conv_id, turn_idx, subj, pred, obj, slot_idx "
             f"FROM ({G.resolved_triples_sql(tr)}) "
@@ -492,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": T.repetition_stats_sql(),
         "text_familiarity": T.familiarity_sql(),
         "text_decontaminate": T.decontaminate_sql(),
+        "text_decontaminate_ngram": T.decontaminate_ngram_sql(),
         "events_sessionize": EV.sessionize_sql(),
         "events_window_counts": EV.window_counts_sql(),
         "events_sliding_counts": EV.sliding_window_counts_sql(),

@@ -184,7 +184,7 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
             # against the committed module-keyed maintainer state; the
             # explicit person object feeds referent state; the resolved row
             # feeds no state (the pronoun-resolution discipline)
-            for pred, rx, ok in R.COMPILED_DESC_TEMPLATES:
+            for pred, rx, ok, clause in R.COMPILED_DESC_TEMPLATES:
                 m = rx.match(sent)
                 if m is None:
                     continue
@@ -195,7 +195,7 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                                     pred=pred, obj=obj, subj_kind="person",
                                     obj_kind=ok, **attrs,
                                     slot_idx=R.DEFAULT_SLOT_IDX,
-                                    clause=R.DESC_CLAUSE))
+                                    clause=clause))
                 if ok == "person":
                     _commit(obj)
                 break

@@ -180,14 +180,14 @@ def events_sql(rel: str) -> str:
     # definite-description templates (v12): descriptor events — subj NULL,
     # desc_key = the module the descriptor resolves against in the shared
     # module-state window of resolved_triples_sql
-    for pred, rx, ok in R.DESC_TEMPLATES:
+    for pred, rx, ok, clause in R.DESC_TEMPLATES:
         rxs = _plain(rx)
         nums = R.named_group_numbers(rx)
         parts.append(f"""
         SELECT conv_id, turn_idx, 'desc', CAST(NULL AS VARCHAR), '{pred}',
                regexp_extract(sent, '{rxs}', {nums["obj"]}),
                'person', '{ok}', {_attr_cols()},
-               {R.DEFAULT_SLOT_IDX}, '{R.DESC_CLAUSE}',
+               {R.DEFAULT_SLOT_IDX}, '{clause}',
                regexp_extract(sent, '{rxs}', {nums["key"]})
         FROM {sents}
         WHERE regexp_matches(sent, '{rxs}') AND NOT ({pron_any})""")

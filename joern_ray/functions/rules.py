@@ -263,13 +263,26 @@ LIST_TEMPLATE_LITERALS = {
 #
 # Event-store discriminator: subj IS NULL AND desc_key IS NOT NULL — the
 # desc_key column exists only for these rows.  Entry: (pred, regex,
-# obj_kind); group 'key' is the module key, group 'obj' the explicit object.
+# obj_kind, clause); group 'key' is the module key, group 'obj' the
+# explicit object.
+#
+# Quoted-nested referent-scope contract (v14): a definite description
+# INSIDE quoted speech ('Alice said "The maintainer of auth.core met with
+# Bob."') resolves in the QUOTING turn's scope — the committed maintainer
+# of the latest strictly-earlier turn — exactly the v11 quoted-pronoun
+# convention, and for the same reason: resolution stays a pure function of
+# the committed turn-state stream.  The SPEAKER is not an emitted slot (no
+# state commit, no shadowing); the explicit person object inside the quote
+# feeds referent state as usual.  Resolved rows carry the distinct clause
+# 'quoted_definite' so consumers can tell nesting from the plain construct.
 # ---------------------------------------------------------------------------
+DESC_CLAUSE = "definite"         # clause attribute of plain resolved rows
+DESC_QUOTED_CLAUSE = "quoted_definite"   # nested-in-quotes resolved rows
 DESC_TEMPLATES = [
     ("met",
      r"^The maintainer of (?P<key>[a-z_]+(?:\.[a-z_]+)*) met with "
      r"(?P<obj>[A-Z][a-z]+)[.?]$",
-     "person"),
+     "person", DESC_CLAUSE),
     # org-object descriptor: the resolved subject is still the committed
     # maintainer, but the explicit object is an ORG — it must NOT feed
     # pronoun-referent state (the kind-conditional feed rule); disjoint
@@ -278,19 +291,34 @@ DESC_TEMPLATES = [
     ("joined",
      r"^The maintainer of (?P<key>[a-z_]+(?:\.[a-z_]+)*) joined "
      r"(?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
-     "org"),
+     "org", DESC_CLAUSE),
+    # tool-object descriptor (v14): generalizes the machinery beyond
+    # person/org objects — the explicit tool object feeds NO referent
+    # state (kind-conditional feed); disjoint from the plain 'uses'
+    # template because that subject group admits no space.
+    ("uses",
+     r"^The maintainer of (?P<key>[a-z_]+(?:\.[a-z_]+)*) uses "
+     r"(?P<obj>[a-z0-9_]+) daily[.?]$",
+     "tool", DESC_CLAUSE),
+    # NESTED construct (v14): definite description inside quoted speech —
+    # see the referent-scope contract above.  Disjoint from quoted_uses /
+    # quoted_coord_uses by the inner 'The maintainer of' anchor.
+    ("met",
+     r'^(?P<speaker>[A-Z][a-z]+) said "The maintainer of '
+     r'(?P<key>[a-z_]+(?:\.[a-z_]+)*) met with (?P<obj>[A-Z][a-z]+)\."$',
+     "person", DESC_QUOTED_CLAUSE),
 ]
 DESC_LITERAL = "The maintainer of "
 DESC_STATE_PRED = "maintains"    # the predicate whose events feed the state
 DESC_KEY_KIND = "module"
-DESC_CLAUSE = "definite"         # clause attribute of resolved rows
 
 COMPILED_LIST_TEMPLATES = [
     (name, re.compile(rx), pred, mk, ok, clause)
     for name, rx, pred, mk, ok, clause in LIST_TEMPLATES
 ]
 COMPILED_DESC_TEMPLATES = [
-    (pred, re.compile(rx), ok) for pred, rx, ok in DESC_TEMPLATES
+    (pred, re.compile(rx), ok, clause)
+    for pred, rx, ok, clause in DESC_TEMPLATES
 ]
 
 # literal prefilters for the multi-relation templates (same discipline as

@@ -130,12 +130,12 @@ for line in sys.stdin:
                 break
             # definite-description templates: descriptor event (subj NULL,
             # desc_key = the module), resolved downstream in Stage B
-            for pred, rx, ok in R.COMPILED_DESC_TEMPLATES:
+            for pred, rx, ok, clause in R.COMPILED_DESC_TEMPLATES:
                 m = rx.match(sent)
                 if m is None:
                     continue
                 evs.append([None, pred, m.group("obj"), "person", ok,
-                            *attrs, 0, R.DESC_CLAUSE, m.group("key")])
+                            *attrs, 0, clause, m.group("key")])
                 break
             # untyped-mention overlay event (kind-recovery input): an
             # independent re-match of rules.MENTIONED_RE, mirroring the

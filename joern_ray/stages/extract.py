@@ -415,7 +415,7 @@ def extract_events(batch: pa.Table,
     if n_cand:
         pre = pc.match_substring(cand_text, R.DESC_LITERAL)
         idx0 = cand_idx.take(pc.indices_nonzero(pc.fill_null(pre, False)))
-        for pred, rx, ok in (R.DESC_TEMPLATES if len(idx0) else []):
+        for pred, rx, ok, clause in (R.DESC_TEMPLATES if len(idx0) else []):
             ex = pc.extract_regex(text.take(idx0), rx)
             mask = pc.is_valid(ex)
             not_pm = pc.invert(pa.array(
@@ -430,7 +430,7 @@ def extract_events(batch: pa.Table,
                 len(idx), conv.take(idx), tidx.take(idx),
                 pa.array([None] * len(idx), pa.string()), pred,
                 pc.struct_field(ex, "obj").take(local), "person", ok,
-                sidx.take(idx), neg, inq, R.DEFAULT_SLOT_IDX, R.DESC_CLAUSE,
+                sidx.take(idx), neg, inq, R.DEFAULT_SLOT_IDX, clause,
                 pc.struct_field(ex, "key").take(local)))
 
     # untyped-mention events (kind-recovery overlay input, rules.MENTIONED_RE,

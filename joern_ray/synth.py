@@ -23,7 +23,14 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v13"  # v13: org-object definite descriptions ("The
+CORPUS_VERSION = "v14"  # v14: definite descriptions NESTED IN QUOTED
+#                         speech ('X said "The maintainer of auth.core met
+#                         with Bob."' — resolves in the quoting turn's
+#                         scope, clause='quoted_definite') and TOOL-object
+#                         descriptors ("The maintainer of auth.core uses
+#                         search daily." — kind-conditional feed: the tool
+#                         object commits no referent state);
+#                         v13: org-object definite descriptions ("The
 #                         maintainer of auth.core joined Globex Corp." —
 #                         the explicit org object feeds NO pronoun state:
 #                         the kind-conditional feed rule, exercised
@@ -526,14 +533,15 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             # explicit person object commits referent state
             mods = sorted(last_maint)
             mod = mods[int(rng.integers(0, len(mods)))]
-            if rng.random() < 0.6:
+            u2 = rng.random()
+            if u2 < 0.40:
                 other = _pick_person(rng)
                 add_row(t, role,
                         f"The maintainer of {mod} met with {other}.")
                 add_gt(t, "person", last_maint[mod], "met",
                        "person", other.lower())
                 last_person = other
-            else:
+            elif u2 < 0.65:
                 # org-object descriptor (v13): the explicit object is an
                 # org, so it feeds NO pronoun-referent state (the
                 # kind-conditional feed rule)
@@ -542,6 +550,26 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                         f"The maintainer of {mod} joined {obj_surface}.")
                 add_gt(t, "person", last_maint[mod], "joined",
                        "org", obj_canon)
+            elif u2 < 0.85:
+                # descriptor NESTED in quoted speech (v14): resolves in
+                # the quoting turn's scope; the speaker is not an emitted
+                # slot (no commit, no shadowing); the explicit person
+                # object inside the quote commits referent state
+                speaker = _pick_person(rng)
+                other = _pick_person(rng)
+                add_row(t, role, f'{speaker} said "The maintainer of '
+                                 f'{mod} met with {other}."')
+                add_gt(t, "person", last_maint[mod], "met",
+                       "person", other.lower())
+                last_person = other
+            else:
+                # tool-object descriptor (v14): kind-conditional feed —
+                # the tool object commits no referent state
+                tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
+                add_row(t, role,
+                        f"The maintainer of {mod} uses {tool} daily.")
+                add_gt(t, "person", last_maint[mod], "uses",
+                       "tool", tool)
         elif rng.random() < 0.12:
             # untyped-mention turn (kind recovery's input, v10): three
             # regimes — same-conv evidence (round 1), global person

@@ -71,18 +71,27 @@ def _random_conversation_rows(draw):
             b = draw(st.sampled_from(R.PERSONS[6:12]))
             text = f"{a} met with {b}."
         elif kind == 3:
-            # definite-description state + descriptor (v12/v13): both the
-            # module-keyed commit and the descriptor itself, mixed freely
+            # definite-description state + descriptor (v12-v14): the
+            # module-keyed commit and all four descriptor variants (plain
+            # met, org-object, quoted-nested, tool-object), mixed freely
             # so buckets see descriptors with/without resolvable state
             p = draw(st.sampled_from(R.PERSONS[:6]))
             mod = draw(st.sampled_from(R.MODULES[:3]))
-            if draw(st.booleans()):
+            variant = draw(st.integers(0, 4))
+            if variant == 0:
                 text = f"{p} maintains {mod}."
-            elif draw(st.booleans()):
+            elif variant == 1:
                 text = f"The maintainer of {mod} met with {p}."
-            else:
+            elif variant == 2:
                 o = draw(st.sampled_from(R.ORG_BASES[:4]))
                 text = f"The maintainer of {mod} joined {o} Corp."
+            elif variant == 3:
+                spk = draw(st.sampled_from(R.PERSONS[6:12]))
+                text = (f'{spk} said "The maintainer of {mod} met with '
+                        f'{p}."')
+            else:
+                tool = draw(st.sampled_from(R.TOOLS[:4]))
+                text = f"The maintainer of {mod} uses {tool} daily."
         elif kind == 4:
             # open-ended coordination list (v12), possibly with a pronoun
             # member at a random slot
