@@ -342,8 +342,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_distinct_part_types": REL.distinct_part_types,
         "rel_filter_project_parts": REL.filter_project_parts,
         "text_decontaminate_ngram": T.decontaminate_ngram,
+        "dedup_semantic_planted": A.dedup_semantic_planted,
         # ---- rows-only, no driver row yet (next in the window) ----
         "ann_lsh": A.ann_lsh,
+        "dedup_semantic": A.dedup_semantic,
         "ann_ivf": A.ann_ivf,
         "ann_kmeans": A.kmeans,
         "dedup_simhash_clusters": T.simhash_clusters,
@@ -504,4 +506,5 @@ def oracle_sql() -> dict[str, str]:
         "events_props_k_stats": EV.props_k_stats_sql(),
         "ann_topk": A.ann_bruteforce_sql(),
         "embedding_neardup": A.embedding_neardup_planted_sql(),
+        "dedup_semantic_planted": A.dedup_semantic_planted_sql(),
     }

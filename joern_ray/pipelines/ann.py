@@ -30,6 +30,13 @@ def _matrix(t: pa.Table) -> np.ndarray:
     col = t.column("embedding")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    offs = col.offsets.to_numpy().astype(np.int64)
+    widths = offs[1:] - offs[:-1]
+    if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+        # fixed-dim fast path: one flat zero-copy view + reshape
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return flat[offs[0]:offs[-1]].astype(np.float64).reshape(
+            len(widths), int(widths[0]))
     return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
@@ -454,22 +461,7 @@ def embedding_neardup_planted(sf_dir: str, *, threshold: float = 0.95):
     is (a, b) pairs only — similarity values would differ in float
     rounding between numpy float64 and DuckDB's float32 kernels."""
     ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
-
-    def augment(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        if t.num_rows and pc.max(t.column("vec_id")).as_py() >= PLANT_OFFSET:
-            raise ValueError(
-                "embeddings vec_id overlaps PLANT_OFFSET — raise the "
-                "offset before planting duplicates on this corpus")
-        keep = t.filter(pc.less(t.column("vec_id"), N_PLANT))
-        if keep.num_rows == 0:
-            return t
-        dup = keep.set_column(
-            keep.schema.get_field_index("vec_id"), "vec_id",
-            pc.add(keep.column("vec_id"), PLANT_OFFSET))
-        return pa.concat_tables([t, dup])
-
-    return _neardup_pairs(ds.map_batches(augment, batch_format="pyarrow"),
+    return _neardup_pairs(_augment_with_plants(ds),
                           threshold=threshold, with_sim=False)
 
 
@@ -483,4 +475,126 @@ def embedding_neardup_planted_sql(*, threshold: float = 0.95) -> str:
     SELECT a.vec_id AS a, b.vec_id AS b
     FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+    """
+
+
+SEMDEDUP_THRESHOLD = 0.95
+SEMDEDUP_CLUSTER_CAP = 100_000   # per-cluster row bound; see dedup_semantic
+_SEMDEDUP_CHUNK = 1_024          # bounds the chunked sim-matrix slab to
+#                                  cap x chunk x 8 B  (~800 MB at the cap)
+
+
+def _augment_with_plants(ds):
+    """Plant exact duplicates (vec_id < N_PLANT copied to
+    vec_id + PLANT_OFFSET) — shared by the *_planted operators."""
+    def augment(t: pa.Table) -> pa.Table:
+        if t.num_rows and pc.max(t.column("vec_id")).as_py() >= PLANT_OFFSET:
+            raise ValueError(
+                "embeddings vec_id overlaps PLANT_OFFSET — raise the "
+                "offset before planting duplicates on this corpus")
+        keep = t.filter(pc.less(t.column("vec_id"), N_PLANT))
+        if keep.num_rows == 0:
+            return t
+        dup = keep.set_column(
+            keep.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(keep.column("vec_id"), PLANT_OFFSET))
+        return pa.concat_tables([t, dup])
+    return ds.map_batches(augment, batch_format="pyarrow")
+
+
+def _semantic_keep(ds, sf_dir: str, *, k: int, iters: int,
+                   threshold: float):
+    """SemDeDup core (Abbas et al. 2023): Lloyd's k-means partitions the
+    corpus; WITHIN each cluster the deterministic keep rule drops ``v``
+    iff any smaller-id ``u`` in the cluster has cosine(u, v) >= threshold
+    (the greedy min-id rule — a total order replaces the paper's
+    farthest-from-centroid tiebreak so the result is reproducible and
+    SQL-mirrorable).
+
+    100-TB shape: centroids train via the streaming partial-combine loop
+    (driver folds k x n_blocks tiny rows per round) and broadcast ONCE;
+    assignment is one matmul per batch; the only exchange ships
+    (cluster, vec_id, embedding) rows hash-bucketed by cluster.  The
+    per-cluster work is O(c^2) dot products BY DESIGN (that is SemDeDup's
+    trade: choose k ~ n / target_cluster_size so c stays bounded — the
+    paper uses ~1e4-1e5 per cluster); the sim slab is CHUNKED so memory
+    is cap x chunk, never c x c.  Clusters beyond SEMDEDUP_CLUSTER_CAP
+    raise with that guidance rather than silently degrading."""
+    cents = _kmeans_centroids(sf_dir, k, iters)
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents_ = ray.get(cref)
+        vecs = _matrix(t)
+        d = ((vecs[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+        return t.append_column("cluster",
+                               pa.array(d.argmin(axis=1), pa.int64()))
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        if g.num_rows > SEMDEDUP_CLUSTER_CAP:
+            raise ValueError(
+                f"SemDeDup cluster of {g.num_rows} rows exceeds "
+                f"SEMDEDUP_CLUSTER_CAP={SEMDEDUP_CLUSTER_CAP}; raise k "
+                "(clusters shrink ~n/k) instead of lifting the cap")
+        g = g.sort_by("vec_id")
+        vecs = _norm_rows(_matrix(g))
+        n = len(vecs)
+        drop = np.zeros(n, bool)
+        for a in range(1, n, _SEMDEDUP_CHUNK):
+            b = min(a + _SEMDEDUP_CHUNK, n)
+            sims = vecs[:b] @ vecs[a:b].T            # (b, b-a)
+            # smaller-id-only mask: row index i strictly below column id
+            earlier = (np.arange(b)[:, None]
+                       < (a + np.arange(b - a))[None, :])
+            drop[a:b] = ((sims >= threshold) & earlier).any(axis=0)
+        return pa.table({"vec_id": g.column("vec_id").filter(
+            pa.array(~drop))})
+
+    out_schema = pa.schema([("vec_id", pa.int64())])
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(dedup_group, batch_format="pyarrow")
+            .union(ray.data.from_arrow(out_schema.empty_table())))
+
+
+def dedup_semantic(sf_dir: str, *, k: int = KMEANS_K,
+                   iters: int = KMEANS_ITERS,
+                   threshold: float = SEMDEDUP_THRESHOLD):
+    """Semantic deduplication over the embedding column (SemDeDup):
+    kept vec_ids after within-cluster cosine pruning.  Approximate by
+    construction — a near-dup pair split across clusters is not pruned;
+    the planted variant (`dedup_semantic_planted`) is the provable one."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+    return _semantic_keep(ds, sf_dir, k=k, iters=iters, threshold=threshold)
+
+
+def dedup_semantic_planted(sf_dir: str, *, k: int = KMEANS_K,
+                           iters: int = KMEANS_ITERS,
+                           threshold: float = SEMDEDUP_THRESHOLD):
+    """SemDeDup demonstrated on the planted-duplicate corpus, where the
+    clustering step is provably lossless: an exact copy has identical
+    centroid distances to its original, so argmin assigns both to the
+    SAME cluster and the within-cluster rule must see the pair.  The raw
+    synthetic embeddings carry no cosine >= 0.95 pairs (max off-diagonal
+    ~0.51), so the kept set exactly equals the exhaustive greedy min-id
+    rule over ALL pairs — the SQL oracle (`dedup_semantic_planted_sql`),
+    which needs no clustering at all."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+    return _semantic_keep(_augment_with_plants(ds), sf_dir,
+                          k=k, iters=iters, threshold=threshold)
+
+
+def dedup_semantic_planted_sql(*, threshold: float = SEMDEDUP_THRESHOLD
+                               ) -> str:
+    return f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {PLANT_OFFSET}, embedding FROM embeddings
+      WHERE vec_id < {N_PLANT})
+    SELECT v.vec_id FROM aug v
+    WHERE NOT EXISTS (
+      SELECT 1 FROM aug u WHERE u.vec_id < v.vec_id
+        AND list_cosine_similarity(u.embedding, v.embedding)
+            >= {threshold})
     """

@@ -197,3 +197,71 @@ def test_ann_ivf_deterministic(ray_session):
     a = sorted(map(tuple, (r.values() for r in ann_ivf(sf).take_all())))
     b = sorted(map(tuple, (r.values() for r in ann_ivf(sf).take_all())))
     assert a == b
+
+
+def test_dedup_semantic_planted_matches_exact_oracle(ray_session):
+    """SemDeDup on the planted corpus equals the clustering-free exact
+    greedy min-id rule (SQL oracle): every planted copy drops, every
+    original survives."""
+    import duckdb
+
+    from joern_ray.pipelines import ann as A
+
+    sf = "/root/testdata/sf0.01"
+    kept = sorted(r["vec_id"] for r in
+                  A.dedup_semantic_planted(sf).take_all())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')")
+    want = sorted(con.sql(A.dedup_semantic_planted_sql()).df()["vec_id"])
+    assert kept == list(want)
+    assert not any(v >= A.PLANT_OFFSET for v in kept)   # copies dropped
+    assert len(kept) > 0
+
+
+def test_dedup_semantic_chunked_slab_is_boundary_exact(ray_session,
+                                                       monkeypatch):
+    """Forcing a tiny sim-slab chunk must not change the kept set — the
+    chunk boundary math (strictly-smaller-id mask) is exact."""
+    from joern_ray.pipelines import ann as A
+
+    sf = "/root/testdata/sf0.01"
+    base = sorted(r["vec_id"] for r in
+                  A.dedup_semantic_planted(sf).take_all())
+    monkeypatch.setattr(A, "_SEMDEDUP_CHUNK", 7)
+    tiny = sorted(r["vec_id"] for r in
+                  A.dedup_semantic_planted(sf).take_all())
+    assert base == tiny
+
+
+def test_dedup_semantic_raw_keeps_everything_below_threshold(ray_session):
+    """The raw synthetic embeddings have no cosine >= 0.95 pair, so the
+    un-planted operator keeps every vec_id."""
+    import pyarrow.parquet as pq
+
+    from joern_ray.pipelines import ann as A
+
+    sf = "/root/testdata/sf0.01"
+    n = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id"]).num_rows
+    kept = A.dedup_semantic(sf).count()
+    assert kept == n
+
+
+def test_matrix_fast_path_equals_pylist_on_ragged_and_null():
+    """_matrix's zero-copy fixed-dim reshape must agree with the pylist
+    path, including through a non-zero-offset slice."""
+    import numpy as np
+    import pyarrow as pa
+
+    from joern_ray.pipelines import ann as A
+
+    fixed = pa.table({"embedding": pa.array(
+        [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], pa.list_(pa.float32()))})
+    m = A._matrix(fixed)
+    assert m.shape == (3, 2) and m.dtype == np.float64
+    assert np.array_equal(
+        m, np.asarray([[1, 2], [3, 4], [5, 6]], dtype=np.float64))
+    # sliced view (non-zero offset) still correct
+    m2 = A._matrix(fixed.slice(1, 2))
+    assert np.array_equal(m2, np.asarray([[3, 4], [5, 6]], np.float64))
