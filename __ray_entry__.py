@@ -343,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_filter_project_parts": REL.filter_project_parts,
         "text_decontaminate_ngram": T.decontaminate_ngram,
         "dedup_semantic_planted": A.dedup_semantic_planted,
+        "text_tfidf_topk": T.tfidf_topk,
+        "text_source_mix_weights": T.source_mix_weights,
         # ---- rows-only, no driver row yet (next in the window) ----
         "ann_lsh": A.ann_lsh,
         "dedup_semantic": A.dedup_semantic,
@@ -499,6 +501,8 @@ def oracle_sql() -> dict[str, str]:
         "text_familiarity": T.familiarity_sql(),
         "text_decontaminate": T.decontaminate_sql(),
         "text_decontaminate_ngram": T.decontaminate_ngram_sql(),
+        "text_tfidf_topk": T.tfidf_topk_sql(),
+        "text_source_mix_weights": T.source_mix_weights_sql(),
         "events_sessionize": EV.sessionize_sql(),
         "events_window_counts": EV.window_counts_sql(),
         "events_sliding_counts": EV.sliding_window_counts_sql(),

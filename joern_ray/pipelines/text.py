@@ -603,6 +603,260 @@ def familiarity_cogroup(sf_dir: str):
                                           batch_format="pyarrow"))
 
 
+def source_mix_weights(sf_dir: str):
+    """Per-source corpus mixing table (the Pile/temperature-mixing
+    bookkeeping step): doc count, token count, and proportional sampling
+    weights in integer permille — ``weight_permille = (1000 * tokens_s)
+    // total_tokens`` (temperature 1; a trainer applies its own
+    temperature to these exact integers).
+
+    100-TB shape: ONE map with a per-batch (source, docs, tokens)
+    combiner — at most n_sources rows leave each batch — then a
+    groupby(source) sum.  `source` is a categorical column (sources
+    number in the hundreds, not the billions), so the aggregated table
+    is driver-trivial by construction; the totals fold over it is
+    integer and order-free."""
+    ds = ray.data.read_parquet(_p(sf_dir),
+                               columns=["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = ascii_trim(t.column("text"))
+        seps = pc.count_substring_regex(trimmed, _WS_RE)
+        n_tok = pc.fill_null(
+            pc.if_else(pc.equal(trimmed, ""), 0, pc.add(seps, 1)), 0)
+        return (pa.table({"source": t.column("source"),
+                          "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+                          "n_tokens": n_tok.cast(pa.int64())})
+                .group_by("source")
+                .aggregate([("n_docs", "sum"), ("n_tokens", "sum")])
+                .rename_columns(["source", "n_docs", "n_tokens"]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source").sum(["n_docs", "n_tokens"]))
+    parts = [b for b in agg.iter_batches(batch_format="pyarrow")
+             if b.num_columns]
+    t = (pa.concat_tables(parts).combine_chunks() if parts
+         else pa.schema([("source", pa.string()),
+                         ("sum(n_docs)", pa.int64()),
+                         ("sum(n_tokens)", pa.int64())]).empty_table())
+    docs = t.column("sum(n_docs)").to_numpy(zero_copy_only=False)
+    toks = t.column("sum(n_tokens)").to_numpy(zero_copy_only=False)
+    tot_docs, tot_toks = max(int(docs.sum()), 1), max(int(toks.sum()), 1)
+    return pa.table({
+        "source": t.column("source"),
+        "n_docs": pa.array(docs, pa.int64()),
+        "n_tokens": pa.array(toks, pa.int64()),
+        "weight_permille": pa.array(1000 * toks // tot_toks, pa.int64()),
+        "doc_share_permille": pa.array(1000 * docs // tot_docs, pa.int64()),
+    }).sort_by("source")
+
+
+def source_mix_weights_sql() -> str:
+    ws = _WS_SQL
+    ntok = (f"coalesce(CASE WHEN trim(text, {ws}) = '' THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim(text, {ws}), '\\s+')) "
+            f"END, 0)")
+    return f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum({ntok}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1)
+    SELECT source, n_docs, n_tokens,
+           CAST(1000 * n_tokens
+                // greatest(CAST((SELECT sum(n_tokens) FROM s) AS BIGINT),
+                            1) AS BIGINT) AS weight_permille,
+           CAST(1000 * n_docs
+                // greatest(CAST((SELECT sum(n_docs) FROM s) AS BIGINT),
+                            1) AS BIGINT) AS doc_share_permille
+    FROM s
+    """
+
+
+TFIDF_K = 3
+TFIDF_MAX_VOCAB = 50_000_000   # df-table broadcast bound (token + int64)
+
+
+def _tfidf_flat_pairs(t: pa.Table) -> pa.Table:
+    """Distinct (doc_id, token, tf) rows for a batch.  EXACT globally:
+    a document is one input row, so every (doc, token) pair lives in
+    exactly one batch — per-batch tf needs no cross-batch combine and
+    the pair rows double as the df combiner (one row per distinct pair)."""
+    trimmed = ascii_trim(t.column("text"))
+    sub = t.filter(pc.fill_null(pc.not_equal(trimmed, ""), False))
+    schema = pa.schema([("doc_id", pa.int64()), ("token", pa.string()),
+                        ("tf", pa.int64())])
+    if sub.num_rows == 0:
+        return schema.empty_table()
+    toks = pc.split_pattern_regex(ascii_trim(sub.column("text")), _WS_RE)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    parents = np.repeat(sub.column("doc_id").to_numpy(), lengths)
+    flat = pa.table({"doc_id": pa.array(parents, pa.int64()),
+                     "token": pc.list_flatten(toks)})
+    return (flat.group_by(["doc_id", "token"])
+            .aggregate([("token", "count")])
+            .rename_columns(["doc_id", "token", "tf"]).cast(schema))
+
+
+def _topk_per_doc(tbl: pa.Table, k: int) -> pa.Table:
+    """Deterministic per-doc top-k: (score_milli DESC, token ASC) within
+    doc — vectorized rank over the sorted table, no Python per-row work."""
+    s = tbl.sort_by([("doc_id", "ascending"),
+                     ("score_milli", "descending"),
+                     ("token", "ascending")])
+    d = s.column("doc_id").to_numpy()
+    if len(d) == 0:
+        return pa.table({"doc_id": d, "rank": d,
+                         "token": s.column("token"),
+                         "score_milli": s.column("score_milli")})
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    grp = np.repeat(starts, np.diff(np.r_[starts, len(d)]))
+    rank = np.arange(len(d), dtype=np.int64) - grp + 1
+    keep = rank <= k
+    return pa.table({"doc_id": s.column("doc_id").filter(pa.array(keep)),
+                     "rank": pa.array(rank[keep], pa.int64()),
+                     "token": s.column("token").filter(pa.array(keep)),
+                     "score_milli": s.column("score_milli")
+                     .filter(pa.array(keep))})
+
+
+def tfidf_topk(sf_dir: str, *, k: int = TFIDF_K):
+    """Per-document top-k keywords by tf-idf (linear-idf variant in
+    integer milli-units: ``score = tf * ((1000 * N) // df)`` — integer
+    end-to-end so the DuckDB mirror matches hash-exactly; ln-idf would
+    rank identically for fixed tf since N/df is monotone).
+
+    100-TB shape: tf is map-side exact (a doc is one row); the only
+    exchange is the vocab-sized token groupby building the df table,
+    pre-combined per batch to distinct (doc, token) rows; df broadcasts
+    ONCE via ``ray.put`` under a distributed-count gate and every batch
+    scores + top-ks its own docs with one ``index_in`` and one vectorized
+    rank — no doc-keyed exchange at all.  Beyond the vocab bound this
+    auto-dispatches to ``tfidf_topk_cogroup`` (two narrow keyed
+    exchanges, no driver vocabulary)."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+    n_docs = ds.count()   # parquet metadata count — no data scan
+
+    df_ds = (ds.map_batches(
+        lambda t: (_tfidf_flat_pairs(t).group_by("token")
+                   .aggregate([("token", "count")])
+                   .rename_columns(["token", "df"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token").sum("df")).materialize()
+    if df_ds.count() > TFIDF_MAX_VOCAB:
+        return tfidf_topk_cogroup(sf_dir, k=k)
+    parts = [b for b in df_ds.iter_batches(batch_format="pyarrow")
+             if b.num_columns]
+    dft = (pa.concat_tables(parts).combine_chunks() if parts
+           else pa.schema([("token", pa.string()),
+                           ("sum(df)", pa.int64())]).empty_table())
+    df_ref = ray.put((dft.column("token").combine_chunks(),
+                      dft.column("sum(df)").to_numpy(zero_copy_only=False)))
+
+    def score(t: pa.Table) -> pa.Table:
+        pairs = _tfidf_flat_pairs(t)
+        if pairs.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()), ("rank", pa.int64()),
+                              ("token", pa.string()),
+                              ("score_milli", pa.int64())]).empty_table()
+        toks, dfs = ray.get(df_ref)
+        pos = pc.index_in(pairs.column("token"), value_set=toks) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        idf_milli = (1000 * n_docs) // dfs[pos]
+        score_milli = pairs.column("tf").to_numpy() * idf_milli
+        return _topk_per_doc(
+            pairs.append_column("score_milli",
+                                pa.array(score_milli, pa.int64()))
+            .drop_columns(["tf"]), k)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def tfidf_topk_cogroup(sf_dir: str, *, k: int = TFIDF_K):
+    """Beyond-broadcast tf-idf: NO driver-held vocabulary.  Exchange 1 is
+    token-keyed (all rows of a token co-locate, so df is shard-exact and
+    attaches in-shard via one ``index_in``); exchange 2 is doc-keyed (all
+    scored terms of a doc co-locate, so the top-k rank is shard-exact).
+    Equivalence with the broadcast path is pytest-enforced."""
+    from ..functions.buckets import add_bucket
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        return add_bucket(_tfidf_flat_pairs(t), "token",
+                          FAMILIARITY_COGROUP_BUCKETS)
+
+    def tok_shard(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.int64()), ("token", pa.string()),
+                            ("score_milli", pa.int64())])
+        if g.num_rows == 0:
+            return schema.empty_table()
+        g = g.drop_columns(["bucket"]).combine_chunks()
+        dft = (g.select(["token", "tf"]).group_by("token")
+               .aggregate([("token", "count")]))
+        pos = pc.index_in(g.column("token"),
+                          value_set=dft.column("token").combine_chunks())
+        dfs = dft.column("token_count").combine_chunks().take(pos) \
+                 .to_numpy(zero_copy_only=False)
+        idf_milli = (1000 * n_docs) // dfs
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "token": g.column("token"),
+            "score_milli": pa.array(
+                g.column("tf").to_numpy() * idf_milli, pa.int64()),
+        })
+
+    scored = (ds.map_batches(tok_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("bucket").map_groups(tok_shard,
+                                            batch_format="pyarrow"))
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()), ("token", pa.string()),
+                              ("score_milli", pa.int64()),
+                              ("bucket", pa.int64())]).empty_table()
+        return add_bucket(t, "doc_id", FAMILIARITY_COGROUP_BUCKETS)
+
+    def doc_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()), ("rank", pa.int64()),
+                              ("token", pa.string()),
+                              ("score_milli", pa.int64())]).empty_table()
+        return _topk_per_doc(g.drop_columns(["bucket"]).combine_chunks(), k)
+
+    return (scored.map_batches(doc_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(doc_shard,
+                                          batch_format="pyarrow"))
+
+
+def tfidf_topk_sql(*, k: int = TFIDF_K) -> str:
+    ws = _WS_SQL
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text, {ws}), '\\s+')) AS token
+      FROM documents WHERE trim(text, {ws}) <> ''),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tk GROUP BY 1, 2),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+           FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    s AS (SELECT tf.doc_id, tf.token,
+                 tf.tf * ((1000 * n.n) // df.df) AS score_milli
+          FROM tf JOIN df USING (token) CROSS JOIN n),
+    r AS (SELECT doc_id, token, CAST(score_milli AS BIGINT) AS score_milli,
+                 CAST(row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_milli DESC, token ASC) AS BIGINT) AS rank
+          FROM s)
+    SELECT doc_id, rank, token, score_milli FROM r WHERE rank <= {k}
+    """
+
+
 DECONTAMINATE_REF_MOD = 10
 # broadcast bound for the benchmark/reference text set (decontamination
 # references — eval benchmarks, held-out test sets — are MBs, not TBs;

@@ -259,3 +259,82 @@ def test_decontaminate_ngram_matches_oracle_at_sf001(ray_session):
             f"read_parquet('{sf}/documents.parquet')")
     want = sorted(con.sql(T.decontaminate_ngram_sql()).df()["doc_id"])
     assert got == list(want) and len(got) > 0
+
+
+def test_tfidf_topk_golden_and_cogroup_equivalence(ray_session):
+    """Hand-checkable tf-idf golden: rare terms outrank common ones;
+    ties break on token order; ranks are dense from 1; and the
+    beyond-broadcast cogroup path emits the identical table."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joern_ray.pipelines import text as T
+
+    d = "/tmp/jr_tfidf_sf"
+    os.makedirs(d, exist_ok=True)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        # N=4 docs; "common" in docs 0-2 (df=3, idf=4000//3=1333);
+        # "rare" only in doc 0 (df=1, idf=4000)
+        "text": ["rare common common common",
+                 "common midA midA",      # midA df=2 → idf=2000
+                 "common midA",
+                 None],
+        "lang": ["en"] * 4,
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    rows = sorted(map(tuple, (r.values() for r in
+                              T.tfidf_topk(d).take_all())))
+    # doc 0: rare 1*4000=4000 > common 3*1333=3999 (idf floor division)
+    assert (0, 1, "rare", 4000) in rows
+    assert (0, 2, "common", 3999) in rows
+    # doc 1: midA 2*2000=4000 > common 1*1333
+    assert (1, 1, "midA", 4000) in rows and (1, 2, "common", 1333) in rows
+    # doc 2: midA 1*2000 > common 1*1333
+    assert (2, 1, "midA", 2000) in rows and (2, 2, "common", 1333) in rows
+    # null-text doc emits nothing
+    assert not any(r[0] == 3 for r in rows)
+
+    cg = sorted(map(tuple, (r.values() for r in
+                            T.tfidf_topk_cogroup(d).take_all())))
+    assert rows == cg
+
+
+def test_tfidf_topk_cogroup_matches_broadcast_at_sf001(ray_session):
+    from joern_ray.pipelines import text as T
+
+    sf = "/root/testdata/sf0.01"
+    a = sorted(map(tuple, (r.values() for r in
+                           T.tfidf_topk(sf).take_all())))
+    b = sorted(map(tuple, (r.values() for r in
+                           T.tfidf_topk_cogroup(sf).take_all())))
+    assert a == b and len(a) > 0
+
+
+def test_source_mix_weights_golden(ray_session):
+    """Integer-permille mixing weights: proportional to token mass, null
+    text counts zero tokens but still one doc."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joern_ray.pipelines import text as T
+
+    d = "/tmp/jr_srcmix_sf"
+    os.makedirs(d, exist_ok=True)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c", "d e", None, "f g h i j"], pa.string()),
+        "lang": ["en"] * 4,
+        "source": ["s0", "s0", "s1", "s1"],
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    out = {r["source"]: r for r in T.source_mix_weights(d).to_pylist()}
+    # s0: 2 docs, 5 tokens; s1: 2 docs, 5 tokens (null → 0); total 10
+    assert out["s0"]["n_docs"] == 2 and out["s0"]["n_tokens"] == 5
+    assert out["s1"]["n_docs"] == 2 and out["s1"]["n_tokens"] == 5
+    assert out["s0"]["weight_permille"] == 500
+    assert out["s1"]["doc_share_permille"] == 500
