@@ -136,15 +136,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
 
     def kg_triples_definite(sf_dir):
-        """Cross-sentence definite-description anaphora (v12-v14): 'The
-        maintainer of <mod> met with <Y>.' — plain, org/tool-object and
-        quoted-nested variants — resolved against module-keyed committed
-        maintainer state (the cross-AST linking analog; clause 'definite'
-        or 'quoted_definite'); the clause column distinguishes nesting."""
+        """Cross-sentence definite-description anaphora (v12-v15): 'The
+        maintainer of <mod> met with <Y>.' — plain, org/tool-object,
+        quoted-nested AND object-side ('Bob met with the maintainer of
+        <mod>.') variants — resolved against module-keyed committed
+        maintainer state (the cross-AST linking analog); the clause
+        column ('definite' / 'quoted_definite' / 'definite_obj')
+        distinguishes the construct."""
         import pyarrow as pa
         import pyarrow.compute as pc
         from joern_ray.functions import rules as R
-        vs = pa.array([R.DESC_CLAUSE, R.DESC_QUOTED_CLAUSE])
+        vs = pa.array([R.DESC_CLAUSE, R.DESC_QUOTED_CLAUSE,
+                       R.DESC_OBJ_CLAUSE])
         return X.extract_triples(_transcripts(sf_dir)).map_batches(
             lambda t: t.filter(pc.is_in(t.column("clause"), value_set=vs))
                        .select(["conv_id", "turn_idx", "subj", "pred",
@@ -399,7 +402,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_definite": (
             "SELECT conv_id, turn_idx, subj, pred, obj, clause "
             f"FROM ({G.resolved_triples_sql(tr)}) "
-            "WHERE clause IN ('definite', 'quoted_definite')"),
+            "WHERE clause IN ('definite', 'quoted_definite', "
+            "'definite_obj')"),
         "kg_list_coordination": (
             "SELECT conv_id, turn_idx, subj, pred, obj, slot_idx "
             f"FROM ({G.resolved_triples_sql(tr)}) "

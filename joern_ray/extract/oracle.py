@@ -199,6 +199,26 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                 if ok == "person":
                     _commit(obj)
                 break
+            # OBJECT-side definite descriptions (v15): the object resolves
+            # against the committed maintainer state; the explicit person
+            # subject feeds referent state regardless of resolvability
+            # (the object-pronoun discipline); pronoun subjects skip
+            for pred, rx, clause in R.COMPILED_DESC_OBJ_TEMPLATES:
+                m = rx.match(sent)
+                if m is None:
+                    continue
+                subj = m.group("subj")
+                if subj in R.SUBJ_PRONOUNS:
+                    break
+                ref = last_maint.get(m.group("key"))
+                if ref is not None:
+                    out.append(dict(conv_id=conv_id, turn_idx=t, subj=subj,
+                                    pred=pred, obj=ref, subj_kind="person",
+                                    obj_kind="person", **attrs,
+                                    slot_idx=R.DEFAULT_SLOT_IDX,
+                                    clause=clause))
+                _commit(subj)
+                break
     return out
 
 

@@ -191,6 +191,24 @@ def events_sql(rel: str) -> str:
                regexp_extract(sent, '{rxs}', {nums["key"]})
         FROM {sents}
         WHERE regexp_matches(sent, '{rxs}') AND NOT ({pron_any})""")
+    # OBJECT-side definite descriptions (v15): explicit subject captured,
+    # obj NULL until the module-state window fills it; pronoun subjects
+    # skip (the plain-template rule)
+    for pred, rx, clause in R.DESC_OBJ_TEMPLATES:
+        rxs = _plain(rx)
+        nums = R.named_group_numbers(rx)
+        parts.append(f"""
+        SELECT conv_id, turn_idx, 'desc_obj',
+               regexp_extract(sent, '{rxs}', {nums["subj"]}), '{pred}',
+               CAST(NULL AS VARCHAR),
+               'person', 'person', {_attr_cols()},
+               {R.DEFAULT_SLOT_IDX}, '{clause}',
+               regexp_extract(sent, '{rxs}', {nums["key"]})
+        FROM {sents}
+        WHERE regexp_matches(sent, '{rxs}')
+          AND regexp_extract(sent, '{rxs}', {nums["subj"]})
+              NOT IN ({pron_in})
+          AND NOT ({pron_any})""")
     parts.append(f"""
         SELECT conv_id, turn_idx, 'triple', conv_id, '{R.INVOKED_PRED}',
                tool, 'conv', 'tool', 0, FALSE, FALSE,
@@ -217,6 +235,7 @@ def resolved_triples_sql(rel: str) -> str:
              WHEN etype = 'pronoun_obj' THEN subj
              WHEN etype = 'desc' THEN
                CASE WHEN obj_kind = 'person' THEN obj END
+             WHEN etype = 'desc_obj' THEN subj
              END AS person
       FROM ev),
     tp AS (
@@ -242,7 +261,8 @@ def resolved_triples_sql(rel: str) -> str:
       SELECT DISTINCT conv_id, mkey, turn_idx FROM (
         SELECT conv_id, mkey, turn_idx FROM mm
         UNION ALL
-        SELECT conv_id, desc_key, turn_idx FROM ev WHERE etype = 'desc')),
+        SELECT conv_id, desc_key, turn_idx FROM ev
+        WHERE etype IN ('desc', 'desc_obj'))),
     mtr AS (
       SELECT d.conv_id, d.mkey, d.turn_idx,
              last_value(mm.turn_m IGNORE NULLS) OVER (
@@ -258,6 +278,7 @@ def resolved_triples_sql(rel: str) -> str:
                 ELSE st.subj END AS subj,
            pred,
            CASE WHEN etype = 'pronoun_obj' THEN tr.prev_person
+                WHEN etype = 'desc_obj' THEN mtr.prev_m
                 ELSE obj END AS obj,
            subj_kind, obj_kind, sent_idx, negated, in_question,
            slot_idx, clause
@@ -269,7 +290,7 @@ def resolved_triples_sql(rel: str) -> str:
     WHERE etype = 'triple'
        OR (etype IN ('pronoun', 'pronoun_obj')
            AND tr.prev_person IS NOT NULL)
-       OR (etype = 'desc' AND mtr.prev_m IS NOT NULL)
+       OR (etype IN ('desc', 'desc_obj') AND mtr.prev_m IS NOT NULL)
     """
 
 

@@ -312,6 +312,43 @@ DESC_LITERAL = "The maintainer of "
 DESC_STATE_PRED = "maintains"    # the predicate whose events feed the state
 DESC_KEY_KIND = "module"
 
+# ---------------------------------------------------------------------------
+# OBJECT-side definite descriptions (v15): the descriptor fills the OBJECT
+# slot — "Bob met with the maintainer of auth.core." — combining the v9
+# object-pronoun discipline with the v12 module-keyed descriptor state:
+#
+#   * the explicit person SUBJECT anchors the relation AND feeds
+#     pronoun-referent state (regardless of whether the descriptor
+#     resolves — exactly the object-pronoun rule);
+#   * the OBJECT resolves to the committed maintainer of the key from the
+#     latest strictly-earlier turn; unresolvable descriptors emit no
+#     triple; the resolved row feeds NO state of either family;
+#   * a pronoun subject surface ("She met with the maintainer of x.")
+#     emits NOTHING — v15 deliberately has no committed-referent x
+#     committed-maintainer double resolution (the plain-template
+#     pronoun-subject skip rule); the synth corpus never generates it,
+#     and all four implementations enforce the skip.
+#
+# Event-store discriminator: subj NOT NULL ∧ obj NULL ∧ desc_key NOT NULL
+# (object pronouns stay subj NOT NULL ∧ obj NULL ∧ desc_key NULL).
+# Entry: (pred, regex, clause); groups 'subj' and 'key' are mandatory;
+# subj_kind = obj_kind = person by construction.  Disjointness: the plain
+# 'met'/'manages' templates require a CAPITALIZED object surface, so the
+# lowercase "the maintainer of ..." object can never match them.
+# ---------------------------------------------------------------------------
+DESC_OBJ_CLAUSE = "definite_obj"
+DESC_OBJ_TEMPLATES = [
+    ("met",
+     r"^(?P<subj>[A-Z][a-z]+) met with the maintainer of "
+     r"(?P<key>[a-z_]+(?:\.[a-z_]+)*)[.?]$",
+     DESC_OBJ_CLAUSE),
+    ("manages",
+     r"^(?P<subj>[A-Z][a-z]+) manages the maintainer of "
+     r"(?P<key>[a-z_]+(?:\.[a-z_]+)*)[.?]$",
+     DESC_OBJ_CLAUSE),
+]
+DESC_OBJ_LITERAL = " the maintainer of "
+
 COMPILED_LIST_TEMPLATES = [
     (name, re.compile(rx), pred, mk, ok, clause)
     for name, rx, pred, mk, ok, clause in LIST_TEMPLATES
@@ -319,6 +356,10 @@ COMPILED_LIST_TEMPLATES = [
 COMPILED_DESC_TEMPLATES = [
     (pred, re.compile(rx), ok, clause)
     for pred, rx, ok, clause in DESC_TEMPLATES
+]
+COMPILED_DESC_OBJ_TEMPLATES = [
+    (pred, re.compile(rx), clause)
+    for pred, rx, clause in DESC_OBJ_TEMPLATES
 ]
 
 # literal prefilters for the multi-relation templates (same discipline as

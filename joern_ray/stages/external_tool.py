@@ -137,6 +137,18 @@ for line in sys.stdin:
                 evs.append([None, pred, m.group("obj"), "person", ok,
                             *attrs, 0, clause, m.group("key")])
                 break
+            # OBJECT-side definite descriptions (v15): explicit subject,
+            # NULL obj, desc_key — Stage B fills the object; pronoun
+            # subjects skip (rules.py contract)
+            for pred, rx, clause in R.COMPILED_DESC_OBJ_TEMPLATES:
+                m = rx.match(sent)
+                if m is None:
+                    continue
+                if m.group("subj") in R.SUBJ_PRONOUNS:
+                    break
+                evs.append([m.group("subj"), pred, None, "person",
+                            "person", *attrs, 0, clause, m.group("key")])
+                break
             # untyped-mention overlay event (kind-recovery input): an
             # independent re-match of rules.MENTIONED_RE, mirroring the
             # kernel's fused emission (obj_kind='unknown')

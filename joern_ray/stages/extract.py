@@ -51,7 +51,7 @@ _ANY_LITERAL_RE = "|".join(
     list(_TEMPLATE_LITERALS.values())
     + list(R.MULTI_TEMPLATE_LITERALS.values())
     + list(R.LIST_TEMPLATE_LITERALS.values())
-    + [R.MENTIONED_LITERAL, R.DESC_LITERAL])
+    + [R.MENTIONED_LITERAL, R.DESC_LITERAL, R.DESC_OBJ_LITERAL])
 
 
 def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
@@ -433,6 +433,36 @@ def extract_events(batch: pa.Table,
                 sidx.take(idx), neg, inq, R.DEFAULT_SLOT_IDX, clause,
                 pc.struct_field(ex, "key").take(local)))
 
+    # OBJECT-side definite descriptions (v15): emit an event with the
+    # explicit subject, NULL obj and desc_key (the module) — the
+    # subj∧¬obj∧desc_key store class.  Stage B fills the object from the
+    # module-keyed maintainer state; the explicit subject feeds
+    # pronoun-referent state (the object-pronoun discipline).  Pronoun
+    # subjects are skipped outright (rules.py v15 contract).
+    if n_cand:
+        pre = pc.match_substring(cand_text, R.DESC_OBJ_LITERAL)
+        idx0 = cand_idx.take(pc.indices_nonzero(pc.fill_null(pre, False)))
+        for pred, rx, clause in (R.DESC_OBJ_TEMPLATES if len(idx0) else []):
+            ex = pc.extract_regex(text.take(idx0), rx)
+            mask = pc.is_valid(ex)
+            subj = pc.struct_field(ex, "subj")
+            mask = pc.and_(mask, pc.invert(pc.fill_null(
+                pc.is_in(subj, value_set=_PRONOUN_SET), False)))
+            mask = pc.and_(mask, pc.invert(pa.array(
+                pron_matched_np[idx0.to_numpy(zero_copy_only=False)])))
+            if not pc.any(mask).as_py():
+                continue
+            local = pc.indices_nonzero(mask)
+            idx = idx0.take(local)
+            neg, inq = neg_all.take(idx), inq_all.take(idx)
+            outs.append(_events_table(
+                len(idx), conv.take(idx), tidx.take(idx),
+                subj.take(local), pred,
+                pa.array([None] * len(idx), pa.string()), "person",
+                "person", sidx.take(idx), neg, inq,
+                R.DEFAULT_SLOT_IDX, clause,
+                pc.struct_field(ex, "key").take(local)))
+
     # untyped-mention events (kind-recovery overlay input, rules.MENTIONED_RE,
     # obj_kind='unknown') ride the SAME extraction map and events store —
     # no second text scan for the overlay.  They are NOT surface triples
@@ -517,7 +547,20 @@ def _resolve_group(group: pa.Table) -> pa.Table:
             if last_person is not None:
                 keep.append(dict(r, subj=last_person))
             continue
-        if r["obj"] is None:   # object-pronoun event
+        if r["obj"] is None:
+            if r.get("desc_key") is not None:
+                # OBJECT-side definite description (v15): the object
+                # resolves against the committed maintainer state; the
+                # explicit subject feeds referent state (object-pronoun
+                # discipline); the resolved row feeds no state
+                ref = last_maint.get(r["desc_key"])
+                if ref is not None:
+                    keep.append(dict(r, obj=ref))
+                p = r["subj"] if r["subj_kind"] == "person" else None
+                if p is not None and (cur_person is None or p > cur_person):
+                    cur_person = p
+                continue
+            # object-pronoun event
             if last_person is not None:
                 keep.append(dict(r, obj=last_person))
             p = r["subj"] if r["subj_kind"] == "person" else None
@@ -661,11 +704,22 @@ def _resolve_bucket(group: pa.Table,
         sub_mst = is_mst[rel_idx]
         sub_desc = is_desc[rel_idx]
         mcodes, muniq = pd.factorize(person[rel_idx][sub_mst], sort=True)
-        ok, referent = _latest_earlier(
-            dkey[sub_mst], mcodes, muniq, dkey[sub_desc])
-        desc_rows = rel_idx[sub_desc][ok]
-        if len(desc_rows):
-            parts.append(_emit(desc_rows, referent, True))
+        # side discriminator (narrow-schema contract): obj valid ⇒
+        # subject-side descriptor (referent fills SUBJ); obj null ⇒
+        # object-side v15 (referent fills OBJ, `person` is the explicit
+        # subject — the _emit pronoun-style branch handles it)
+        obj_valid = pc.is_valid(g.column("obj")).to_numpy(
+            zero_copy_only=False)
+        for side, ref_subj_only in ((sub_desc & obj_valid[rel_idx], True),
+                                    (sub_desc & ~obj_valid[rel_idx],
+                                     False)):
+            if not side.any():
+                continue
+            ok, referent = _latest_earlier(
+                dkey[sub_mst], mcodes, muniq, dkey[side])
+            desc_rows = rel_idx[side][ok]
+            if len(desc_rows):
+                parts.append(_emit(desc_rows, referent, ref_subj_only))
     if not parts:
         return S.TRIPLES_SURFACE.empty_table()
     return pa.concat_tables(parts)
@@ -760,8 +814,14 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
                             allow_exact_matches=False)
         out = out[out["person"].notna()]
         if len(out):
-            parts.append(_table(out, out["person"].to_numpy(object),
-                                out["obj"].to_numpy(object)))
+            # obj null ⇒ object-side descriptor (v15): referent fills the
+            # OBJECT, the explicit subject (own_person) stays the subject
+            odesc = out["obj"].isna().to_numpy()
+            subj_np = np.where(odesc, out["own_person"].to_numpy(object),
+                               out["person"].to_numpy(object))
+            obj_np = np.where(odesc, out["person"].to_numpy(object),
+                              out["obj"].to_numpy(object))
+            parts.append(_table(out, subj_np, obj_np))
     if not parts:
         return S.TRIPLES_SURFACE.empty_table()
     return pa.concat_tables(parts)
@@ -816,11 +876,17 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
     column ever enters it."""
     dk_s = t.column("desc_key").cast(pa.string())
     is_desc = pc.and_(pc.is_null(t.column("subj")), pc.is_valid(dk_s))
+    # v15 object-side descriptors: subj ∧ ¬obj ∧ desc_key — object
+    # pronouns keep subj ∧ ¬obj ∧ ¬desc_key
+    is_odesc = pc.and_(pc.and_(pc.is_valid(t.column("subj")),
+                               pc.is_null(t.column("obj"))),
+                       pc.is_valid(dk_s))
     is_spron = pc.and_(pc.is_null(t.column("subj")), pc.is_null(dk_s))
-    is_opron = pc.and_(pc.is_valid(t.column("subj")),
-                       pc.is_null(t.column("obj")))
+    is_opron = pc.and_(pc.and_(pc.is_valid(t.column("subj")),
+                               pc.is_null(t.column("obj"))),
+                       pc.is_null(dk_s))
     is_pron = pc.or_(is_spron, is_opron)
-    needs_res = pc.or_(is_pron, is_desc)
+    needs_res = pc.or_(pc.or_(is_pron, is_desc), is_odesc)
     # decode the dictionary categoricals once per batch (post store hop)
     subj_s = t.column("subj").cast(pa.string())
     obj_s = t.column("obj").cast(pa.string())
@@ -845,12 +911,16 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
     # module-keyed maintainer state (the definite-description analog of
     # person state): every explicit maintains row ships its module as
     # desc_key; descriptor rows ship their own resolution key.  Narrow-
-    # schema discriminators downstream:  pred∧desc_key ⇒ descriptor row;
-    # pred∧¬desc_key ⇒ pronoun row; ¬pred∧desc_key ⇒ maintainer state.
+    # schema discriminators downstream:  pred∧desc_key ⇒ descriptor row
+    # (obj valid ⇒ subject-side, referent fills SUBJ; obj null ⇒
+    # object-side v15, referent fills OBJ and `person` is the explicit
+    # subject); pred∧¬desc_key ⇒ pronoun row; ¬pred∧desc_key ⇒
+    # maintainer state.
     nulls = pa.nulls(t.num_rows, pa.string())
     is_maint = pc.and_(pc.and_(pc.is_valid(subj_s), pc.is_valid(obj_s)),
                        pc.equal(pred_s, R.DESC_STATE_PRED))
-    dk_val = pc.if_else(is_desc, dk_s, pc.if_else(is_maint, obj_s, nulls))
+    dk_val = pc.if_else(pc.or_(is_desc, is_odesc), dk_s,
+                        pc.if_else(is_maint, obj_s, nulls))
     mask = pc.or_(pc.or_(needs_res, pc.is_valid(person_val)),
                   pc.is_valid(dk_val))
     narrow = pa.table({

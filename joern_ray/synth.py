@@ -23,7 +23,12 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v14"  # v14: definite descriptions NESTED IN QUOTED
+CORPUS_VERSION = "v15"  # v15: OBJECT-side definite descriptions ("Bob met
+#                         with the maintainer of auth.core." — the OBJECT
+#                         resolves to the committed maintainer, the
+#                         explicit subject commits referent state: the
+#                         object-pronoun discipline x descriptor state);
+#                         v14: definite descriptions NESTED IN QUOTED
 #                         speech ('X said "The maintainer of auth.core met
 #                         with Bob."' — resolves in the quoting turn's
 #                         scope, clause='quoted_definite') and TOOL-object
@@ -550,7 +555,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                         f"The maintainer of {mod} joined {obj_surface}.")
                 add_gt(t, "person", last_maint[mod], "joined",
                        "org", obj_canon)
-            elif u2 < 0.85:
+            elif u2 < 0.80:
                 # descriptor NESTED in quoted speech (v14): resolves in
                 # the quoting turn's scope; the speaker is not an emitted
                 # slot (no commit, no shadowing); the explicit person
@@ -562,7 +567,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 add_gt(t, "person", last_maint[mod], "met",
                        "person", other.lower())
                 last_person = other
-            else:
+            elif u2 < 0.90:
                 # tool-object descriptor (v14): kind-conditional feed —
                 # the tool object commits no referent state
                 tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
@@ -570,6 +575,19 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                         f"The maintainer of {mod} uses {tool} daily.")
                 add_gt(t, "person", last_maint[mod], "uses",
                        "tool", tool)
+            else:
+                # OBJECT-side definite description (v15): "X met with the
+                # maintainer of <mod>." — the object resolves to the
+                # committed maintainer; the explicit subject commits
+                # referent state (the object-pronoun discipline)
+                subj = _pick_person(rng)
+                pred2 = ("met", "manages")[int(rng.integers(0, 2))]
+                verb = "met with" if pred2 == "met" else "manages"
+                add_row(t, role,
+                        f"{subj} {verb} the maintainer of {mod}.")
+                add_gt(t, "person", subj.lower(), pred2,
+                       "person", last_maint[mod])
+                last_person = subj
         elif rng.random() < 0.12:
             # untyped-mention turn (kind recovery's input, v10): three
             # regimes — same-conv evidence (round 1), global person

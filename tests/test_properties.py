@@ -71,13 +71,14 @@ def _random_conversation_rows(draw):
             b = draw(st.sampled_from(R.PERSONS[6:12]))
             text = f"{a} met with {b}."
         elif kind == 3:
-            # definite-description state + descriptor (v12-v14): the
-            # module-keyed commit and all four descriptor variants (plain
-            # met, org-object, quoted-nested, tool-object), mixed freely
-            # so buckets see descriptors with/without resolvable state
+            # definite-description state + descriptor (v12-v15): the
+            # module-keyed commit and all five descriptor variants (plain
+            # met, org-object, quoted-nested, tool-object, object-side),
+            # mixed freely so buckets see descriptors with/without
+            # resolvable state
             p = draw(st.sampled_from(R.PERSONS[:6]))
             mod = draw(st.sampled_from(R.MODULES[:3]))
-            variant = draw(st.integers(0, 4))
+            variant = draw(st.integers(0, 5))
             if variant == 0:
                 text = f"{p} maintains {mod}."
             elif variant == 1:
@@ -89,9 +90,14 @@ def _random_conversation_rows(draw):
                 spk = draw(st.sampled_from(R.PERSONS[6:12]))
                 text = (f'{spk} said "The maintainer of {mod} met with '
                         f'{p}."')
-            else:
+            elif variant == 4:
                 tool = draw(st.sampled_from(R.TOOLS[:4]))
                 text = f"The maintainer of {mod} uses {tool} daily."
+            else:
+                # OBJECT-side descriptor (v15): explicit subject, the
+                # object resolves against the maintainer state
+                verb = draw(st.sampled_from(["met with", "manages"]))
+                text = f"{p} {verb} the maintainer of {mod}."
         elif kind == 4:
             # open-ended coordination list (v12), possibly with a pronoun
             # member at a random slot
