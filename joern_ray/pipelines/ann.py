@@ -442,6 +442,113 @@ def ann_ivf(sf_dir: str, *, nlist: int = IVF_NLIST,
             .groupby("query_id").map_groups(topk, batch_format="pyarrow"))
 
 
+PQ_M = 8          # subspaces (one uint8 code each → 8 B per vector)
+PQ_K = 16         # centroids per subspace codebook
+PQ_ITERS = 8
+PQ_TRAIN_N = 2048  # codebooks train on this bounded vec_id-prefix sample
+
+
+def _pq_codebooks(sf_dir: str, m: int, k: int, iters: int) -> np.ndarray:
+    """Product-quantization codebooks: per-subspace Lloyd's over a BOUNDED
+    deterministic sample (vec_id < PQ_TRAIN_N via parquet pushdown — the
+    standard practice: codebooks are trained on a sample, applied to the
+    full corpus).  Deterministic: fixed vec_id order, first-k init, fixed
+    iteration count.  Returns (m, k, dim/m)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_p(sf_dir), columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", PQ_TRAIN_N)]
+                      ).sort_by("vec_id")
+    X = _matrix(t)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by PQ_M={m}")
+    if n < k:
+        raise ValueError(f"PQ training sample ({n}) smaller than k={k}")
+    sub = d // m
+    books = np.empty((m, k, sub), np.float64)
+    for j in range(m):
+        S = X[:, j * sub:(j + 1) * sub]
+        C = S[:k].copy()
+        for _ in range(iters):
+            dmat = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            lab = dmat.argmin(axis=1)
+            for c in range(k):
+                msk = lab == c
+                if msk.any():
+                    C[c] = S[msk].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def ann_pq(sf_dir: str, *, m: int = PQ_M, k: int = PQ_K,
+           iters: int = PQ_ITERS):
+    """Product-quantization ANN (Jégou et al. 2011, the FAISS PQ shape):
+    every corpus vector compresses to ``m`` uint8 codes (8 B vs 512 B
+    float64 = 64x — the memory-bound 100-TB index path); queries scan via
+    ADC lookup tables.  For L2 over the subspace partition, ADC distance
+    EQUALS the exact distance to the RECONSTRUCTED (decoded) vector —
+    pytest asserts that equivalence against a local reconstruction.
+
+    Distribution shape: codebooks train once on a bounded sample and
+    broadcast with the query LUTs via ONE ``ray.put``; each batch encodes
+    itself (m argmin matmuls) and emits only its local top-k rows per
+    query; one query-keyed groupby finishes the fold."""
+    books = _pq_codebooks(sf_dir, m, k, iters)
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(_p(sf_dir), columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", N_QUERIES)]
+                       ).sort_by("vec_id")
+    qids = qt.column("vec_id").to_numpy()
+    qraw = _matrix(qt)
+    sub = qraw.shape[1] // m
+    # ADC lookup tables: lut[qi, j, c] = ||q_sub - codebook[j, c]||^2
+    lut = np.empty((len(qids), m, k), np.float64)
+    for j in range(m):
+        qs = qraw[:, j * sub:(j + 1) * sub]
+        lut[:, j, :] = ((qs[:, None, :] - books[j][None, :, :]) ** 2) \
+            .sum(axis=2)
+    ref = ray.put((books, qids, lut))
+
+    def score(t: pa.Table) -> pa.Table:
+        books_, qids_, lut_ = ray.get(ref)
+        X = _matrix(t)
+        n = len(X)
+        sub_ = X.shape[1] // len(books_)
+        vec_ids = t.column("vec_id").to_numpy()
+        dists = np.zeros((len(qids_), n), np.float64)
+        for j in range(len(books_)):
+            S = X[:, j * sub_:(j + 1) * sub_]
+            codes = ((S[:, None, :] - books_[j][None, :, :]) ** 2) \
+                .sum(axis=2).argmin(axis=1)            # (n,)
+            dists += lut_[:, j, codes]                 # (Q, n)
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(qids_)):
+            kk = min(TOP_K, n)
+            idx = (np.argpartition(dists[qi], kk - 1)[:kk] if n > kk
+                   else np.arange(n))
+            out_q.extend([int(qids_[qi])] * len(idx))
+            out_v.extend(vec_ids[idx].tolist())
+            out_d.extend(dists[qi][idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "dist": pa.array(out_d, pa.float64())})
+
+    def topk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("dist", "ascending"), ("vec_id", "ascending")])
+        g = g.slice(0, TOP_K)
+        return pa.table({"query_id": g.column("query_id"),
+                         "rank": pa.array(range(1, g.num_rows + 1),
+                                          pa.int64()),
+                         "vec_id": g.column("vec_id"),
+                         "dist": g.column("dist")})
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .groupby("query_id").map_groups(topk, batch_format="pyarrow"))
+
+
 N_PLANT = 50
 PLANT_OFFSET = 1_000_000
 

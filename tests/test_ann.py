@@ -265,3 +265,42 @@ def test_matrix_fast_path_equals_pylist_on_ragged_and_null():
     # sliced view (non-zero offset) still correct
     m2 = A._matrix(fixed.slice(1, 2))
     assert np.array_equal(m2, np.asarray([[3, 4], [5, 6]], np.float64))
+
+
+def test_ann_pq_equals_reconstruction_bruteforce(ray_session):
+    """ADC distance over the subspace partition equals exact L2 to the
+    RECONSTRUCTED vector, so PQ top-k must equal brute force over locally
+    decoded vectors — an exact equivalence, not a recall bound.  Also
+    checks determinism across runs."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from joern_ray.pipelines import ann as A
+
+    sf = "/root/testdata/sf0.01"
+    got = [(r["query_id"], r["rank"], r["vec_id"])
+           for r in A.ann_pq(sf).take_all()]
+    got2 = [(r["query_id"], r["rank"], r["vec_id"])
+            for r in A.ann_pq(sf).take_all()]
+    assert sorted(got) == sorted(got2)          # deterministic
+
+    books = A._pq_codebooks(sf, A.PQ_M, A.PQ_K, A.PQ_ITERS)
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    X = A._matrix(t)
+    ids = t.column("vec_id").to_numpy()
+    sub = X.shape[1] // A.PQ_M
+    recon = np.empty_like(X)
+    for j in range(A.PQ_M):
+        S = X[:, j * sub:(j + 1) * sub]
+        codes = ((S[:, None, :] - books[j][None, :, :]) ** 2) \
+            .sum(axis=2).argmin(axis=1)
+        recon[:, j * sub:(j + 1) * sub] = books[j][codes]
+    qmask = ids < A.N_QUERIES
+    want = []
+    for qi, q in zip(ids[qmask], X[qmask]):
+        d = ((recon - q) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))[:A.TOP_K]
+        want.extend((int(qi), r + 1, int(ids[i]))
+                    for r, i in enumerate(order))
+    assert sorted(got) == sorted(want)
