@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": A.ann_lsh,
         "dedup_semantic": A.dedup_semantic,
         "ann_ivf": A.ann_ivf,
+        "ann_pq": A.ann_pq,
         "ann_kmeans": A.kmeans,
         "dedup_simhash_clusters": T.simhash_clusters,
         "dedup_ngram_pairs": T.ngram_jaccard_pairs,

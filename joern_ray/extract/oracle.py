@@ -76,11 +76,12 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                     cur_person = p
 
             def _commit_maint(subj, pred, obj):
-                """Explicit maintains rows feed the module-keyed state
-                (definite-description resolution; pronoun-resolved rows
-                never reach here — resolution stays a pure function of the
-                committed stream)."""
-                if pred == R.DESC_STATE_PRED:
+                """Explicit maintains/manages rows feed the key-keyed
+                descriptor state (definite-description resolution;
+                pronoun-resolved rows never reach here — resolution stays
+                a pure function of the committed stream).  Key spaces are
+                disjoint by surface shape, one dict serves every family."""
+                if pred in R.DESC_STATE_PREDS:
                     m = cur_maint.get(obj)
                     if m is None or subj > m:
                         cur_maint[obj] = subj

@@ -254,7 +254,8 @@ def resolved_triples_sql(rel: str) -> str:
     mm AS (
       SELECT conv_id, obj AS mkey, turn_idx, max(subj) AS turn_m
       FROM ev
-      WHERE etype = 'triple' AND pred = '{R.DESC_STATE_PRED}'
+      WHERE etype = 'triple'
+        AND pred IN ({", ".join(f"'{p}'" for p in R.DESC_STATE_PREDS)})
         AND subj IS NOT NULL AND obj IS NOT NULL
       GROUP BY 1, 2, 3),
     mdom AS (

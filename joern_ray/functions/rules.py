@@ -278,6 +278,16 @@ LIST_TEMPLATE_LITERALS = {
 # ---------------------------------------------------------------------------
 DESC_CLAUSE = "definite"         # clause attribute of plain resolved rows
 DESC_QUOTED_CLAUSE = "quoted_definite"   # nested-in-quotes resolved rows
+# Descriptor-state FAMILIES (v16): the state machinery is generic over
+# (predicate, key-slot) — 'maintains' commits (module -> maintainer),
+# 'manages' commits (person -> manager); descriptors of either family
+# resolve from the SAME committed turn-state stream.  The two key spaces
+# are disjoint by surface shape (module keys always carry at least the
+# [a-z_.] alphabet with dots; person keys are capitalized single tokens),
+# so one state map serves every family without tagging.  Explicit events
+# of these predicates commit state[obj] = max(subj) per turn; pronoun- or
+# descriptor-RESOLVED rows never feed it.
+DESC_STATE_PREDS = ("maintains", "manages")
 DESC_TEMPLATES = [
     ("met",
      r"^The maintainer of (?P<key>[a-z_]+(?:\.[a-z_]+)*) met with "
@@ -307,6 +317,18 @@ DESC_TEMPLATES = [
      r'^(?P<speaker>[A-Z][a-z]+) said "The maintainer of '
      r'(?P<key>[a-z_]+(?:\.[a-z_]+)*) met with (?P<obj>[A-Z][a-z]+)\."$',
      "person", DESC_QUOTED_CLAUSE),
+    # manager-family descriptors (v16): person-keyed state from explicit
+    # 'manages' events.  Disjoint from the maintainer family by literal
+    # ("The manager of " vs "The maintainer of ") and from the possessive
+    # construct ("<B>'s manager is <A>") by anchor.
+    ("met",
+     r"^The manager of (?P<key>[A-Z][a-z]+) met with "
+     r"(?P<obj>[A-Z][a-z]+)[.?]$",
+     "person", DESC_CLAUSE),
+    ("joined",
+     r"^The manager of (?P<key>[A-Z][a-z]+) joined "
+     r"(?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     "org", DESC_CLAUSE),
 ]
 DESC_LITERAL = "The maintainer of "
 DESC_STATE_PRED = "maintains"    # the predicate whose events feed the state
@@ -346,8 +368,21 @@ DESC_OBJ_TEMPLATES = [
      r"^(?P<subj>[A-Z][a-z]+) manages the maintainer of "
      r"(?P<key>[a-z_]+(?:\.[a-z_]+)*)[.?]$",
      DESC_OBJ_CLAUSE),
+    # manager-family object-side descriptor (v16)
+    ("met",
+     r"^(?P<subj>[A-Z][a-z]+) met with the manager of "
+     r"(?P<key>[A-Z][a-z]+)[.?]$",
+     DESC_OBJ_CLAUSE),
 ]
 DESC_OBJ_LITERAL = " the maintainer of "
+MGR_DESC_LITERAL = "The manager of "
+MGR_DESC_OBJ_LITERAL = " the manager of "
+# family-combined prefilter alternations (the engine's memchr-style gate
+# before the per-template RE2 kernels)
+DESC_ANY_RE = "|".join(re.escape(x) for x in
+                       (DESC_LITERAL, MGR_DESC_LITERAL))
+DESC_OBJ_ANY_RE = "|".join(re.escape(x) for x in
+                           (DESC_OBJ_LITERAL, MGR_DESC_OBJ_LITERAL))
 
 COMPILED_LIST_TEMPLATES = [
     (name, re.compile(rx), pred, mk, ok, clause)

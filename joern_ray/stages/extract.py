@@ -51,7 +51,8 @@ _ANY_LITERAL_RE = "|".join(
     list(_TEMPLATE_LITERALS.values())
     + list(R.MULTI_TEMPLATE_LITERALS.values())
     + list(R.LIST_TEMPLATE_LITERALS.values())
-    + [R.MENTIONED_LITERAL, R.DESC_LITERAL, R.DESC_OBJ_LITERAL])
+    + [R.MENTIONED_LITERAL, R.DESC_LITERAL, R.DESC_OBJ_LITERAL,
+       R.MGR_DESC_LITERAL, R.MGR_DESC_OBJ_LITERAL])
 
 
 def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
@@ -413,7 +414,7 @@ def extract_events(batch: pa.Table,
     # Stage B against module-keyed maintainer state; the explicit person
     # object rides along and feeds pronoun-referent state as usual.
     if n_cand:
-        pre = pc.match_substring(cand_text, R.DESC_LITERAL)
+        pre = pc.match_substring_regex(cand_text, R.DESC_ANY_RE)
         idx0 = cand_idx.take(pc.indices_nonzero(pc.fill_null(pre, False)))
         for pred, rx, ok, clause in (R.DESC_TEMPLATES if len(idx0) else []):
             ex = pc.extract_regex(text.take(idx0), rx)
@@ -440,7 +441,7 @@ def extract_events(batch: pa.Table,
     # pronoun-referent state (the object-pronoun discipline).  Pronoun
     # subjects are skipped outright (rules.py v15 contract).
     if n_cand:
-        pre = pc.match_substring(cand_text, R.DESC_OBJ_LITERAL)
+        pre = pc.match_substring_regex(cand_text, R.DESC_OBJ_ANY_RE)
         idx0 = cand_idx.take(pc.indices_nonzero(pc.fill_null(pre, False)))
         for pred, rx, clause in (R.DESC_OBJ_TEMPLATES if len(idx0) else []):
             ex = pc.extract_regex(text.take(idx0), rx)
@@ -572,7 +573,7 @@ def _resolve_group(group: pa.Table) -> pa.Table:
              else r["subj"] if r["subj_kind"] == "person" else None)
         if p is not None and (cur_person is None or p > cur_person):
             cur_person = p
-        if r["pred"] == R.DESC_STATE_PRED:   # explicit maintains → state
+        if r["pred"] in R.DESC_STATE_PREDS:  # explicit state-family event
             m = cur_maint.get(r["obj"])
             if m is None or r["subj"] > m:
                 cur_maint[r["obj"]] = r["subj"]
@@ -625,6 +626,10 @@ def _resolve_bucket(group: pa.Table,
     is_pron = has_pred & ~has_dk
     is_desc = has_pred & has_dk
     is_mst = ~has_pred & has_dk
+    # descriptor-state rows are NOT person-referent state (v16: a manages
+    # event's person contribution is its OBJECT, shipped on its own row;
+    # the state row's `person` is the SUBJECT/state value)
+    is_state = is_state & ~is_mst
 
     def _emit(rows: np.ndarray, referent: np.ndarray,
               ref_is_subj_only: bool) -> pa.Table:
@@ -771,8 +776,12 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
     has_dk = df["desc_key"].notna().to_numpy()
     is_pron = df["pred"].notna().to_numpy() & ~has_dk
     is_desc = df["pred"].notna().to_numpy() & has_dk
+    is_mst = ~df["pred"].notna().to_numpy() & has_dk
     parts: list[pa.Table] = []
-    state = df.loc[df["person"].notna(), ["conv_id", "turn_idx", "person"]]
+    # descriptor-state rows carry the state VALUE in `person` but are not
+    # person-referent state (v16) — exclude them here
+    state = df.loc[df["person"].notna() & ~is_mst,
+                   ["conv_id", "turn_idx", "person"]]
     pron = _payload(df.loc[is_pron])
     if len(state) and len(pron):
         turn_person = (state.groupby(["conv_id", "turn_idx"], sort=False)
@@ -908,21 +917,40 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
     person_val = pc.if_else(
         pc.or_(is_spron, pc.equal(ok_s, R.UNKNOWN_KIND)),
         pa.nulls(t.num_rows, pa.string()), person_val)
-    # module-keyed maintainer state (the definite-description analog of
-    # person state): every explicit maintains row ships its module as
-    # desc_key; descriptor rows ship their own resolution key.  Narrow-
-    # schema discriminators downstream:  pred∧desc_key ⇒ descriptor row
-    # (obj valid ⇒ subject-side, referent fills SUBJ; obj null ⇒
-    # object-side v15, referent fills OBJ and `person` is the explicit
-    # subject); pred∧¬desc_key ⇒ pronoun row; ¬pred∧desc_key ⇒
-    # maintainer state.
+    # key-keyed descriptor state (the definite-description analog of
+    # person state, generic over DESC_STATE_PREDS since v16): every
+    # explicit maintains/manages row ships (key=obj → value=subj) as a
+    # SEPARATE narrow state row below, because the same event's
+    # pronoun-referent contribution may be a DIFFERENT slot (manages
+    # feeds its OBJECT to person state but its SUBJECT to manager
+    # state).  Narrow-schema discriminators downstream:
+    # pred∧desc_key ⇒ descriptor row (obj valid ⇒ subject-side,
+    # referent fills SUBJ; obj null ⇒ object-side v15, referent fills
+    # OBJ and `person` is the explicit subject); pred∧¬desc_key ⇒
+    # pronoun row; ¬pred∧desc_key ⇒ descriptor state (NOT person
+    # state).  Key spaces are disjoint by surface shape (module keys
+    # are lowercase dotted, person keys capitalized), so one state map
+    # serves every family.
     nulls = pa.nulls(t.num_rows, pa.string())
-    is_maint = pc.and_(pc.and_(pc.is_valid(subj_s), pc.is_valid(obj_s)),
-                       pc.equal(pred_s, R.DESC_STATE_PRED))
-    dk_val = pc.if_else(pc.or_(is_desc, is_odesc), dk_s,
-                        pc.if_else(is_maint, obj_s, nulls))
-    mask = pc.or_(pc.or_(needs_res, pc.is_valid(person_val)),
-                  pc.is_valid(dk_val))
+    is_state_ev = pc.and_(
+        pc.and_(pc.is_valid(subj_s), pc.is_valid(obj_s)),
+        pc.is_in(pred_s, value_set=pa.array(sorted(R.DESC_STATE_PREDS))))
+    dk_val = pc.if_else(pc.or_(is_desc, is_odesc), dk_s, nulls)
+    mask = pc.or_(needs_res, pc.is_valid(person_val))
+    mst_rows = pa.table({
+        "conv_id": t.column("conv_id"),
+        "turn_idx": t.column("turn_idx"),
+        "person": subj_s,
+        "pred": nulls,
+        "obj": nulls,
+        "obj_kind": nulls,
+        "sent_idx": t.column("sent_idx"),
+        "negated": t.column("negated"),
+        "in_question": t.column("in_question"),
+        "slot_idx": pa.nulls(t.num_rows, pa.int32()),
+        "clause": nulls,
+        "desc_key": obj_s,
+    }).filter(is_state_ev)
     narrow = pa.table({
         "conv_id": t.column("conv_id"),
         "turn_idx": t.column("turn_idx"),
@@ -943,7 +971,7 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
                              nulls),
         "desc_key": dk_val,
     }).filter(mask)
-    return _with_bucket(narrow, n_buckets)
+    return _with_bucket(pa.concat_tables([narrow, mst_rows]), n_buckets)
 
 
 def extract_triples(transcripts_ds, *, num_partitions: int | None = None,

@@ -23,7 +23,13 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v15"  # v15: OBJECT-side definite descriptions ("Bob met
+CORPUS_VERSION = "v16"  # v16: manager-family descriptors ("The manager of
+#                         Bob met with Carol." / "Carol met with the
+#                         manager of Bob.") — the descriptor state is
+#                         generic over DESC_STATE_PREDS (maintains AND
+#                         manages), person-keyed and module-keyed families
+#                         sharing one disjoint-key state map;
+#                         v15: OBJECT-side definite descriptions ("Bob met
 #                         with the maintainer of auth.core." — the OBJECT
 #                         resolves to the committed maintainer, the
 #                         explicit subject commits referent state: the
@@ -352,7 +358,10 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
     def track_maint(turn_gts: list[tuple]) -> None:
         turn_m: dict[str, str] = {}
         for (sk2, s2, p2, ok2, o2) in turn_gts:
-            if p2 == "maintains":
+            # v16: the state family is generic — explicit maintains
+            # (module-keyed) AND manages (person-keyed) events commit;
+            # key spaces are disjoint (modules carry a dot)
+            if p2 in ("maintains", "manages"):
                 m = turn_m.get(o2)
                 if m is None or s2 > m:
                     turn_m[o2] = s2
@@ -536,7 +545,37 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             # committed maintainer of <mod> from a strictly-earlier turn
             # (the dict mirrors the engine's turn-boundary commit); the
             # explicit person object commits referent state
-            mods = sorted(last_maint)
+            mods = sorted(k for k in last_maint if "." in k)
+            mgrs = sorted(k for k in last_maint if "." not in k)
+            if mgrs and (not mods or rng.random() < 0.30):
+                # manager-family descriptors (v16): person-keyed state
+                key = mgrs[int(rng.integers(0, len(mgrs)))]
+                ks = key.capitalize()        # canonical -> surface
+                u3 = rng.random()
+                if u3 < 0.40:
+                    other = _pick_person(rng)
+                    add_row(t, role,
+                            f"The manager of {ks} met with {other}.")
+                    add_gt(t, "person", last_maint[key], "met",
+                           "person", other.lower())
+                    last_person = other
+                elif u3 < 0.70:
+                    obj_surface, obj_canon = _pick_org(rng)
+                    add_row(t, role,
+                            f"The manager of {ks} joined {obj_surface}.")
+                    add_gt(t, "person", last_maint[key], "joined",
+                           "org", obj_canon)
+                else:
+                    # object-side manager descriptor: the explicit
+                    # subject commits referent state
+                    subj = _pick_person(rng)
+                    add_row(t, role,
+                            f"{subj} met with the manager of {ks}.")
+                    add_gt(t, "person", subj.lower(), "met",
+                           "person", last_maint[key])
+                    last_person = subj
+                t += 1
+                continue
             mod = mods[int(rng.integers(0, len(mods)))]
             u2 = rng.random()
             if u2 < 0.40:
