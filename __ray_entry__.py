@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": (lambda sf_dir: _pagerank_query(sf_dir)),
         "text_vectors_hashed": T.hashed_vectors,
         "text_model_scores": T.model_scores,
+        "text_quality_classifier": T.quality_classifier_scores,
         "dedup_minhash": T.dedup_minhash,
         "dedup_simhash": T.dedup_simhash,
     }

@@ -603,6 +603,102 @@ def familiarity_cogroup(sf_dir: str):
                                           batch_format="pyarrow"))
 
 
+QC_DIM = 256          # hashed bag-of-words feature dim (+1 bias)
+QC_ITERS = 20
+QC_LR = 0.5
+QC_REF_MOD = 10       # doc_id % mod == 0 → positive (reference) class
+
+
+def _qc_features(t: pa.Table, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Dense hashed bag-of-words features for a batch: x[h(tok) % dim]
+    += 1, row-normalized by token count, bias column appended.  Fully
+    vectorized (one split, one hash pass, one np.add.at scatter)."""
+    import pandas as pd
+
+    txt = pc.fill_null(ascii_trim(t.column("text")), "")
+    toks = pc.split_pattern_regex(txt, _WS_RE)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = t.num_rows
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    X = np.zeros((n, dim + 1), np.float64)
+    if len(flat):
+        feat = (pd.util.hash_array(flat) % dim).astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        np.add.at(X, (rows, feat), 1.0)
+        denom = np.maximum(lengths, 1).astype(np.float64)
+        X[:, :dim] /= denom[:, None]
+    X[:, dim] = 1.0   # bias
+    return X, t.column("doc_id").to_numpy()
+
+
+def train_quality_classifier(sf_dir: str, *, dim: int = QC_DIM,
+                             iters: int = QC_ITERS, lr: float = QC_LR,
+                             ref_mod: int = QC_REF_MOD) -> np.ndarray:
+    """GPT-3/WebText-style quality classifier TRAINING: full-batch
+    logistic regression separating a designated high-quality reference
+    slice (doc_id % ref_mod == 0 — the decontaminate discipline stands in
+    for 'curated corpus') from the rest, over deterministic hashed
+    bag-of-words features.
+
+    Distribution shape (the bounded-iteration fixed-point pattern, like
+    k-means): per iteration the weight vector broadcasts via ``ray.put``
+    and every batch emits ONE partial row (gradient sum, n) — the driver
+    folds dim+2 floats x n_blocks per round in canonical order so float
+    accumulation — hence the model — is deterministic."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+    w = np.zeros(dim + 1, np.float64)
+
+    def grad_partial(t: pa.Table, wref) -> pa.Table:
+        w_ = ray.get(wref)
+        X, ids = _qc_features(t, dim)
+        y = (ids % ref_mod == 0).astype(np.float64)
+        p = 1.0 / (1.0 + np.exp(-(X @ w_)))
+        g = X.T @ (p - y)
+        return pa.table({"g": pa.array([g.tolist()],
+                                       pa.list_(pa.float64())),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    for _ in range(iters):
+        wref = ray.put(w)
+        parts = ds.map_batches(
+            lambda t, _w=wref: grad_partial(t, _w),
+            batch_format="pyarrow").take_all()
+        parts.sort(key=lambda r: (r["n"], tuple(r["g"])))  # canonical fold
+        g = np.zeros(dim + 1, np.float64)
+        n_total = 0
+        for r in parts:
+            g += np.asarray(r["g"])
+            n_total += r["n"]
+        w = w - lr * g / max(n_total, 1)
+    return w
+
+
+def quality_classifier_scores(sf_dir: str, *, dim: int = QC_DIM,
+                              iters: int = QC_ITERS,
+                              ref_mod: int = QC_REF_MOD):
+    """Train the quality classifier, then score every document map-side
+    (weights broadcast ONCE): (doc_id, qc_score in [0,1]).  Rows-only
+    (iterative model training has no SQL mirror); determinism and a
+    planted-separable golden are pytest-enforced."""
+    w = train_quality_classifier(sf_dir, dim=dim, iters=iters,
+                                 ref_mod=ref_mod)
+    wref = ray.put(w)
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        w_ = ray.get(wref)
+        X, ids = _qc_features(t, dim)
+        p = 1.0 / (1.0 + np.exp(-(X @ w_)))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "qc_score": pa.array(np.round(p, 9),
+                                              pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def source_mix_weights(sf_dir: str):
     """Per-source corpus mixing table (the Pile/temperature-mixing
     bookkeeping step): doc count, token count, and proportional sampling

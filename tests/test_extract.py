@@ -338,3 +338,60 @@ def test_source_mix_weights_golden(ray_session):
     assert out["s1"]["n_docs"] == 2 and out["s1"]["n_tokens"] == 5
     assert out["s0"]["weight_permille"] == 500
     assert out["s1"]["doc_share_permille"] == 500
+
+
+def test_quality_classifier_separates_planted_vocab(ray_session):
+    """Quality-classifier training on a corpus with a separable
+    vocabulary: reference-slice docs (doc_id % 10 == 0) use 'good' words,
+    others 'bad' words — the trained model must score the held-out-style
+    docs on the correct side, and training must be deterministic."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joern_ray.pipelines import text as T
+
+    d = "/tmp/jr_qc_sf"
+    os.makedirs(d, exist_ok=True)
+    good = "curated encyclopedia article prose reference"
+    bad = "spam click buy casino pills"
+    docs = pa.table({
+        "doc_id": pa.array(list(range(0, 200, 10))        # positives
+                           + list(range(1, 100, 2)), pa.int64()),
+        "text": [good] * 20 + [bad] * 50,
+        "lang": ["en"] * 70,
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    w1 = T.train_quality_classifier(d, iters=30)
+    w2 = T.train_quality_classifier(d, iters=30)
+    assert np.array_equal(w1, w2)          # deterministic fold
+    scores = {r["doc_id"]: r["qc_score"] for r in
+              T.quality_classifier_scores(d, iters=30).take_all()}
+    assert len(scores) == 70
+    pos = [scores[i] for i in range(0, 200, 10)]
+    neg = [scores[i] for i in range(1, 100, 2)]
+    assert min(pos) > max(neg)             # perfectly separable vocab
+    assert all(0.0 <= s <= 1.0 for s in scores.values())
+
+
+def test_quality_classifier_matches_local_reference(ray_session):
+    """Distributed full-batch gradient descent equals a single-process
+    numpy implementation up to float fold-order noise (rtol 1e-9)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from joern_ray.pipelines import text as T
+
+    sf = "/root/testdata/sf0.001"
+    w = T.train_quality_classifier(sf, iters=5)
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"]).sort_by("doc_id")
+    X, ids = T._qc_features(t, T.QC_DIM)
+    y = (ids % T.QC_REF_MOD == 0).astype(np.float64)
+    w_ref = np.zeros(T.QC_DIM + 1)
+    for _ in range(5):
+        p = 1.0 / (1.0 + np.exp(-(X @ w_ref)))
+        w_ref -= T.QC_LR * (X.T @ (p - y)) / len(ids)
+    assert np.allclose(w, w_ref, rtol=1e-9, atol=1e-12)
