@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vectors_hashed": T.hashed_vectors,
         "text_model_scores": T.model_scores,
         "text_quality_classifier": T.quality_classifier_scores,
+        "text_bpe_token_counts": T.bpe_token_counts,
         "dedup_minhash": T.dedup_minhash,
         "dedup_simhash": T.dedup_simhash,
     }

@@ -1285,6 +1285,129 @@ def doc_fingerprint_sql() -> str:
     return "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
+BPE_MERGES = 48
+BPE_TRAIN_DOCS = 512      # merges train on this bounded doc_id-prefix
+BPE_EOW = "\x17"          # end-of-word sentinel symbol
+
+
+def _bpe_merge_sym(sym: tuple, pair: tuple) -> tuple:
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+            out.append(sym[i] + sym[i + 1])
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe_merges(sf_dir: str, *, n_merges: int = BPE_MERGES,
+                     train_docs: int = BPE_TRAIN_DOCS
+                     ) -> list[tuple[str, str]]:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): learn merge rules
+    from word frequencies of a BOUNDED deterministic sample (doc_id <
+    train_docs via parquet pushdown — tokenizer training is sample-based
+    by universal practice; the corpus-scale stage is APPLY).  Ties break
+    lexicographically so the merge list is deterministic."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_p(sf_dir), columns=["doc_id", "text"],
+                      filters=[("doc_id", "<", train_docs)])
+    wc: Counter = Counter()
+    txt = pc.fill_null(ascii_trim(t.column("text")), "")
+    for s in txt.to_pylist():
+        if s:
+            wc.update(s.split())
+    vocab = {tuple(w) + (BPE_EOW,): c for w, c in wc.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, cnt in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {_bpe_merge_sym(sym, best): cnt
+                 for sym, cnt in vocab.items()}
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict) -> int:
+    """Greedy lowest-rank-first BPE encode; returns the TOKEN COUNT
+    (incl. the end-of-word sentinel fused into its final token)."""
+    sym = list(word) + [BPE_EOW]
+    while len(sym) > 1:
+        best_rank, best_pair = None, None
+        for a, b in zip(sym, sym[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (a, b)
+        if best_pair is None:
+            break
+        sym = list(_bpe_merge_sym(tuple(sym), best_pair))
+    return len(sym)
+
+
+class BpeEncoder:
+    """Actor-pool BPE APPLY stage: merge ranks load once per actor
+    (``__init__``); per batch the flat word array reduces to its UNIQUE
+    words (vocabulary-bounded work — the token-hash-memo discipline),
+    each encoded once through a persistent cross-batch memo, and per-doc
+    token counts come from one vectorized scatter-add."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.ranks = {tuple(p): i for i, p in enumerate(merges)}
+        self.memo: dict[str, int] = {}
+
+    def _ntok(self, w: str) -> int:
+        n = self.memo.get(w)
+        if n is None:
+            n = bpe_encode_word(w, self.ranks)
+            self.memo[w] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(ascii_trim(t.column("text")), "")
+        toks = pc.split_pattern_regex(txt, _WS_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        out = np.zeros(t.num_rows, np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            per_uniq = np.fromiter((self._ntok(w) for w in uniq),
+                                   np.int64, len(uniq))
+            rows = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                             lengths)
+            np.add.at(out, rows, per_uniq[inv])
+        # whitespace-only/empty text yields one "" word → count it as 0
+        empty = pc.equal(txt, "").to_numpy(zero_copy_only=False)
+        out[empty] = 0
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                         "n_bpe_tokens": pa.array(out, pa.int64())})
+
+
+def bpe_token_counts(sf_dir: str, *, n_merges: int = BPE_MERGES,
+                     train_docs: int = BPE_TRAIN_DOCS):
+    """Tokenizer train + corpus-scale apply: per-doc BPE token counts.
+    Rows-only (iterative merge learning has no SQL mirror); determinism,
+    a merge-training golden and serial-encoder equivalence are
+    pytest-enforced."""
+    merges = train_bpe_merges(sf_dir, n_merges=n_merges,
+                              train_docs=train_docs)
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(BpeEncoder, fn_constructor_kwargs={
+        "merges": merges}, concurrency=(1, 4), batch_size=2048,
+        num_cpus=1, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------

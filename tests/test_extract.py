@@ -395,3 +395,62 @@ def test_quality_classifier_matches_local_reference(ray_session):
         p = 1.0 / (1.0 + np.exp(-(X @ w_ref)))
         w_ref -= T.QC_LR * (X.T @ (p - y)) / len(ids)
     assert np.allclose(w, w_ref, rtol=1e-9, atol=1e-12)
+
+
+def test_bpe_training_golden_and_encode_monotonicity():
+    """Merge learning on a hand-built corpus: the most frequent adjacent
+    pair merges first (lexicographic tie-break), training is
+    deterministic, and more merges never increase a word's token count."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joern_ray.pipelines import text as T
+
+    d = "/tmp/jr_bpe_sf"
+    os.makedirs(d, exist_ok=True)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["low low low low low", "lower lower newer", "new new"],
+        "lang": ["en"] * 3,
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    m1 = T.train_bpe_merges(d, n_merges=10)
+    m2 = T.train_bpe_merges(d, n_merges=10)
+    assert m1 == m2
+    # (l,o), (o,w) and (w,EOW) all count 7 (low x5, lower x2 for the
+    # first two; low x5 + new x2 for the third): the lexicographic
+    # tie-break picks ('w', EOW); (l,o) still counts 7 next round
+    assert m1[0] == ("w", T.BPE_EOW)
+    assert m1[1] == ("l", "o")
+    ranks_few = {tuple(p): i for i, p in enumerate(m1[:2])}
+    ranks_all = {tuple(p): i for i, p in enumerate(m1)}
+    for w in ("low", "lower", "newer", "new", "unseen"):
+        assert (T.bpe_encode_word(w, ranks_all)
+                <= T.bpe_encode_word(w, ranks_few)
+                <= len(w) + 1)
+    # after enough merges the most frequent word is a single token
+    assert T.bpe_encode_word("low", ranks_all) == 1
+
+
+def test_bpe_token_counts_match_serial_reference(ray_session):
+    """Distributed actor-pool apply == serial per-doc encode with the
+    same merge list, incl. null/empty-text docs counting zero."""
+    import pyarrow.parquet as pq
+
+    from joern_ray.pipelines import text as T
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in
+           T.bpe_token_counts(sf).take_all()}
+    merges = T.train_bpe_merges(sf)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    want = {}
+    for did, s in zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()):
+        words = (s or "").split()
+        want[did] = sum(T.bpe_encode_word(w, ranks) for w in words)
+    assert got == want and len(got) > 0
