@@ -329,6 +329,13 @@ DESC_TEMPLATES = [
      r"^The manager of (?P<key>[A-Z][a-z]+) joined "
      r"(?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
      "org", DESC_CLAUSE),
+    # manager-family descriptor NESTED in quoted speech (v17): the same
+    # quoting-turn referent-scope contract as the quoted maintainer
+    # variant (v14) — the speaker is not an emitted slot
+    ("met",
+     r'^(?P<speaker>[A-Z][a-z]+) said "The manager of '
+     r'(?P<key>[A-Z][a-z]+) met with (?P<obj>[A-Z][a-z]+)\."$',
+     "person", DESC_QUOTED_CLAUSE),
 ]
 DESC_LITERAL = "The maintainer of "
 DESC_STATE_PRED = "maintains"    # the predicate whose events feed the state

@@ -23,7 +23,10 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v16"  # v16: manager-family descriptors ("The manager of
+CORPUS_VERSION = "v17"  # v17: manager descriptors NESTED in quoted speech
+#                         ('X said "The manager of Bob met with Carol."' —
+#                         quoting-turn scope, clause 'quoted_definite');
+#                         v16: manager-family descriptors ("The manager of
 #                         Bob met with Carol." / "Carol met with the
 #                         manager of Bob.") — the descriptor state is
 #                         generic over DESC_STATE_PREDS (maintains AND
@@ -565,7 +568,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                             f"The manager of {ks} joined {obj_surface}.")
                     add_gt(t, "person", last_maint[key], "joined",
                            "org", obj_canon)
-                else:
+                elif u3 < 0.90:
                     # object-side manager descriptor: the explicit
                     # subject commits referent state
                     subj = _pick_person(rng)
@@ -574,6 +577,17 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                     add_gt(t, "person", subj.lower(), "met",
                            "person", last_maint[key])
                     last_person = subj
+                else:
+                    # manager descriptor NESTED in quoted speech (v17):
+                    # quoting-turn scope; speaker not an emitted slot;
+                    # the explicit person object commits referent state
+                    speaker = _pick_person(rng)
+                    other = _pick_person(rng)
+                    add_row(t, role, f'{speaker} said "The manager of '
+                                     f'{ks} met with {other}."')
+                    add_gt(t, "person", last_maint[key], "met",
+                           "person", other.lower())
+                    last_person = other
                 t += 1
                 continue
             mod = mods[int(rng.integers(0, len(mods)))]

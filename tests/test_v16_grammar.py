@@ -125,3 +125,23 @@ def test_manager_descriptor_turn_max_tiebreak(ray_session):
     got = _resolved(rows)
     assert (1, "Zach", "met", "Carol", 0, "definite") in got
     assert got == _resolved_ray(rows, ray_session)
+
+
+def test_quoted_manager_descriptor_quoting_turn_scope(ray_session):
+    """(v17) 'Erin said "The manager of Bob met with Carol."' resolves in
+    the quoting turn's scope with clause 'quoted_definite'; the speaker
+    is not an emitted slot."""
+    rows = _turns(["Alice manages Bob.",
+                   'Erin said "The manager of Bob met with Carol."',
+                   "She uses compiler daily."])
+    got = _resolved(rows)
+    assert (1, "Alice", "met", "Carol", 0, "quoted_definite") in got
+    # Carol (explicit person object in the quote) commits; Erin never does
+    assert (2, "Carol", "uses", "compiler", 0, "main") in got
+    assert not any(s == "Erin" for _t, s, *_ in got)
+    assert got == _resolved_ray(rows, ray_session)
+
+
+def test_quoted_manager_descriptor_unresolvable_drops():
+    rows = _turns(['Erin said "The manager of Bob met with Carol."'])
+    assert not any(c == "quoted_definite" for *_, c in _resolved(rows))
