@@ -351,11 +351,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_filter_project_parts": REL.filter_project_parts,
         "rel_topk_orders": REL.topk_orders,
         "rel_orders_by_segment": REL.orders_by_segment,
+        "text_top_tokens": T.top_tokens,
         # ---- rows-only, no driver row yet (next in the window) ----
         "ann_lsh": A.ann_lsh,
         "dedup_semantic": A.dedup_semantic,
         "ann_ivf": A.ann_ivf,
         "ann_pq": A.ann_pq,
+        "embedding_pca": A.embedding_pca,
         "ann_kmeans": A.kmeans,
         "dedup_simhash_clusters": T.simhash_clusters,
         "dedup_ngram_pairs": T.ngram_jaccard_pairs,
@@ -513,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate_ngram": T.decontaminate_ngram_sql(),
         "text_tfidf_topk": T.tfidf_topk_sql(),
         "text_source_mix_weights": T.source_mix_weights_sql(),
+        "text_top_tokens": T.top_tokens_sql(),
         "events_sessionize": EV.sessionize_sql(),
         "events_window_counts": EV.window_counts_sql(),
         "events_sliding_counts": EV.sliding_window_counts_sql(),

@@ -442,6 +442,74 @@ def ann_ivf(sf_dir: str, *, nlist: int = IVF_NLIST,
             .groupby("query_id").map_groups(topk, batch_format="pyarrow"))
 
 
+PCA_COMPONENTS = 8
+
+
+def _pca_model(sf_dir: str, c: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed PCA fit: (mean, components) via two streaming passes —
+    pass 1 folds per-batch (sum, n) partials, pass 2 folds per-batch
+    centered scatter matrices (dim x dim, tiny: 64^2 floats per block);
+    both folds run in canonical order so the model is deterministic.
+    Eigenvectors are sign-normalized (largest-|entry| coordinate made
+    positive) so the orientation is library-independent."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        m = _matrix(t)
+        return pa.table({"s": pa.array([m.sum(axis=0).tolist()],
+                                       pa.list_(pa.float64())),
+                         "n": pa.array([len(m)], pa.int64())})
+
+    parts = ds.map_batches(sum_partial, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: (r["n"], tuple(r["s"])))
+    total = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    n = sum(r["n"] for r in parts)
+    mean = total / max(n, 1)
+    mref = ray.put(mean)
+
+    def scatter_partial(t: pa.Table, _m=mref) -> pa.Table:
+        x = _matrix(t) - ray.get(_m)
+        s = x.T @ x
+        return pa.table({"s": pa.array([s.ravel().tolist()],
+                                       pa.list_(pa.float64())),
+                         "n": pa.array([len(x)], pa.int64())})
+
+    parts = (ds.map_batches(scatter_partial, batch_format="pyarrow")
+             .take_all())
+    parts.sort(key=lambda r: (r["n"], tuple(r["s"])))
+    d = len(mean)
+    cov = np.sum([np.asarray(r["s"]).reshape(d, d) for r in parts],
+                 axis=0) / max(n - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:c]
+    comps = vecs[:, order].T                     # (c, dim)
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return mean, comps
+
+
+def embedding_pca(sf_dir: str, *, components: int = PCA_COMPONENTS):
+    """PCA dimensionality reduction over the embedding column — the
+    pre-ANN compression stage: (vec_id, proj list<float64> of length
+    ``components``).  Model fits via two bounded streaming folds
+    (`_pca_model`); projection is one broadcast + matmul per batch.
+    Rows-only (eigendecomposition has no SQL mirror); determinism and
+    local-numpy equivalence are pytest-enforced."""
+    mean, comps = _pca_model(sf_dir, components)
+    ref = ray.put((mean, comps))
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        m_, c_ = ray.get(ref)
+        p = (_matrix(t) - m_) @ c_.T
+        return pa.table({"vec_id": t.column("vec_id").cast(pa.int64()),
+                         "proj": pa.array(p.tolist(),
+                                          pa.list_(pa.float64()))})
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 PQ_M = 8          # subspaces (one uint8 code each → 8 B per vector)
 PQ_K = 16         # centroids per subspace codebook
 PQ_ITERS = 8

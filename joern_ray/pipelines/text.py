@@ -603,6 +603,72 @@ def familiarity_cogroup(sf_dir: str):
                                           batch_format="pyarrow"))
 
 
+TOP_TOKENS_K = 20
+
+
+def top_tokens(sf_dir: str, *, k: int = TOP_TOKENS_K):
+    """Corpus heavy hitters: global top-k tokens by count with the
+    deterministic (count DESC, token ASC) tie-break.
+
+    100-TB shape: per-batch token-count combiners → ONE vocab-sized
+    groupby → per-block local top-k (k rows leave each block) → a
+    k x n_blocks driver fold.  The driver never sees more than
+    k x n_blocks rows regardless of vocabulary size."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = ascii_trim(t.column("text"))
+        sub = t.filter(pc.fill_null(pc.not_equal(trimmed, ""), False))
+        schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+        if sub.num_rows == 0:
+            return schema.empty_table()
+        toks = pc.split_pattern_regex(ascii_trim(sub.column("text")),
+                                      _WS_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return (pa.table({"token": pc.list_flatten(toks)})
+                .group_by("token").aggregate([("token", "count")])
+                .rename_columns(["token", "n"]).cast(schema))
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("token").sum("n"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema([("token", pa.string()),
+                              ("n", pa.int64())]).empty_table()
+        # select by GENERATED name, never positional (pyarrow/ray moved
+        # key-column position between versions — the r3 advisory)
+        s = pa.table({"token": t.column("token"),
+                      "n": t.column("sum(n)")}) \
+            .sort_by([("n", "descending"), ("token", "ascending")])
+        return s.slice(0, k).cast(pa.schema([("token", pa.string()),
+                                             ("n", pa.int64())]))
+
+    parts = [b for b in counts.map_batches(
+        local_topk, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow") if b.num_columns]
+    if not parts:
+        return pa.schema([("token", pa.string()),
+                          ("n", pa.int64())]).empty_table()
+    merged = pa.concat_tables(parts).combine_chunks()
+    return merged.sort_by([("n", "descending"),
+                           ("token", "ascending")]).slice(0, k)
+
+
+def top_tokens_sql(*, k: int = TOP_TOKENS_K) -> str:
+    ws = _WS_SQL
+    return f"""
+    WITH tk AS (
+      SELECT unnest(regexp_split_to_array(trim(text, {ws}), '\\s+')) AS token
+      FROM documents WHERE trim(text, {ws}) <> '')
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM tk GROUP BY 1
+    ORDER BY n DESC, token ASC LIMIT {k}
+    """
+
+
 QC_DIM = 256          # hashed bag-of-words feature dim (+1 bias)
 QC_ITERS = 20
 QC_LR = 0.5

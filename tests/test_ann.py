@@ -304,3 +304,37 @@ def test_ann_pq_equals_reconstruction_bruteforce(ray_session):
         want.extend((int(qi), r + 1, int(ids[i]))
                     for r, i in enumerate(order))
     assert sorted(got) == sorted(want)
+
+
+def test_embedding_pca_matches_local_numpy(ray_session):
+    """Distributed two-pass PCA equals a single-process numpy fit
+    (canonical folds + sign normalization), runs are identical, and
+    projected variance is non-increasing across components."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from joern_ray.pipelines import ann as A
+
+    sf = "/root/testdata/sf0.001"
+    m1, c1 = A._pca_model(sf, 8)
+    m2, c2 = A._pca_model(sf, 8)
+    assert np.array_equal(m1, m2) and np.array_equal(c1, c2)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    X = A._matrix(t)
+    mean = X.mean(axis=0)
+    cov = (X - mean).T @ (X - mean) / (len(X) - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:8]
+    comps = vecs[:, order].T
+    flip = np.sign(comps[np.arange(8), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    assert np.allclose(m1, mean, rtol=1e-9)
+    assert np.allclose(c1, comps, rtol=1e-6, atol=1e-9)
+
+    proj = {r["vec_id"]: r["proj"] for r in A.embedding_pca(sf).take_all()}
+    P = np.asarray([proj[i] for i in sorted(proj)])
+    v = P.var(axis=0)
+    assert all(v[i] >= v[i + 1] - 1e-9 for i in range(len(v) - 1))
+    assert np.allclose(P, (X - mean) @ comps.T, rtol=1e-6, atol=1e-9)

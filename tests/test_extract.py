@@ -454,3 +454,25 @@ def test_bpe_token_counts_match_serial_reference(ray_session):
         words = (s or "").split()
         want[did] = sum(T.bpe_encode_word(w, ranks) for w in words)
     assert got == want and len(got) > 0
+
+
+def test_top_tokens_deterministic_tiebreak(ray_session):
+    """Heavy hitters: counts and the (count DESC, token ASC) tie-break
+    are exact on a hand-built corpus."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joern_ray.pipelines import text as T
+
+    d = "/tmp/jr_toptok_sf"
+    os.makedirs(d, exist_ok=True)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["b a b c", "a b c", None],
+        "lang": ["en"] * 3,
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    out = [(r["token"], r["n"]) for r in T.top_tokens(d, k=2).to_pylist()]
+    assert out == [("b", 3), ("a", 2)]
