@@ -109,6 +109,28 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
             if matched:
                 continue
 
+            # object pronouns INSIDE quoted speech (v18): quoting-turn
+            # scope; inner subject anchors + commits; speaker never does
+            for pred, rx, ok in R.COMPILED_QUOTED_PRONOUN_OBJECT_TEMPLATES:
+                m = rx.match(sent)
+                if m is None:
+                    continue
+                subj = m.group("subj")
+                if subj in R.SUBJ_PRONOUNS:
+                    break
+                matched = True
+                if last_person is not None:
+                    out.append(dict(conv_id=conv_id, turn_idx=t,
+                                    subj=subj, pred=pred,
+                                    obj=last_person, subj_kind="person",
+                                    obj_kind=ok, **attrs,
+                                    slot_idx=R.DEFAULT_SLOT_IDX,
+                                    clause=R.QUOTED_CLAUSE))
+                _commit(subj)
+                break
+            if matched:
+                continue
+
             for pred, rx, sk, ok in R.COMPILED_TEMPLATES:
                 m = rx.match(sent)
                 if m is None:

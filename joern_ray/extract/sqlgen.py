@@ -79,6 +79,22 @@ def events_sql(rel: str) -> str:
         FROM {sents}
         WHERE regexp_matches(sent, '{rxs}')
           AND regexp_extract(sent, '{rxs}', 1) NOT IN ({pron_in})""")
+    # object pronouns INSIDE quoted speech (v18): same etype as the
+    # plain object-pronoun arm, clause 'quoted'
+    for pred, rx, ok in R.QUOTED_PRONOUN_OBJECT_TEMPLATES:
+        rxs = _plain(rx)
+        nums = R.named_group_numbers(rx)
+        parts.append(f"""
+        SELECT conv_id, turn_idx, 'pronoun_obj' AS etype,
+               regexp_extract(sent, '{rxs}', {nums["subj"]}), '{pred}',
+               CAST(NULL AS VARCHAR),
+               'person', '{ok}', {_attr_cols()},
+               {R.DEFAULT_SLOT_IDX}, '{R.QUOTED_CLAUSE}',
+               CAST(NULL AS VARCHAR)
+        FROM {sents}
+        WHERE regexp_matches(sent, '{rxs}')
+          AND regexp_extract(sent, '{rxs}', {nums["subj"]})
+              NOT IN ({pron_in})""")
     for pred, rx, sk, ok in R.TEMPLATES:
         rxs = _plain(rx)
         parts.append(f"""

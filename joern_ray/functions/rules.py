@@ -469,6 +469,29 @@ COMPILED_PRONOUN_OBJECT_TEMPLATES = [
     (pred, re.compile(rx), ok) for pred, rx, ok in PRONOUN_OBJECT_TEMPLATES
 ]
 
+# OBJECT pronouns INSIDE quoted speech (v18): 'X said "Bob met with
+# her."' — the v11 quoting-turn referent-scope contract applied to the
+# object-pronoun machinery: the pronoun resolves to the committed
+# referent of the latest strictly-earlier turn; the explicit INNER
+# subject anchors the relation and feeds referent state; the SPEAKER is
+# not an emitted slot (no commit, no shadowing).  Emissions carry
+# clause='quoted'.  Entry: (pred, regex, obj_kind); groups speaker+subj.
+QUOTED_PRONOUN_OBJECT_TEMPLATES = [
+    ("met",
+     r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) met with '
+     r'(?:her|him)\."$',
+     "person"),
+    ("manages",
+     r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) manages '
+     r'(?:her|him)\."$',
+     "person"),
+]
+COMPILED_QUOTED_PRONOUN_OBJECT_TEMPLATES = [
+    (pred, re.compile(rx), ok)
+    for pred, rx, ok in QUOTED_PRONOUN_OBJECT_TEMPLATES
+]
+QUOTED_CLAUSE = "quoted"
+
 # Attribute predicates over a matched sentence (shared contract):
 NEGATION_MARK = "no longer "      # substring test on the matched sentence
 QUESTION_MARK = "?"               # sentence suffix test

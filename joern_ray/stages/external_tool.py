@@ -87,6 +87,20 @@ for line in sys.stdin:
                 break
             if matched:
                 continue
+            # object pronouns inside quoted speech (v18)
+            for pred, rx, ok in \
+                    R.COMPILED_QUOTED_PRONOUN_OBJECT_TEMPLATES:
+                m = rx.match(sent)
+                if m is None:
+                    continue
+                if m.group("subj") in R.SUBJ_PRONOUNS:
+                    break
+                evs.append([m.group("subj"), pred, None, "person", ok,
+                            *attrs, 0, R.QUOTED_CLAUSE, None])
+                matched = True
+                break
+            if matched:
+                continue
             for pred, rx, sk, ok in R.COMPILED_TEMPLATES:
                 m = rx.match(sent)
                 if m is None:

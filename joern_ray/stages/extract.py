@@ -255,6 +255,34 @@ def extract_events(batch: pa.Table,
             pa.array([None] * len(idx), pa.string()), "person", ok,
             sidx.take(idx), neg, inq))
 
+    # OBJECT pronouns inside quoted speech (v18): same event class as
+    # the plain object-pronoun rows (subj + NULL obj, no desc_key) —
+    # Stage B needs no changes; clause='quoted' marks the nesting and
+    # the speaker is never an emitted slot.
+    for pred, rx, ok in (R.QUOTED_PRONOUN_OBJECT_TEMPLATES
+                         if n_cand else []):
+        lit = _TEMPLATE_LITERALS.get(pred)
+        pre = pc.match_substring(cand_text, lit)
+        idx0 = cand_idx.take(pc.indices_nonzero(pc.fill_null(pre, False)))
+        if len(idx0) == 0:
+            continue
+        ex = pc.extract_regex(text.take(idx0), rx)
+        mask = pc.is_valid(ex)
+        subj = pc.struct_field(ex, "subj")
+        mask = pc.and_(mask, pc.invert(pc.fill_null(
+            pc.is_in(subj, value_set=_PRONOUN_SET), False)))
+        if not pc.any(mask).as_py():
+            continue
+        local = pc.indices_nonzero(mask)
+        idx = idx0.take(local)
+        neg, inq = neg_all.take(idx), inq_all.take(idx)
+        outs.append(_events_table(
+            len(idx), conv.take(idx), tidx.take(idx),
+            subj.take(local), pred,
+            pa.array([None] * len(idx), pa.string()), "person", ok,
+            sidx.take(idx), neg, inq, R.DEFAULT_SLOT_IDX,
+            R.QUOTED_CLAUSE))
+
     for pred, rx, sk, ok in R.TEMPLATES + list(extra_templates or []):
         lit = _TEMPLATE_LITERALS.get(pred)
         if lit is not None:

@@ -23,7 +23,11 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v17"  # v17: manager descriptors NESTED in quoted speech
+CORPUS_VERSION = "v18"  # v18: OBJECT pronouns inside quoted speech
+#                         ('X said "Bob met with her."' — quoting-turn
+#                         scope; the inner subject anchors + commits, the
+#                         speaker never does; clause 'quoted');
+#                         v17: manager descriptors NESTED in quoted speech
 #                         ('X said "The manager of Bob met with Carol."' —
 #                         quoting-turn scope, clause 'quoted_definite');
 #                         v16: manager-family descriptors ("The manager of
@@ -386,7 +390,15 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 pron = ("her", "him")[int(rng.integers(0, 2))]
                 pred2 = ("met", "manages")[int(rng.integers(0, 2))]
                 verb = "met with" if pred2 == "met" else "manages"
-                add_row(t, role, f"{subj} {verb} {pron}.")
+                if rng.random() < 0.3:
+                    # object pronoun NESTED in quoted speech (v18):
+                    # quoting-turn scope; the speaker is not an emitted
+                    # slot — same GT as the plain construct
+                    speaker = _pick_person(rng)
+                    add_row(t, role,
+                            f'{speaker} said "{subj} {verb} {pron}."')
+                else:
+                    add_row(t, role, f"{subj} {verb} {pron}.")
                 add_gt(t, "person", subj.lower(), pred2,
                        "person", last_person.lower())
                 last_person = subj

@@ -145,3 +145,25 @@ def test_quoted_manager_descriptor_quoting_turn_scope(ray_session):
 def test_quoted_manager_descriptor_unresolvable_drops():
     rows = _turns(['Erin said "The manager of Bob met with Carol."'])
     assert not any(c == "quoted_definite" for *_, c in _resolved(rows))
+
+
+def test_quoted_object_pronoun_quoting_turn_scope(ray_session):
+    """(v18) 'Erin said "Bob met with her."' — the object pronoun
+    resolves in the quoting turn's scope; the inner subject anchors and
+    commits; the speaker never does; clause is 'quoted'."""
+    rows = _turns(["Alice uses search daily.",
+                   'Erin said "Bob met with her."',
+                   "She uses compiler daily."])
+    got = _resolved(rows)
+    assert (1, "Bob", "met", "Alice", 0, "quoted") in got
+    # Bob (inner subject) committed; Erin (speaker) never does
+    assert (2, "Bob", "uses", "compiler", 0, "main") in got
+    assert not any(s == "Erin" for _t, s, *_ in got)
+    assert got == _resolved_ray(rows, ray_session)
+
+
+def test_quoted_object_pronoun_unresolvable_drops(ray_session):
+    rows = _turns(['Erin said "Bob manages him."'])
+    got = _resolved(rows)
+    assert not any(p == "manages" for _t, _s, p, *_ in got)
+    assert got == _resolved_ray(rows, ray_session)
