@@ -299,7 +299,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_topk_per_customer": REL.topk_orders_per_customer,
         "rel_price_quantiles": REL.price_quantiles_by_segment,
         "rel_customers_without_orders": REL.customers_without_orders,
-        "rel_suppliers_with_shipments": REL.suppliers_with_shipments,
         "rel_revenue_by_nation": REL.revenue_by_nation,
         "rel_events_by_user": REL.events_by_user,
         "rel_running_order_total": REL.running_order_total,
@@ -307,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": T.text_quality,
         "dedup_exact": T.dedup_exact,
         "text_clean_corpus": T.clean_corpus,
+        "conv_line_dedup": (lambda sf_dir: T.line_dedup(_transcripts(sf_dir))),
         "text_sample_stratified": T.sample_stratified,
         "text_token_bins": T.token_bins,
         "text_redact_persons": T.redact_persons,
@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_counts": T.token_counts,
         "rel_distinct_part_types": REL.distinct_part_types,
         "rel_filter_project_parts": REL.filter_project_parts,
+        "rel_suppliers_with_shipments": REL.suppliers_with_shipments,
         "rel_topk_orders": REL.topk_orders,
         "rel_orders_by_segment": REL.orders_by_segment,
         "text_top_tokens": T.top_tokens,
@@ -506,6 +507,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": T.text_quality_sql(),
         "dedup_exact": T.dedup_exact_sql(),
         "text_clean_corpus": T.clean_corpus_sql(),
+        "conv_line_dedup": T.line_dedup_sql(tr),
         "text_sample_stratified": T.sample_stratified_sql(),
         "text_token_bins": T.token_bins_sql(),
         "text_redact_persons": T.redact_persons_sql(tr),

@@ -1587,6 +1587,123 @@ def clean_corpus_sql() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# C4-style corpus-wide LINE-level dedup (conversation = document,
+# turn = line): every duplicate line keeps only its single first
+# occurrence in global (conv_id, turn_idx) order — the C4 "three-sentence
+# span" rule's line-granular ancestor (Raffel et al. 2020 §2.2) — and the
+# per-conversation survival counts come back out so a downstream filter
+# can drop hollowed-out documents.
+# --------------------------------------------------------------------------
+
+_LINE_CONV_BUCKETS = 64
+_LINE_PARTIAL = pa.schema([("conv_id", pa.string()),
+                           ("n_lines", pa.int64()),
+                           ("kept", pa.int64()),
+                           ("cbucket", pa.int64())])
+_LINE_DEDUP_OUT = pa.schema([("conv_id", pa.string()),
+                             ("n_lines", pa.int64()),
+                             ("n_kept", pa.int64())])
+
+
+def _line_partial(t: pa.Table) -> pa.Table:
+    """Per-batch combiner: 128-bit line digests + within-(digest, conv)
+    collapse.  Only the min turn_idx of a (line, conv) pair can be the
+    global keeper — the later same-conv occurrences are duplicates by
+    construction, so they travel as a count, never as rows."""
+    import pandas as pd
+
+    tnp = t.column("text").to_numpy(zero_copy_only=False)
+    h1 = pd.util.hash_array(tnp).view("int64")
+    h2 = pd.util.hash_array(tnp, hash_key="joernraydedup2nd").view("int64")
+    p = (pa.table({"h1": pa.array(h1, pa.int64()),
+                   "h2": pa.array(h2, pa.int64()),
+                   "conv_id": t.column("conv_id").cast(pa.string()),
+                   "turn_idx": t.column("turn_idx").cast(pa.int64())})
+         .group_by(["h1", "h2", "conv_id"])
+         .aggregate([("turn_idx", "min"), ("turn_idx", "count")]))
+    return p.append_column(
+        "bucket", pc.bit_wise_and(p.column("h1"),
+                                  _DEDUP_BUCKETS - 1).cast(pa.int64()))
+
+
+def _line_digest_shard(g: pa.Table) -> pa.Table:
+    """Digest-bucket shard: resolve the global keeper of every line (min
+    (conv_id, turn_idx) — one vectorized sort + shifted digest compare),
+    then pre-aggregate per conversation so the second exchange carries
+    conversation-cardinality rows."""
+    import pandas as pd
+
+    if g.num_rows == 0:
+        return _LINE_PARTIAL.empty_table()
+    t = (g.drop_columns(["bucket"]).combine_chunks()
+         .sort_by([("h1", "ascending"), ("h2", "ascending"),
+                   ("conv_id", "ascending"), ("turn_idx_min", "ascending")]))
+    h1 = t.column("h1").to_numpy()
+    h2 = t.column("h2").to_numpy()
+    first = np.ones(len(h1), dtype=bool)
+    first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+    agg = (pa.table({"conv_id": t.column("conv_id"),
+                     "n_lines": t.column("turn_idx_count").cast(pa.int64()),
+                     "kept": pa.array(first.astype("int64"))})
+           .group_by("conv_id")
+           .aggregate([("n_lines", "sum"), ("kept", "sum")]))
+    conv = agg.column("conv_id").combine_chunks()
+    cb = pd.util.hash_array(conv.to_numpy(zero_copy_only=False))
+    return pa.Table.from_arrays(
+        [conv, agg.column("n_lines_sum").cast(pa.int64()),
+         agg.column("kept_sum").cast(pa.int64()),
+         pa.array((cb % _LINE_CONV_BUCKETS).astype("int64"))],
+        schema=_LINE_PARTIAL)
+
+
+def _line_conv_shard(g: pa.Table) -> pa.Table:
+    if g.num_rows == 0:
+        return _LINE_DEDUP_OUT.empty_table()
+    out = (g.drop_columns(["cbucket"]).combine_chunks()
+           .group_by("conv_id")
+           .aggregate([("n_lines", "sum"), ("kept", "sum")]))
+    return pa.Table.from_arrays(
+        [out.column("conv_id").combine_chunks(),
+         out.column("n_lines_sum").cast(pa.int64()),
+         out.column("kept_sum").cast(pa.int64())],
+        schema=_LINE_DEDUP_OUT)
+
+
+def line_dedup(ds: "ray.data.Dataset"):
+    """C4-style corpus-wide line-level dedup over a transcript corpus:
+    per conversation, how many of its lines (turns) survive when every
+    line text keeps only its single first global occurrence.
+
+    Scale shape (the 100-TB contract): the first exchange carries
+    (h1, h2, conv_id, min_turn_idx, n) rows — 128-bit digests, line text
+    NEVER enters a shuffle; within-conv duplicates collapse in the
+    per-batch combiner; the digest shard resolves keepers with one
+    vectorized sort and pre-aggregates to conversation cardinality before
+    the (much smaller) second exchange.  Reference analog: the
+    get-or-create first-writer-wins discipline of ``FileCreationPass``
+    (x2cpg/passes/base/FileCreationPass.scala) applied corpus-wide."""
+    return _tidy(ds.map_batches(_line_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .groupby("bucket")
+                 .map_groups(_line_digest_shard, batch_format="pyarrow")
+                 .groupby("cbucket")
+                 .map_groups(_line_conv_shard, batch_format="pyarrow"))
+
+
+def line_dedup_sql(transcripts_rel: str) -> str:
+    return f"""
+    WITH l AS (
+      SELECT conv_id, turn_idx,
+             row_number() OVER (PARTITION BY text
+                                ORDER BY conv_id, turn_idx) AS rn
+      FROM {transcripts_rel})
+    SELECT conv_id, count(*) AS n_lines,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM l GROUP BY conv_id
+    """
+
+
 def _word_shingles(text: str, k: int = 3) -> set[str]:
     toks = text.split()
     if len(toks) < k:
