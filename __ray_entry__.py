@@ -298,7 +298,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q1_pricing": REL.q1_pricing,
         "rel_topk_per_customer": REL.topk_orders_per_customer,
         "rel_price_quantiles": REL.price_quantiles_by_segment,
-        "rel_customers_without_orders": REL.customers_without_orders,
         "rel_revenue_by_nation": REL.revenue_by_nation,
         "rel_events_by_user": REL.events_by_user,
         "rel_running_order_total": REL.running_order_total,
@@ -312,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_redact_persons": T.redact_persons,
         "text_repetition": T.repetition_stats,
         "text_familiarity": T.familiarity,
+        "text_bigram_lm": T.bigram_lm,
         "text_decontaminate": T.decontaminate,
         "text_decontaminate_ngram": T.decontaminate_ngram,
         "text_tfidf_topk": T.tfidf_topk,
@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_distinct_part_types": REL.distinct_part_types,
         "rel_filter_project_parts": REL.filter_project_parts,
         "rel_suppliers_with_shipments": REL.suppliers_with_shipments,
+        "rel_customers_without_orders": REL.customers_without_orders,
         "rel_topk_orders": REL.topk_orders,
         "rel_orders_by_segment": REL.orders_by_segment,
         "text_top_tokens": T.top_tokens,
@@ -508,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": T.dedup_exact_sql(),
         "text_clean_corpus": T.clean_corpus_sql(),
         "conv_line_dedup": T.line_dedup_sql(tr),
+        "text_bigram_lm": T.bigram_lm_sql(),
         "text_sample_stratified": T.sample_stratified_sql(),
         "text_token_bins": T.token_bins_sql(),
         "text_redact_persons": T.redact_persons_sql(tr),

@@ -603,6 +603,215 @@ def familiarity_cogroup(sf_dir: str):
                                           batch_format="pyarrow"))
 
 
+# --------------------------------------------------------------------------
+# Bigram LM corpus scorer — the integer-exact analog of a KenLM-style
+# perplexity quality filter (CCNet, Wenzek et al. 2020): per document, the
+# corpus-global frequency mass of its adjacent-token PAIRS.  Natural word
+# sequences ride frequent bigrams; shuffled/garbage text scores low even
+# when every unigram is common — the signal ``familiarity`` (unigram-level)
+# cannot see.  Integer arithmetic end-to-end so the DuckDB mirror matches
+# hash-exactly (a float log-prob would diverge in the last ulp).
+# --------------------------------------------------------------------------
+
+BIGRAM_MAX_VOCAB = 50_000_000
+BIGRAM_COGROUP_BUCKETS = 256
+_BIGRAM_FLAT = pa.schema([("doc_id", pa.int64()), ("bigram", pa.string())])
+_BIGRAM_OUT = pa.schema([("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+                         ("bg_sum", pa.int64()), ("bg_min", pa.int64())])
+
+
+def _flat_bigrams(t: pa.Table) -> pa.Table:
+    """(doc_id, bigram) rows for every adjacent token pair — one shifted
+    slice + mask over the flattened token array, never a per-row loop;
+    pair boundaries never cross documents (parent-id shift compare)."""
+    trimmed = ascii_trim(t.column("text"))
+    sub = t.filter(pc.fill_null(pc.not_equal(trimmed, ""), False))
+    if sub.num_rows == 0:
+        return _BIGRAM_FLAT.empty_table()
+    trimmed = ascii_trim(sub.column("text"))
+    toks = pc.split_pattern_regex(trimmed, _WS_RE)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    parents = np.repeat(sub.column("doc_id").to_numpy(), lengths)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) < 2:
+        return _BIGRAM_FLAT.empty_table()
+    same = parents[1:] == parents[:-1]
+    mask = pa.array(same)
+    bigram = pc.binary_join_element_wise(
+        flat.slice(0, len(flat) - 1).filter(mask),
+        flat.slice(1).filter(mask), " ")
+    return pa.table({"doc_id": pa.array(parents[1:][same], pa.int64()),
+                     "bigram": bigram})
+
+
+def _bigram_zeros(t: pa.Table, scored_ids) -> pa.Table:
+    """(doc_id, 0, 0, 0) rows for the batch's docs with no bigrams
+    (empty/blank or single-token) — the LEFT-JOIN arm of the SQL mirror."""
+    done = pc.fill_null(pc.is_in(t.column("doc_id").cast(pa.int64()),
+                                 value_set=scored_ids), False)
+    rest = t.filter(pc.invert(done))
+    z = pa.array([0] * rest.num_rows, pa.int64())
+    return pa.table({"doc_id": rest.column("doc_id").cast(pa.int64()),
+                     "n_bigrams": z, "bg_sum": z, "bg_min": z})
+
+
+def bigram_lm(sf_dir: str):
+    """Per-doc bigram-LM corpus scores: n_bigrams, bg_sum = Σ global count
+    of each adjacent-token-pair occurrence, bg_min = global count of the
+    rarest pair.  Two-phase like ``familiarity``: (1) global bigram counts
+    (per-batch combiner → one vocab-sized groupby), cardinality-gated and
+    broadcast ONCE via ``ray.put``; (2) per-doc vectorized ``index_in``
+    lookup + one Arrow group_by per batch.  Beyond
+    ``BIGRAM_MAX_VOCAB`` the equivalence-tested ``bigram_lm_cogroup``
+    path takes over (bigram vocabularies outgrow unigram vocabularies
+    roughly quadratically, so the escape matters sooner here)."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+    counts = (ds.map_batches(
+        lambda t: (_flat_bigrams(t).group_by("bigram")
+                   .aggregate([("bigram", "count")])
+                   .rename_columns(["bigram", "n"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram").sum("n")).materialize()
+    if counts.count() > BIGRAM_MAX_VOCAB:
+        return bigram_lm_cogroup(sf_dir)
+    parts = [b for b in counts.iter_batches(batch_format="pyarrow")
+             if b.num_columns]
+    vocab = (pa.concat_tables(parts).combine_chunks() if parts
+             else pa.schema([("bigram", pa.string()),
+                             ("sum(n)", pa.int64())]).empty_table())
+    bg_arr = vocab.column("bigram").combine_chunks()
+    cnt_np = vocab.column("sum(n)").to_numpy(zero_copy_only=False)
+    vocab_ref = ray.put((bg_arr, cnt_np))
+
+    def score(t: pa.Table) -> pa.Table:
+        flat = _flat_bigrams(t)
+        if flat.num_rows == 0:
+            return _bigram_zeros(t, pa.array([], pa.int64()))
+        bgs, cnts = ray.get(vocab_ref)
+        pos = pc.index_in(flat.column("bigram"), value_set=bgs) \
+                .to_numpy(zero_copy_only=False)
+        freq = cnts[pos.astype("int64")]
+        agg = (pa.table({"doc_id": flat.column("doc_id"),
+                         "freq": pa.array(freq, pa.int64())})
+               .group_by("doc_id")
+               .aggregate([("freq", "count"), ("freq", "sum"),
+                           ("freq", "min")]))
+        out = pa.Table.from_arrays(
+            [agg.column("doc_id").cast(pa.int64()),
+             agg.column("freq_count").cast(pa.int64()),
+             agg.column("freq_sum").cast(pa.int64()),
+             agg.column("freq_min").cast(pa.int64())],
+            schema=_BIGRAM_OUT)
+        zeros = _bigram_zeros(t, agg.column("doc_id").combine_chunks()
+                              .cast(pa.int64()))
+        return pa.concat_tables([out, zeros])
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_lm_cogroup(sf_dir: str):
+    """Fully distributed bigram LM scoring (the beyond-broadcast-vocab
+    path): the same scores as ``bigram_lm`` with NO driver-side
+    vocabulary — two narrow keyed exchanges (bigram-keyed count-attach,
+    then doc-keyed fold), mirroring ``familiarity_cogroup``.  Docs with
+    no bigrams ride the first pass as a (doc_id, "", n=0) sentinel (a
+    real bigram always contains a space, so "" never collides).
+    Equivalence with the broadcast path is pytest-enforced."""
+    from ..functions.buckets import add_bucket
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        flat = _flat_bigrams(t)
+        p = (flat.group_by(["doc_id", "bigram"])
+             .aggregate([("bigram", "count")])
+             .rename_columns(["doc_id", "bigram", "n"]))
+        scored = p.column("doc_id").combine_chunks().cast(pa.int64())
+        done = pc.fill_null(pc.is_in(t.column("doc_id").cast(pa.int64()),
+                                     value_set=scored), False)
+        rest = t.filter(pc.invert(done))
+        if rest.num_rows:
+            p = pa.concat_tables([p, pa.table({
+                "doc_id": rest.column("doc_id").cast(pa.int64()),
+                "bigram": pa.array([""] * rest.num_rows, pa.string()),
+                "n": pa.array([0] * rest.num_rows, pa.int64()),
+            })])
+        return add_bucket(p, "bigram", BIGRAM_COGROUP_BUCKETS)
+
+    def bg_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()), ("nb", pa.int64()),
+                              ("wsum", pa.int64()),
+                              ("wmin", pa.int64())]).empty_table()
+        g = g.drop_columns(["bucket"]).combine_chunks()
+        tot = (g.select(["bigram", "n"]).group_by("bigram")
+               .aggregate([("n", "sum")]))
+        pos = pc.index_in(g.column("bigram"),
+                          value_set=tot.column("bigram").combine_chunks())
+        c = tot.column("n_sum").combine_chunks().take(pos)
+        return (pa.table({"doc_id": g.column("doc_id"),
+                          "nb": g.column("n"),
+                          "wsum": pc.multiply(g.column("n"), c),
+                          "wmin": c})
+                .group_by("doc_id")
+                .aggregate([("nb", "sum"), ("wsum", "sum"), ("wmin", "min")])
+                .rename_columns(["doc_id", "nb", "wsum", "wmin"]))
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+    partials = (ds.map_batches(bg_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("bucket").map_groups(bg_shard,
+                                              batch_format="pyarrow"))
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()), ("nb", pa.int64()),
+                              ("wsum", pa.int64()), ("wmin", pa.int64()),
+                              ("bucket", pa.int64())]).empty_table()
+        return add_bucket(t, "doc_id", BIGRAM_COGROUP_BUCKETS)
+
+    def doc_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _BIGRAM_OUT.empty_table()
+        out = (g.drop_columns(["bucket"]).combine_chunks()
+               .group_by("doc_id")
+               .aggregate([("nb", "sum"), ("wsum", "sum"),
+                           ("wmin", "min")]))
+        return pa.Table.from_arrays(
+            [out.column("doc_id").cast(pa.int64()),
+             out.column("nb_sum").cast(pa.int64()),
+             out.column("wsum_sum").cast(pa.int64()),
+             out.column("wmin_min").cast(pa.int64())],
+            schema=_BIGRAM_OUT)
+
+    return (partials.map_batches(doc_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(doc_shard,
+                                          batch_format="pyarrow"))
+
+
+def bigram_lm_sql() -> str:
+    ws = _WS_SQL
+    return f"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text, {ws}), '\\s+') AS a
+      FROM documents WHERE trim(text, {ws}) <> ''),
+    tk AS (SELECT doc_id, unnest(a) AS tok,
+                  generate_subscripts(a, 1) AS i FROM d),
+    bg AS (SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS bigram
+           FROM tk t1 JOIN tk t2
+             ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1),
+    g AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+    a2 AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(sum(g.c) AS BIGINT) AS bg_sum,
+                  CAST(min(g.c) AS BIGINT) AS bg_min
+           FROM bg JOIN g USING (bigram) GROUP BY 1)
+    SELECT doc.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(bg_sum, 0) AS bg_sum, coalesce(bg_min, 0) AS bg_min
+    FROM documents doc LEFT JOIN a2 USING (doc_id)
+    """
+
+
 TOP_TOKENS_K = 20
 
 
