@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": T.repetition_stats,
         "text_familiarity": T.familiarity,
         "text_bigram_lm": T.bigram_lm,
+        "text_dup_spans": T.dup_spans,
         "text_decontaminate": T.decontaminate,
         "text_decontaminate_ngram": T.decontaminate_ngram,
         "text_tfidf_topk": T.tfidf_topk,
@@ -320,7 +321,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": EV.sessionize,
         "events_window_counts": EV.window_counts,
         "events_sliding_counts": EV.sliding_window_counts,
-        "events_asof_prior_view": EV.asof_prior_view,
         "events_props_k_stats": EV.props_k_stats,
         # similarity search
         "ann_topk": A.ann_bruteforce,
@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_filter_project_parts": REL.filter_project_parts,
         "rel_suppliers_with_shipments": REL.suppliers_with_shipments,
         "rel_customers_without_orders": REL.customers_without_orders,
+        "events_asof_prior_view": EV.asof_prior_view,
         "rel_topk_orders": REL.topk_orders,
         "rel_orders_by_segment": REL.orders_by_segment,
         "text_top_tokens": T.top_tokens,
@@ -510,6 +511,7 @@ def oracle_sql() -> dict[str, str]:
         "text_clean_corpus": T.clean_corpus_sql(),
         "conv_line_dedup": T.line_dedup_sql(tr),
         "text_bigram_lm": T.bigram_lm_sql(),
+        "text_dup_spans": T.dup_spans_sql(),
         "text_sample_stratified": T.sample_stratified_sql(),
         "text_token_bins": T.token_bins_sql(),
         "text_redact_persons": T.redact_persons_sql(tr),

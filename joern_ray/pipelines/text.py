@@ -1414,6 +1414,123 @@ def decontaminate_ngram_sql(ref_mod: int = DECONTAMINATE_REF_MOD,
     """
 
 
+# --------------------------------------------------------------------------
+# Duplicated-substring signal (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better"): per document, how many of its
+# token n-gram positions are covered by an n-gram that occurs MORE THAN
+# ONCE corpus-wide — the map a substring-dedup pass (their suffix-array
+# ExactSubstr) would cut.  Corpus-vs-corpus, so unlike the
+# decontamination scrub there is no small side to broadcast: the gram
+# side shuffles 64-bit hashes (the dedup_exact digest discipline), never
+# gram strings.
+# --------------------------------------------------------------------------
+
+DUPSPAN_BUCKETS = 256
+_DUPSPAN_PART = pa.schema([("doc_id", pa.int64()), ("ns", pa.int64()),
+                           ("dup", pa.int64()), ("bucket", pa.int64())])
+_DUPSPAN_OUT = pa.schema([("doc_id", pa.int64()), ("n_spans", pa.int64()),
+                          ("n_dup_spans", pa.int64())])
+
+
+def dup_spans(sf_dir: str, n: int = NGRAM_DECON_N):
+    """Per-doc duplicated-substring coverage: n_spans = token n-gram
+    positions, n_dup_spans = positions whose n-gram occurs >= 2 times in
+    the whole corpus (same-doc repeats included, matching the SQL
+    mirror's global count).  Two narrow keyed exchanges: (1) gram-hash
+    keyed — per-batch (h, doc_id, n) combiner rows, each shard computes
+    the global per-gram count and folds per-doc partials in-shard;
+    (2) doc-keyed final sum.  Zero-span docs ride pass 1 as n=0 sentinel
+    rows (they contribute nothing to any sum, so even a sentinel/real
+    hash collision is harmless).  Results equal the string semantics
+    absent a 64-bit gram-hash collision (dedup_exact's documented
+    collision math)."""
+    from ..functions.buckets import add_bucket
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        h, doc_idx = _ngram_hashes(t.column("text"), n)
+        doc_ids = t.column("doc_id").to_numpy()
+        p = (pa.table({"h": pa.array(h.view(np.int64), pa.int64()),
+                       "doc_id": pa.array(doc_ids[doc_idx], pa.int64())})
+             .group_by(["h", "doc_id"]).aggregate([("h", "count")]))
+        p = pa.table({"h": p.column("h"), "doc_id": p.column("doc_id"),
+                      "n": p.column("h_count").cast(pa.int64())})
+        has = np.zeros(len(doc_ids), bool)
+        has[doc_idx] = True
+        rest = doc_ids[~has]
+        if len(rest):
+            z = pa.array([0] * len(rest), pa.int64())
+            p = pa.concat_tables([p, pa.table({
+                "h": z, "doc_id": pa.array(rest, pa.int64()), "n": z})])
+        return add_bucket(p, "h", DUPSPAN_BUCKETS)
+
+    def gram_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _DUPSPAN_PART.empty_table()
+        g = g.drop_columns(["bucket"]).combine_chunks()
+        tot = g.select(["h", "n"]).group_by("h").aggregate([("n", "sum")])
+        pos = pc.index_in(g.column("h"),
+                          value_set=tot.column("h").combine_chunks())
+        c = tot.column("n_sum").combine_chunks().take(pos)
+        dup = pc.if_else(pc.greater_equal(c, 2), g.column("n"),
+                         pa.scalar(0, pa.int64()))
+        out = (pa.table({"doc_id": g.column("doc_id"),
+                         "ns": g.column("n"), "dup": dup})
+               .group_by("doc_id")
+               .aggregate([("ns", "sum"), ("dup", "sum")]))
+        return add_bucket(pa.table({
+            "doc_id": out.column("doc_id").cast(pa.int64()),
+            "ns": out.column("ns_sum").cast(pa.int64()),
+            "dup": out.column("dup_sum").cast(pa.int64())}),
+            "doc_id", DUPSPAN_BUCKETS)
+
+    def doc_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _DUPSPAN_OUT.empty_table()
+        out = (g.drop_columns(["bucket"]).combine_chunks()
+               .group_by("doc_id")
+               .aggregate([("ns", "sum"), ("dup", "sum")]))
+        return pa.Table.from_arrays(
+            [out.column("doc_id").cast(pa.int64()),
+             out.column("ns_sum").cast(pa.int64()),
+             out.column("dup_sum").cast(pa.int64())],
+            schema=_DUPSPAN_OUT)
+
+    return (ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket").map_groups(gram_shard,
+                                          batch_format="pyarrow")
+            .groupby("bucket").map_groups(doc_shard,
+                                          batch_format="pyarrow"))
+
+
+def dup_spans_sql(n: int = NGRAM_DECON_N) -> str:
+    ws = _WS_SQL
+    leads = " || ' ' || ".join(f"lead(tok, {j}) OVER w" for j in range(1, n))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text, {ws}), '\\s+')) AS tok,
+             generate_subscripts(
+               regexp_split_to_array(trim(text, {ws}), '\\s+'), 1) AS pos
+      FROM documents WHERE text IS NOT NULL),
+    ng AS (
+      SELECT doc_id, tok || ' ' || {leads} AS ngram
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING)
+      QUALIFY lead(tok, {n - 1}) OVER w IS NOT NULL),
+    g AS (SELECT ngram, count(*) AS c FROM ng GROUP BY 1),
+    a2 AS (SELECT ng.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_dup_spans
+           FROM ng JOIN g USING (ngram) GROUP BY 1)
+    SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+           coalesce(n_dup_spans, 0) AS n_dup_spans
+    FROM documents d LEFT JOIN a2 USING (doc_id)
+    """
+
+
 def text_quality(sf_dir: str):
     """Composite quality signals in integer permille (deterministic under
     any execution order, unlike float ratios): digit density, stopword
