@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from joern_ray.pipelines import text as T
     from joern_ray.stages import chains as CH
     from joern_ray.stages import extract as X
+    from joern_ray.stages import graphstats as GS
     from joern_ray.stages import kindrec as KR
     from joern_ray.stages import multimodal as MM
     from joern_ray.stages import reach as RCH
@@ -270,9 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # v12 constructs: definite-description anaphora + 4+-way lists
         "kg_triples_definite": kg_triples_definite,
         "kg_list_coordination": kg_list_coordination,
-        "kg_next_turn_edges": kg_next_turn_edges,
         "kg_dominators": kg_dominators,
-        "kg_post_dominators": kg_post_dominators,
         "kg_cdg": kg_cdg,
         "kg_entities_exact": kg_entities_exact,
         # conversation-local enrichment (use-chain analog)
@@ -287,6 +286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_tool_registry": kg_tool_registry,
         # bounded-iteration kind recovery (XTypeRecovery analog, new r4)
         "kg_kind_recovery": KR.kind_recovery_query,
+        # graph-shape metrics (querydb Metrics analog, new r4): per-entity
+        # triangle counts + integer-milli local clustering coefficient
+        "kg_triangles": GS.triangles_query,
         # scan battery + snippet retrieval + mention aggregation
         # (findings reuses the memoized graph build — ScanPass runs over
         # the already-built CPG, not a fresh extraction)
@@ -343,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (scripts/check_correctness.py) ----
         "kg_turns": kg_turns,
         "kg_triples_surface_exttool": kg_triples_surface_exttool,
+        "kg_next_turn_edges": kg_next_turn_edges,
+        "kg_post_dominators": kg_post_dominators,
         "text_lang_id": T.lang_id,
         "text_fingerprint": T.doc_fingerprint,
         "text_stats": T.text_stats,
@@ -356,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_orders_by_segment": REL.orders_by_segment,
         "text_top_tokens": T.top_tokens,
         # ---- rows-only, no driver row yet (next in the window) ----
+        "kg_kcore": GS.kcore_query,
         "ann_lsh": A.ann_lsh,
         "dedup_semantic": A.dedup_semantic,
         "ann_ivf": A.ann_ivf,
@@ -393,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
     from joern_ray.pipelines import relational as REL
     from joern_ray.pipelines import text as T
     from joern_ray.stages import chains as CH
+    from joern_ray.stages import graphstats as GS
     from joern_ray.stages import reach as RCH
 
     from joern_ray.extract import sqlgen as G
@@ -440,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
             FROM {tr} WHERE role = 'tool' AND tool IS NOT NULL
             GROUP BY tool""",
         "kg_kind_recovery": _kind_recovery_sql(tr),
+        "kg_triangles": GS.triangles_sql(tr),
         "kg_conv_tools": FND.conv_tools_sql(tr),
         "kg_next_turn_edges": f"""
             SELECT conv_id || '#' || CAST(turn_idx - 1 AS VARCHAR) AS src,
