@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": T.repetition_stats,
         "text_familiarity": T.familiarity,
         "text_bigram_lm": T.bigram_lm,
+        "text_dsir_weights": T.dsir_weights,
         "text_dup_spans": T.dup_spans,
         "text_decontaminate": T.decontaminate,
         "text_decontaminate_ngram": T.decontaminate_ngram,
@@ -518,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         "text_clean_corpus": T.clean_corpus_sql(),
         "conv_line_dedup": T.line_dedup_sql(tr),
         "text_bigram_lm": T.bigram_lm_sql(),
+        "text_dsir_weights": T.dsir_weights_sql(),
         "text_dup_spans": T.dup_spans_sql(),
         "text_sample_stratified": T.sample_stratified_sql(),
         "text_token_bins": T.token_bins_sql(),

@@ -812,6 +812,249 @@ def bigram_lm_sql() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# DSIR-style importance-resampling weights (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"): score every
+# document by how much more likely its features are under a TARGET-domain
+# model than under the raw-corpus model, then resample by the weight.
+# Features here are adjacent-token bigrams (the operator reuses the
+# bigram-LM machinery); the per-occurrence importance ratio is the
+# integer-milli ``(1000 * (ct + 1)) // (cr + 1)`` (add-one smoothed
+# target count over raw count) — the house no-floats discipline: DSIR's
+# log-ratio sum would diverge from any SQL mirror in the last ulp, the
+# integer linearized ratio hash-matches exactly.  The target domain is
+# the documents whose ``source`` is in ``DSIR_TARGET_SOURCES``.
+# --------------------------------------------------------------------------
+
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+_DSIR_OUT = pa.schema([("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+                       ("tgt_sum", pa.int64()), ("raw_sum", pa.int64()),
+                       ("dsir_milli", pa.int64())])
+
+
+def _dsir_zeros(t: pa.Table, scored_ids) -> pa.Table:
+    done = pc.fill_null(pc.is_in(t.column("doc_id").cast(pa.int64()),
+                                 value_set=scored_ids), False)
+    rest = t.filter(pc.invert(done))
+    z = pa.array([0] * rest.num_rows, pa.int64())
+    return pa.table({"doc_id": rest.column("doc_id").cast(pa.int64()),
+                     "n_bigrams": z, "tgt_sum": z, "raw_sum": z,
+                     "dsir_milli": z})
+
+
+def _target_mask(t: pa.Table) -> pa.Array:
+    return pc.fill_null(pc.is_in(t.column("source"),
+                                 value_set=pa.array(DSIR_TARGET_SOURCES)),
+                        False)
+
+
+def dsir_weights(sf_dir: str):
+    """(doc_id, n_bigrams, tgt_sum, raw_sum, dsir_milli) — per-doc
+    importance-resampling sufficient statistics + the integer-milli
+    weight ``dsir_milli = Σ_occurrences (1000*(ct+1)) // (cr+1)``.
+
+    Two-phase: (1) raw-corpus and target-slice bigram counts (per-batch
+    combiners → two vocab-sized groupbys), aligned driver-side and
+    broadcast ONCE via ``ray.put``; (2) per-doc vectorized ``index_in``
+    lookup + one Arrow group_by per batch.  Beyond ``BIGRAM_MAX_VOCAB``
+    the equivalence-tested ``dsir_weights_cogroup`` path takes over."""
+    ds = ray.data.read_parquet(_p(sf_dir),
+                               columns=["doc_id", "text", "source"])
+    raw = (ds.map_batches(
+        lambda t: (_flat_bigrams(t).group_by("bigram")
+                   .aggregate([("bigram", "count")])
+                   .rename_columns(["bigram", "n"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram").sum("n")).materialize()
+    if raw.count() > BIGRAM_MAX_VOCAB:
+        return dsir_weights_cogroup(sf_dir)
+    tgt = (ds.map_batches(
+        lambda t: (_flat_bigrams(t.filter(_target_mask(t)))
+                   .group_by("bigram").aggregate([("bigram", "count")])
+                   .rename_columns(["bigram", "n"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram").sum("n"))
+
+    def collect(counts) -> pa.Table:
+        parts = [b for b in counts.iter_batches(batch_format="pyarrow")
+                 if b.num_columns and b.num_rows]
+        return (pa.concat_tables(parts).combine_chunks() if parts
+                else pa.schema([("bigram", pa.string()),
+                                ("sum(n)", pa.int64())]).empty_table())
+
+    rawt, tgtt = collect(raw), collect(tgt)
+    bg_arr = rawt.column("bigram").combine_chunks()
+    cr_np = rawt.column("sum(n)").to_numpy(zero_copy_only=False)
+    # align target counts onto the raw vocabulary (missing -> 0)
+    tpos = pc.fill_null(
+        pc.index_in(bg_arr,
+                    value_set=tgtt.column("bigram").combine_chunks()),
+        -1).to_numpy(zero_copy_only=False).astype("int64")
+    tvals = tgtt.column("sum(n)").to_numpy(zero_copy_only=False)
+    ct_np = np.zeros(len(bg_arr), dtype="int64")
+    hit = tpos >= 0
+    if len(tvals):
+        ct_np[hit] = tvals[tpos[hit]]
+    vocab_ref = ray.put((bg_arr, cr_np, ct_np))
+
+    def score(t: pa.Table) -> pa.Table:
+        flat = _flat_bigrams(t)
+        if flat.num_rows == 0:
+            return _dsir_zeros(t, pa.array([], pa.int64()))
+        bgs, cr, ct = ray.get(vocab_ref)
+        pos = pc.index_in(flat.column("bigram"), value_set=bgs) \
+            .to_numpy(zero_copy_only=False).astype("int64")
+        crv, ctv = cr[pos], ct[pos]
+        ratio = (1000 * (ctv + 1)) // (crv + 1)
+        agg = (pa.table({"doc_id": flat.column("doc_id"),
+                         "ct": pa.array(ctv, pa.int64()),
+                         "cr": pa.array(crv, pa.int64()),
+                         "ratio": pa.array(ratio, pa.int64())})
+               .group_by("doc_id")
+               .aggregate([("ct", "count"), ("ct", "sum"),
+                           ("cr", "sum"), ("ratio", "sum")]))
+        out = pa.Table.from_arrays(
+            [agg.column("doc_id").cast(pa.int64()),
+             agg.column("ct_count").cast(pa.int64()),
+             agg.column("ct_sum").cast(pa.int64()),
+             agg.column("cr_sum").cast(pa.int64()),
+             agg.column("ratio_sum").cast(pa.int64())],
+            schema=_DSIR_OUT)
+        zeros = _dsir_zeros(t, agg.column("doc_id").combine_chunks()
+                            .cast(pa.int64()))
+        return pa.concat_tables([out, zeros])
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights_cogroup(sf_dir: str):
+    """Fully distributed DSIR scoring (the beyond-broadcast-vocab path):
+    the same stats with NO driver-side vocabulary — bigram-keyed
+    count-attach (raw AND target counts computed inside the shard from
+    tagged per-doc partials), then a doc-keyed fold, mirroring
+    ``bigram_lm_cogroup``.  Docs with no bigrams ride as a
+    (doc_id, "", n=0, tn=0) sentinel — every contribution is ``n *``
+    something, so the sentinel folds to zeros."""
+    from ..functions.buckets import add_bucket
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        flat = _flat_bigrams(t)
+        p = (flat.group_by(["doc_id", "bigram"])
+             .aggregate([("bigram", "count")])
+             .rename_columns(["doc_id", "bigram", "n"]))
+        tgt_ids = (t.filter(_target_mask(t)).column("doc_id")
+                   .combine_chunks().cast(pa.int64()))
+        is_t = pc.fill_null(pc.is_in(p.column("doc_id").cast(pa.int64()),
+                                     value_set=tgt_ids), False)
+        p = p.append_column(
+            "tn", pc.if_else(is_t, p.column("n"),
+                             pa.scalar(0, pa.int64())).cast(pa.int64()))
+        scored = p.column("doc_id").combine_chunks().cast(pa.int64())
+        done = pc.fill_null(pc.is_in(t.column("doc_id").cast(pa.int64()),
+                                     value_set=scored), False)
+        rest = t.filter(pc.invert(done))
+        if rest.num_rows:
+            z = pa.array([0] * rest.num_rows, pa.int64())
+            p = pa.concat_tables([p, pa.table({
+                "doc_id": rest.column("doc_id").cast(pa.int64()),
+                "bigram": pa.array([""] * rest.num_rows, pa.string()),
+                "n": z, "tn": z})])
+        return add_bucket(p, "bigram", BIGRAM_COGROUP_BUCKETS)
+
+    _PART = pa.schema([("doc_id", pa.int64()), ("nb", pa.int64()),
+                       ("ts", pa.int64()), ("rs", pa.int64()),
+                       ("dm", pa.int64())])
+
+    def bg_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        g = g.drop_columns(["bucket"]).combine_chunks()
+        tot = (g.select(["bigram", "n", "tn"]).group_by("bigram")
+               .aggregate([("n", "sum"), ("tn", "sum")]))
+        pos = pc.index_in(g.column("bigram"),
+                          value_set=tot.column("bigram").combine_chunks())
+        cr = tot.column("n_sum").combine_chunks().take(pos) \
+            .to_numpy(zero_copy_only=False)
+        ct = tot.column("tn_sum").combine_chunks().take(pos) \
+            .to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        ratio = (1000 * (ct + 1)) // (cr + 1)
+        return (pa.table({"doc_id": g.column("doc_id"),
+                          "nb": g.column("n"),
+                          "ts": pa.array(n * ct, pa.int64()),
+                          "rs": pa.array(n * cr, pa.int64()),
+                          "dm": pa.array(n * ratio, pa.int64())})
+                .group_by("doc_id")
+                .aggregate([("nb", "sum"), ("ts", "sum"), ("rs", "sum"),
+                            ("dm", "sum")])
+                .rename_columns(["doc_id", "nb", "ts", "rs", "dm"]))
+
+    ds = ray.data.read_parquet(_p(sf_dir),
+                               columns=["doc_id", "text", "source"])
+    partials = (ds.map_batches(bg_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("bucket").map_groups(bg_shard,
+                                              batch_format="pyarrow"))
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return _PART.empty_table().append_column(
+                "bucket", pa.array([], pa.int64()))
+        return add_bucket(t, "doc_id", BIGRAM_COGROUP_BUCKETS)
+
+    def doc_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _DSIR_OUT.empty_table()
+        out = (g.drop_columns(["bucket"]).combine_chunks()
+               .group_by("doc_id")
+               .aggregate([("nb", "sum"), ("ts", "sum"), ("rs", "sum"),
+                           ("dm", "sum")]))
+        return pa.Table.from_arrays(
+            [out.column("doc_id").cast(pa.int64()),
+             out.column("nb_sum").cast(pa.int64()),
+             out.column("ts_sum").cast(pa.int64()),
+             out.column("rs_sum").cast(pa.int64()),
+             out.column("dm_sum").cast(pa.int64())],
+            schema=_DSIR_OUT)
+
+    return (partials.map_batches(doc_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(doc_shard,
+                                          batch_format="pyarrow"))
+
+
+def dsir_weights_sql() -> str:
+    ws = _WS_SQL
+    srcs = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text, {ws}), '\\s+') AS a
+      FROM documents WHERE trim(text, {ws}) <> ''),
+    tk AS (SELECT doc_id, unnest(a) AS tok,
+                  generate_subscripts(a, 1) AS i FROM d),
+    bg AS (SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS bigram
+           FROM tk t1 JOIN tk t2
+             ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1),
+    raw AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cr
+            FROM bg GROUP BY 1),
+    tgt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS ct
+            FROM bg JOIN documents USING (doc_id)
+            WHERE source IN ({srcs}) GROUP BY 1),
+    a2 AS (SELECT bg.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(sum(coalesce(tgt.ct, 0)) AS BIGINT) AS tgt_sum,
+                  CAST(sum(raw.cr) AS BIGINT) AS raw_sum,
+                  CAST(sum((1000 * (coalesce(tgt.ct, 0) + 1))
+                           // (raw.cr + 1)) AS BIGINT) AS dsir_milli
+           FROM bg JOIN raw USING (bigram)
+           LEFT JOIN tgt USING (bigram) GROUP BY 1)
+    SELECT doc.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(tgt_sum, 0) AS tgt_sum,
+           coalesce(raw_sum, 0) AS raw_sum,
+           coalesce(dsir_milli, 0) AS dsir_milli
+    FROM documents doc LEFT JOIN a2 USING (doc_id)
+    """
+
+
 TOP_TOKENS_K = 20
 
 
