@@ -209,6 +209,34 @@ MULTI_TEMPLATES = [
      r'(?P<subj2>[A-Z][a-z]+) use (?P<obj>[a-z0-9_]+) daily\."$',
      [("uses", "subj", "person", "obj", "tool", 0, "quoted"),
       ("uses", "subj2", "person", "obj", "tool", 1, "quoted")]),
+    # v19: VERB-PHRASE coordination — ONE subject, TWO different
+    # relations ("Alice maintains auth.core and uses vim daily.").  All
+    # earlier coordination is NP-level (coordinated subjects or objects
+    # of one relation); here the conjuncts are whole predicates.  The
+    # plain maintains/uses templates cannot match (each anchors [.?]$
+    # immediately after its object).  A pronoun subject rides the
+    # generic pronoun arm and resolves ONCE for both emissions.  The
+    # explicit-subject maintains emission feeds the module-keyed
+    # descriptor state exactly like every other maintains row (state
+    # selection is by predicate, not by template).
+    ("vp_coord_maintains_uses",
+     r'^(?P<subj>[A-Z][a-z]+) maintains (?P<obj>[a-z_]+(?:\.[a-z_]+)*) '
+     r'and uses (?P<obj2>[a-z0-9_]+) daily[.?]$',
+     [("maintains", "subj", "person", "obj", "module", 0, "vp_coord"),
+      ("uses", "subj", "person", "obj2", "tool", 0, "vp_coord")]),
+    # v19: POSTPOSED speech attribution ('"Bob uses vim daily," said
+    # Alice.') — the quote PRECEDES the attribution.  Same contract as
+    # quoted_uses: clause='quoted', the speaker is not an emitted slot
+    # and contributes no referent state; a pronoun subject inside the
+    # quote resolves in the quoting turn's scope (the v11 contract).
+    # The comma before the closing quote is not a sentence boundary
+    # (the splitter only breaks on '[.?!] '), and the terminator is a
+    # plain '.', so — unlike quoted_uses — the sentence may be followed
+    # by further sentences in the same turn.
+    ("postposed_quoted_uses",
+     r'^"(?P<subj>[A-Z][a-z]+) uses (?P<obj>[a-z0-9_]+) daily," said '
+     r'(?P<speaker>[A-Z][a-z]+)\.$',
+     [("uses", "subj", "person", "obj", "tool", 0, "quoted")]),
 ]
 
 # ---------------------------------------------------------------------------
@@ -417,6 +445,8 @@ MULTI_TEMPLATE_LITERALS = {
     "coord_orgs": " works at both ",
     "coord3_works_at": " work at ",
     "quoted_coord_uses": ' said "',
+    "vp_coord_maintains_uses": " and uses ",
+    "postposed_quoted_uses": '," said ',
 }
 
 DEFAULT_SLOT_IDX = 0

@@ -23,7 +23,12 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v18"  # v18: OBJECT pronouns inside quoted speech
+CORPUS_VERSION = "v19"  # v19: VP coordination ('X maintains m and uses
+#                         t daily.' — one subject, two relations, clause
+#                         'vp_coord') and POSTPOSED speech attribution
+#                         ('"Bob uses t daily," said X.' — quote before
+#                         the attribution, quoted_uses contract).
+#                         v18: OBJECT pronouns inside quoted speech
 #                         ('X said "Bob met with her."' — quoting-turn
 #                         scope; the inner subject anchors + commits, the
 #                         speaker never does; clause 'quoted');
@@ -150,11 +155,13 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         kinds = ["coord_works_at", "coord_uses", "appos_maintainer",
                  "relative_manages", "passive_maintains",
                  "possessive_manager", "coord_orgs", "coord3_works_at",
-                 "coordN_works_at"] \
+                 "coordN_works_at", "vp_coord_maintains_uses",
+                 "postposed_quoted_uses"] \
             + (["quoted_uses", "quoted_coord_uses"] if allow_quoted else [])
         kind = kinds[int(rng.integers(0, len(kinds)))]
         end = "?" if (rng.random() < 0.05
-                      and kind not in ("quoted_uses", "quoted_coord_uses")) \
+                      and kind not in ("quoted_uses", "quoted_coord_uses",
+                                       "postposed_quoted_uses")) \
             else "."
         if kind == "coord_works_at":
             a = _pick_person(rng)
@@ -254,6 +261,26 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             gts = [("person", a.lower(), "uses", "tool", tool),
                    ("person", b.lower(), "uses", "tool", tool)]
             return text, gts, max(a, b)
+        if kind == "vp_coord_maintains_uses":
+            # VP coordination (v19): one subject, two relations; the
+            # explicit subject both commits referent state and feeds the
+            # module-keyed descriptor state via its maintains emission
+            a = _pick_person(rng)
+            mod = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
+            tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
+            text = f"{a} maintains {mod} and uses {tool} daily{end}"
+            gts = [("person", a.lower(), "maintains", "module", mod),
+                   ("person", a.lower(), "uses", "tool", tool)]
+            return text, gts, a
+        if kind == "postposed_quoted_uses":
+            # postposed attribution (v19): plain '.' terminator, so the
+            # sentence needs NO turn-final placement (unlike quoted_uses)
+            speaker = _pick_person(rng)
+            d = _pick_person(rng)
+            tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
+            text = f'"{d} uses {tool} daily," said {speaker}.'
+            gts = [("person", d.lower(), "uses", "tool", tool)]
+            return text, gts, d
         if kind == "possessive_manager":
             a = _pick_person(rng)          # manager = relation subject
             b = _pick_person(rng)
