@@ -300,7 +300,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q1_pricing": REL.q1_pricing,
         "rel_topk_per_customer": REL.topk_orders_per_customer,
         "rel_price_quantiles": REL.price_quantiles_by_segment,
-        "rel_revenue_by_nation": REL.revenue_by_nation,
         "rel_events_by_user": REL.events_by_user,
         "rel_running_order_total": REL.running_order_total,
         # text analysis + dedup (training-data ops)
@@ -325,9 +324,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_counts": EV.window_counts,
         "events_sliding_counts": EV.sliding_window_counts,
         "events_props_k_stats": EV.props_k_stats,
-        # similarity search
+        # similarity search + embedding-space decontamination
         "ann_topk": A.ann_bruteforce,
         "embedding_neardup": A.embedding_neardup_planted,
+        "embedding_decontaminate": A.embedding_decontaminate,
         "dedup_semantic_planted": A.dedup_semantic_planted,
         # ---- oracle-backed but OUTSIDE the driver's 50-entry window
         # (every window slot is already oracle-backed); all are
@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_surface_exttool": kg_triples_surface_exttool,
         "kg_next_turn_edges": kg_next_turn_edges,
         "kg_post_dominators": kg_post_dominators,
+        "rel_revenue_by_nation": REL.revenue_by_nation,
         "text_lang_id": T.lang_id,
         "text_fingerprint": T.doc_fingerprint,
         "text_stats": T.text_stats,
@@ -538,5 +539,6 @@ def oracle_sql() -> dict[str, str]:
         "events_props_k_stats": EV.props_k_stats_sql(),
         "ann_topk": A.ann_bruteforce_sql(),
         "embedding_neardup": A.embedding_neardup_planted_sql(),
+        "embedding_decontaminate": A.embedding_decontaminate_sql(),
         "dedup_semantic_planted": A.dedup_semantic_planted_sql(),
     }

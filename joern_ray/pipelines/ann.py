@@ -773,3 +773,72 @@ def dedup_semantic_planted_sql(*, threshold: float = SEMDEDUP_THRESHOLD
         AND list_cosine_similarity(u.embedding, v.embedding)
             >= {threshold})
     """
+
+
+# ---------------------------------------------------------------------------
+# Semantic benchmark decontamination — the embedding-space member of the
+# decontamination trio (text.decontaminate = exact-text scrub,
+# text.decontaminate_ngram = GPT-3-style fuzzy n-gram scrub, this =
+# paraphrase-robust cosine scrub).  Reference set = the vectors with
+# ``vec_id < SEMDECON_N_REF`` (the benchmark's own embeddings — MB-scale
+# by nature, same broadcast argument as text.decontaminate); a training
+# vector is contaminated when its max cosine against ANY reference
+# vector reaches SEMDECON_THRESHOLD.  The training stream never
+# shuffles: one matmul per batch against the broadcast reference
+# matrix, rejected rows simply drop out map-side.
+# ---------------------------------------------------------------------------
+
+SEMDECON_N_REF = 32
+SEMDECON_MAX_REF = 1_000_000   # count-gated BEFORE any driver collect
+# Chosen with real margin on the synthetic tables: the max training-vs-
+# reference cosine distribution tops out ~0.49 with ~5% of rows above
+# 0.35 and no observed sim within 1e-3 of the cut — float last-ulp
+# divergence between numpy and DuckDB cannot flip a row (the ann_topk
+# precedent: both sides compute double cosine on identical inputs).
+SEMDECON_THRESHOLD = 0.35
+
+
+def embedding_decontaminate(sf_dir: str, *, n_ref: int = SEMDECON_N_REF,
+                            threshold: float = SEMDECON_THRESHOLD):
+    """(vec_id, label) training rows surviving the semantic scrub."""
+    import pyarrow.parquet as pq
+
+    # pushdown filter at the read: only the reference rows leave storage
+    rt = pq.read_table(_p(sf_dir), columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_ref)])
+    if rt.num_rows > SEMDECON_MAX_REF:
+        raise ValueError(
+            f"reference slice has {rt.num_rows} rows "
+            f"(> SEMDECON_MAX_REF={SEMDECON_MAX_REF}); a benchmark this "
+            "size needs the banded-cogroup path, not a broadcast")
+    rmat = _norm_rows(_matrix(rt)) if rt.num_rows else None
+    rref = ray.put(rmat)
+    ds = ray.data.read_parquet(_p(sf_dir),
+                               columns=["vec_id", "embedding", "label"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.greater_equal(t.column("vec_id"),
+                                        pa.scalar(n_ref, pa.int64())))
+        out = sub.select(["vec_id", "label"])
+        if sub.num_rows == 0:
+            return out
+        rmat_ = ray.get(rref)
+        if rmat_ is None:
+            return out
+        vecs = _norm_rows(_matrix(sub))
+        mx = (vecs @ rmat_.T).max(axis=1)
+        return out.filter(pa.array(mx < threshold))
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def embedding_decontaminate_sql(*, n_ref: int = SEMDECON_N_REF,
+                                threshold: float = SEMDECON_THRESHOLD
+                                ) -> str:
+    return f"""
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id >= {n_ref} AND NOT EXISTS (
+      SELECT 1 FROM embeddings r WHERE r.vec_id < {n_ref}
+        AND list_cosine_similarity(r.embedding, e.embedding)
+            >= {threshold})
+    """
