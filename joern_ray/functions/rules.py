@@ -237,6 +237,22 @@ MULTI_TEMPLATES = [
      r'^"(?P<subj>[A-Z][a-z]+) uses (?P<obj>[a-z0-9_]+) daily," said '
      r'(?P<speaker>[A-Z][a-z]+)\.$',
      [("uses", "subj", "person", "obj", "tool", 0, "quoted")]),
+    # v20: DITRANSITIVE ("Alice introduced Bob to Carol.") — ONE verb,
+    # THREE NP slots: the recipient is a SECOND object of the same
+    # relation, discriminated by slot_idx (0 = direct object, 1 =
+    # recipient).  Both objects are person slots and feed referent state
+    # per-row by the usual rule (obj person shadows subj; turn max wins —
+    # so the committed referent of a ditransitive turn is
+    # max(direct object, recipient)).  A pronoun SUBJECT rides the
+    # generic multi-template pronoun arm and resolves ONCE for both
+    # emissions (both rows share the subj group).  Disjointness is by
+    # literal: no other template anchors ' introduced '.
+    ("ditrans_introduced",
+     r'^(?P<subj>[A-Z][a-z]+) introduced (?P<obj>[A-Z][a-z]+) to '
+     r'(?P<obj2>[A-Z][a-z]+)[.?]$',
+     [("introduced", "subj", "person", "obj", "person", 0, "ditransitive"),
+      ("introduced", "subj", "person", "obj2", "person", 1,
+       "ditransitive")]),
 ]
 
 # ---------------------------------------------------------------------------
@@ -447,6 +463,7 @@ MULTI_TEMPLATE_LITERALS = {
     "quoted_coord_uses": ' said "',
     "vp_coord_maintains_uses": " and uses ",
     "postposed_quoted_uses": '," said ',
+    "ditrans_introduced": " introduced ",
 }
 
 DEFAULT_SLOT_IDX = 0

@@ -23,7 +23,12 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v19"  # v19: VP coordination ('X maintains m and uses
+CORPUS_VERSION = "v20"  # v20: DITRANSITIVE ('Alice introduced Bob to
+#                         Carol.' — one verb, three NP slots; recipient =
+#                         second object of the SAME relation at slot_idx 1,
+#                         clause 'ditransitive'; both objects feed referent
+#                         state, pronoun subjects ride the generic arm).
+#                         v19: VP coordination ('X maintains m and uses
 #                         t daily.' — one subject, two relations, clause
 #                         'vp_coord') and POSTPOSED speech attribution
 #                         ('"Bob uses t daily," said X.' — quote before
@@ -156,7 +161,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                  "relative_manages", "passive_maintains",
                  "possessive_manager", "coord_orgs", "coord3_works_at",
                  "coordN_works_at", "vp_coord_maintains_uses",
-                 "postposed_quoted_uses"] \
+                 "postposed_quoted_uses", "ditrans_introduced"] \
             + (["quoted_uses", "quoted_coord_uses"] if allow_quoted else [])
         kind = kinds[int(rng.integers(0, len(kinds)))]
         end = "?" if (rng.random() < 0.05
@@ -272,6 +277,22 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             gts = [("person", a.lower(), "maintains", "module", mod),
                    ("person", a.lower(), "uses", "tool", tool)]
             return text, gts, a
+        if kind == "ditrans_introduced":
+            # ditransitive (v20): one verb, three NP slots — TWO
+            # emissions of the same relation (direct object slot 0,
+            # recipient slot 1); both object persons feed referent state
+            # (per-row obj-shadows-subj, turn max ⇒ max(b, c))
+            a = _pick_person(rng)
+            b = _pick_person(rng)
+            while b == a:
+                b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+            c = _pick_person(rng)
+            while c in (a, b):
+                c = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+            text = f"{a} introduced {b} to {c}{end}"
+            gts = [("person", a.lower(), "introduced", "person", b.lower()),
+                   ("person", a.lower(), "introduced", "person", c.lower())]
+            return text, gts, max(b, c)
         if kind == "postposed_quoted_uses":
             # postposed attribution (v19): plain '.' terminator, so the
             # sentence needs NO turn-final placement (unlike quoted_uses)
@@ -438,7 +459,24 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 # slot_idx; the non-pronoun partner commits the new state
                 pronoun = R.PRONOUNS[int(rng.integers(0, 2))]
                 partner = _pick_person(rng)
-                variant = int(rng.integers(0, 4))
+                variant = int(rng.integers(0, 5))
+                if variant == 4:
+                    # pronoun-subject DITRANSITIVE (v20): both emissions
+                    # share the pronoun subject and resolve to the
+                    # committed referent; resolved rows feed no state and
+                    # there is no partner SUBJECT slot, so the referent
+                    # carries over unchanged
+                    b2 = _pick_person(rng)
+                    c2 = _pick_person(rng)
+                    while c2 == b2:
+                        c2 = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+                    add_row(t, role, f"{pronoun} introduced {b2} to {c2}.")
+                    add_gt(t, "person", last_person.lower(), "introduced",
+                           "person", b2.lower())
+                    add_gt(t, "person", last_person.lower(), "introduced",
+                           "person", c2.lower())
+                    t += 1
+                    continue
                 if variant == 3:
                     # pronoun inside a 4-way coordination LIST (v12): the
                     # pronoun slot resolves to the committed referent with
