@@ -158,16 +158,32 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                     continue
                 for pred, subj_g, sk, obj_g, ok, slot, clause in emissions:
                     subj, obj = m.group(subj_g), m.group(obj_g)
+                    obj_is_pron = (ok == "person"
+                                   and obj in R.SUBJ_PRONOUNS)
                     if subj in R.SUBJ_PRONOUNS:
                         # pronoun in a coordinated person slot: resolve to
                         # the committed referent, keep the emission's
-                        # slot/clause, contribute no state
-                        if sk == "person" and last_person is not None:
+                        # slot/clause, contribute no state.  Both-pronoun
+                        # emissions drop (v21 rule).
+                        if (sk == "person" and last_person is not None
+                                and not obj_is_pron):
                             out.append(dict(
                                 conv_id=conv_id, turn_idx=t,
                                 subj=last_person, pred=pred, obj=obj,
                                 subj_kind=sk, obj_kind=ok, **attrs,
                                 slot_idx=slot, clause=clause))
+                        continue
+                    if obj_is_pron:
+                        # v21 object-pronoun rule: the referent fills the
+                        # OBJECT; the explicit subject feeds state (the
+                        # object-pronoun discipline)
+                        if last_person is not None:
+                            out.append(dict(
+                                conv_id=conv_id, turn_idx=t, subj=subj,
+                                pred=pred, obj=last_person, subj_kind=sk,
+                                obj_kind=ok, **attrs,
+                                slot_idx=slot, clause=clause))
+                        _commit(subj)
                         continue
                     out.append(dict(conv_id=conv_id, turn_idx=t, subj=subj,
                                     pred=pred, obj=obj, subj_kind=sk,

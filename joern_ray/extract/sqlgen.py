@@ -114,6 +114,13 @@ def events_sql(rel: str) -> str:
         rxs = _plain(rx)
         nums = R.named_group_numbers(rx)
         for pred, subj_g, sk, obj_g, ok, slot, clause in emissions:
+            # v21 object-pronoun rule: a pronoun in a person OBJECT slot
+            # diverts the emission to the 'pronoun_obj' class (and drops
+            # it from the explicit and pronoun-subject arms)
+            obj_not_pron = (
+                f"""
+          AND regexp_extract(sent, '{rxs}', {nums[obj_g]})
+              NOT IN ({pron_in})""" if ok == "person" else "")
             parts.append(f"""
         SELECT conv_id, turn_idx, 'triple',
                regexp_extract(sent, '{rxs}', {nums[subj_g]}), '{pred}',
@@ -122,7 +129,20 @@ def events_sql(rel: str) -> str:
         FROM {sents}
         WHERE regexp_matches(sent, '{rxs}')
           AND regexp_extract(sent, '{rxs}', {nums[subj_g]})
+              NOT IN ({pron_in}){obj_not_pron}
+          AND NOT ({pron_any})""")
+            if ok == 'person':
+                parts.append(f"""
+        SELECT conv_id, turn_idx, 'pronoun_obj',
+               regexp_extract(sent, '{rxs}', {nums[subj_g]}), '{pred}',
+               CAST(NULL AS VARCHAR), '{sk}', '{ok}',
+               {_attr_cols()}, {slot}, '{clause}', CAST(NULL AS VARCHAR)
+        FROM {sents}
+        WHERE regexp_matches(sent, '{rxs}')
+          AND regexp_extract(sent, '{rxs}', {nums[subj_g]})
               NOT IN ({pron_in})
+          AND regexp_extract(sent, '{rxs}', {nums[obj_g]})
+              IN ({pron_in})
           AND NOT ({pron_any})""")
             if sk != 'person':
                 continue
@@ -136,7 +156,7 @@ def events_sql(rel: str) -> str:
         FROM {sents}
         WHERE regexp_matches(sent, '{rxs}')
           AND regexp_extract(sent, '{rxs}', {nums[subj_g]})
-              IN ({pron_in})
+              IN ({pron_in}){obj_not_pron}
           AND NOT ({pron_any})""")
     # LIST templates (open-ended coordination, v12): the list head is ONE
     # regex capture split on the shared separator; DuckDB's parallel-unnest

@@ -253,7 +253,32 @@ MULTI_TEMPLATES = [
      [("introduced", "subj", "person", "obj", "person", 0, "ditransitive"),
       ("introduced", "subj", "person", "obj2", "person", 1,
        "ditransitive")]),
+    # v21: RECIPROCAL coordination ("Alice and Bob met.") — the verb is
+    # symmetric, so the construct emits the relation in BOTH directions
+    # (slot_idx = position of the row's SUBJECT in the coordination).
+    # This is the first template whose emissions put a coordination slot
+    # in the OBJECT position, which activates the v21 object-pronoun
+    # rule for multi templates (below): "She and Bob met." yields a
+    # pronoun-SUBJECT event for met(?, Bob) and an object-pronoun event
+    # for met(Bob, ?) — both resolve to the same committed referent;
+    # only Bob (the object-pronoun row's explicit subject) feeds state.
+    # Disjointness: no other template anchors ' met[.?]$' (the single
+    # 'met' template requires ' met with ').
+    ("recip_met",
+     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) met[.?]$',
+     [("met", "subj", "person", "subj2", "person", 0, "reciprocal"),
+      ("met", "subj2", "person", "subj", "person", 1, "reciprocal")]),
 ]
+
+# v21 OBJECT-PRONOUN rule for multi-relation templates: an emission whose
+# person OBJECT slot captured a subject-form pronoun (SUBJ_PRONOUNS)
+# becomes an OBJECT-PRONOUN event — explicit subject, NULL object, the
+# emission's slot/clause — resolved by the standard Stage-B object-pronoun
+# rule (referent of the latest strictly-earlier turn fills the OBJECT; the
+# explicit subject feeds referent state).  An emission with pronouns in
+# BOTH slots is dropped.  Before v21 no multi template could put a pronoun
+# in a person object slot grammatically, so this rule changes nothing for
+# well-formed v20-and-earlier corpora.
 
 # ---------------------------------------------------------------------------
 # LIST templates (v12): open-ended coordination — "A, B, C and D work at X."
@@ -464,6 +489,7 @@ MULTI_TEMPLATE_LITERALS = {
     "vp_coord_maintains_uses": " and uses ",
     "postposed_quoted_uses": '," said ',
     "ditrans_introduced": " introduced ",
+    "recip_met": " met",
 }
 
 DEFAULT_SLOT_IDX = 0

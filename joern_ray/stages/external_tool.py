@@ -115,12 +115,21 @@ for line in sys.stdin:
                 if m is None:
                     continue
                 for pred, sg, sk, og, ok, slot, clause in emissions:
+                    obj_is_pron = (ok == "person"
+                                   and m.group(og) in R.SUBJ_PRONOUNS)
                     if m.group(sg) in R.SUBJ_PRONOUNS:
                         # pronoun in a person slot: unresolved pronoun
-                        # event carrying the emission's slot/clause
-                        if sk == "person":
+                        # event carrying the emission's slot/clause;
+                        # both-pronoun emissions drop (v21 rule)
+                        if sk == "person" and not obj_is_pron:
                             evs.append([None, pred, m.group(og), sk, ok,
                                         *attrs, slot, clause, None])
+                        continue
+                    if obj_is_pron:
+                        # v21 object-pronoun rule: explicit subj, NULL
+                        # obj — Stage B fills the object downstream
+                        evs.append([m.group(sg), pred, None, sk, ok,
+                                    *attrs, slot, clause, None])
                         continue
                     evs.append([m.group(sg), pred, m.group(og), sk, ok,
                                 *attrs, slot, clause, None])

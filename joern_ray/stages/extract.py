@@ -341,9 +341,18 @@ def extract_events(batch: pa.Table,
             continue
         for pred, subj_g, sk, obj_g, ok, slot, clause in emissions:
             subj = pc.struct_field(ex, subj_g)
+            obj = pc.struct_field(ex, obj_g)
             is_pron = pc.fill_null(
                 pc.is_in(subj, value_set=_PRONOUN_SET), False)
-            mask = pc.and_(base_mask, pc.invert(is_pron))
+            # v21 object-pronoun rule (rules.py): a pronoun in a person
+            # OBJECT slot (reciprocal coordination) rides the Stage-B
+            # object-pronoun class; both-pronoun emissions drop
+            obj_pron = (pc.fill_null(
+                pc.is_in(obj, value_set=_PRONOUN_SET), False)
+                if ok == "person"
+                else pa.array([False] * len(idx0), pa.bool_()))
+            mask = pc.and_(pc.and_(base_mask, pc.invert(is_pron)),
+                           pc.invert(obj_pron))
             if pc.any(mask).as_py():
                 local = pc.indices_nonzero(mask)
                 idx = idx0.take(local)
@@ -351,13 +360,14 @@ def extract_events(batch: pa.Table,
                 outs.append(_events_table(
                     len(idx), conv.take(idx), tidx.take(idx),
                     subj.take(local), pred,
-                    pc.struct_field(ex, obj_g).take(local), sk, ok,
+                    obj.take(local), sk, ok,
                     sidx.take(idx), neg, inq, slot, clause))
             # a pronoun in a person subject slot ("She and Bob work at X")
             # becomes a PRONOUN event (subj NULL) carrying the emission's
             # slot/clause — resolved in Stage B like any pronoun turn
             if sk == "person":
-                pmask = pc.and_(base_mask, is_pron)
+                pmask = pc.and_(pc.and_(base_mask, is_pron),
+                                pc.invert(obj_pron))
                 if pc.any(pmask).as_py():
                     local = pc.indices_nonzero(pmask)
                     idx = idx0.take(local)
@@ -365,7 +375,23 @@ def extract_events(batch: pa.Table,
                     outs.append(_events_table(
                         len(idx), conv.take(idx), tidx.take(idx),
                         pa.array([None] * len(idx), pa.string()), pred,
-                        pc.struct_field(ex, obj_g).take(local), sk, ok,
+                        obj.take(local), sk, ok,
+                        sidx.take(idx), neg, inq, slot, clause))
+            # a pronoun in a person OBJECT slot ("She and Bob met." —
+            # emission met(Bob, She)) becomes an OBJECT-PRONOUN event
+            # (explicit subj, NULL obj): Stage B fills the object and the
+            # subject feeds referent state (the object-pronoun discipline)
+            if ok == "person":
+                omask = pc.and_(pc.and_(base_mask, obj_pron),
+                                pc.invert(is_pron))
+                if pc.any(omask).as_py():
+                    local = pc.indices_nonzero(omask)
+                    idx = idx0.take(local)
+                    neg, inq = neg_all.take(idx), inq_all.take(idx)
+                    outs.append(_events_table(
+                        len(idx), conv.take(idx), tidx.take(idx),
+                        subj.take(local), pred,
+                        pa.array([None] * len(idx), pa.string()), sk, ok,
                         sidx.take(idx), neg, inq, slot, clause))
 
     # LIST templates (open-ended coordination, v12): RE2 captures the list

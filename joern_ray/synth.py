@@ -23,7 +23,15 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v20"  # v20: DITRANSITIVE ('Alice introduced Bob to
+CORPUS_VERSION = "v21"  # v21: RECIPROCAL coordination ('Alice and Bob
+#                         met.' — symmetric verb, the relation emits in
+#                         BOTH directions, slot_idx = the row subject's
+#                         coordination position, clause 'reciprocal';
+#                         a pronoun member yields a pronoun-SUBJECT event
+#                         one way and an OBJECT-pronoun event the other —
+#                         the first multi construct to use the v21
+#                         object-pronoun rule in rules.py).
+#                         v20: DITRANSITIVE ('Alice introduced Bob to
 #                         Carol.' — one verb, three NP slots; recipient =
 #                         second object of the SAME relation at slot_idx 1,
 #                         clause 'ditransitive'; both objects feed referent
@@ -161,7 +169,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                  "relative_manages", "passive_maintains",
                  "possessive_manager", "coord_orgs", "coord3_works_at",
                  "coordN_works_at", "vp_coord_maintains_uses",
-                 "postposed_quoted_uses", "ditrans_introduced"] \
+                 "postposed_quoted_uses", "ditrans_introduced",
+                 "recip_met"] \
             + (["quoted_uses", "quoted_coord_uses"] if allow_quoted else [])
         kind = kinds[int(rng.integers(0, len(kinds)))]
         end = "?" if (rng.random() < 0.05
@@ -293,6 +302,19 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             gts = [("person", a.lower(), "introduced", "person", b.lower()),
                    ("person", a.lower(), "introduced", "person", c.lower())]
             return text, gts, max(b, c)
+        if kind == "recip_met":
+            # reciprocal coordination (v21): symmetric verb — the
+            # relation emits in BOTH directions; each row's person
+            # contribution is its object, so the turn referent is
+            # max(a, b) exactly as for explicit coordination
+            a = _pick_person(rng)
+            b = _pick_person(rng)
+            while b == a:
+                b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+            text = f"{a} and {b} met{end}"
+            gts = [("person", a.lower(), "met", "person", b.lower()),
+                   ("person", b.lower(), "met", "person", a.lower())]
+            return text, gts, max(a, b)
         if kind == "postposed_quoted_uses":
             # postposed attribution (v19): plain '.' terminator, so the
             # sentence needs NO turn-final placement (unlike quoted_uses)
@@ -459,7 +481,26 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 # slot_idx; the non-pronoun partner commits the new state
                 pronoun = R.PRONOUNS[int(rng.integers(0, 2))]
                 partner = _pick_person(rng)
-                variant = int(rng.integers(0, 5))
+                variant = int(rng.integers(0, 6))
+                if variant == 5:
+                    # pronoun member in a RECIPROCAL coordination (v21):
+                    # 'She and Bob met.' — one pronoun-SUBJECT emission
+                    # met(ref, Bob) and one OBJECT-pronoun emission
+                    # met(Bob, ref); the object-pronoun row's explicit
+                    # subject (the partner) feeds state
+                    p2 = _pick_person(rng)
+                    while p2 == last_person:
+                        p2 = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+                    first, second = ((pronoun, p2) if rng.random() < 0.5
+                                     else (p2, pronoun))
+                    add_row(t, role, f"{first} and {second} met.")
+                    add_gt(t, "person", last_person.lower(), "met",
+                           "person", p2.lower())
+                    add_gt(t, "person", p2.lower(), "met",
+                           "person", last_person.lower())
+                    last_person = p2
+                    t += 1
+                    continue
                 if variant == 4:
                     # pronoun-subject DITRANSITIVE (v20): both emissions
                     # share the pronoun subject and resolve to the
