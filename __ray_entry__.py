@@ -297,10 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_counts": FND.entity_mention_counts,
         "kg_conv_tools": FND.conv_tools,
         # relational layer (SURVEY.md §2.4/2.5/2.7/2.8)
-        "rel_q1_pricing": REL.q1_pricing,
         "rel_topk_per_customer": REL.topk_orders_per_customer,
         "rel_price_quantiles": REL.price_quantiles_by_segment,
-        "rel_events_by_user": REL.events_by_user,
         "rel_running_order_total": REL.running_order_total,
         # text analysis + dedup (training-data ops)
         "text_quality": T.text_quality,
@@ -319,11 +317,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_decontaminate_ngram": T.decontaminate_ngram,
         "text_tfidf_topk": T.tfidf_topk,
         "text_source_mix_weights": T.source_mix_weights,
-        # event-stream ops (sessionize / window / as-of)
+        # event-stream ops (sessionize / window / as-of / funnel /
+        # retention — funnel + retention new r4)
         "events_sessionize": EV.sessionize,
         "events_window_counts": EV.window_counts,
         "events_sliding_counts": EV.sliding_window_counts,
         "events_props_k_stats": EV.props_k_stats,
+        "events_funnel": EV.funnel,
+        "events_retention": EV.retention,
         # similarity search + embedding-space decontamination
         "ann_topk": A.ann_bruteforce,
         "embedding_neardup": A.embedding_neardup_planted,
@@ -341,13 +342,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # operators (text_repetition/familiarity/decontaminate,
         # kg_kind_recovery, kg_triples_definite, kg_list_coordination,
         # text_decontaminate_ngram, dedup_semantic_planted,
-        # text_tfidf_topk, text_source_mix_weights); all demoted entries
-        # stay verified by the local dtype-strict gate
-        # (scripts/check_correctness.py) ----
+        # text_tfidf_topk, text_source_mix_weights, events_funnel,
+        # events_retention — the last two displacing rel_q1_pricing /
+        # rel_events_by_user, driver-confirmed r1-r3 with unchanged
+        # code); all demoted entries stay verified by the local
+        # dtype-strict gate (scripts/check_correctness.py) ----
         "kg_turns": kg_turns,
         "kg_triples_surface_exttool": kg_triples_surface_exttool,
         "kg_next_turn_edges": kg_next_turn_edges,
         "kg_post_dominators": kg_post_dominators,
+        "rel_q1_pricing": REL.q1_pricing,
+        "rel_events_by_user": REL.events_by_user,
         "rel_revenue_by_nation": REL.revenue_by_nation,
         "text_lang_id": T.lang_id,
         "text_fingerprint": T.doc_fingerprint,
@@ -537,6 +542,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_counts": EV.sliding_window_counts_sql(),
         "events_asof_prior_view": EV.asof_prior_view_sql(),
         "events_props_k_stats": EV.props_k_stats_sql(),
+        "events_funnel": EV.funnel_sql(),
+        "events_retention": EV.retention_sql(),
         "ann_topk": A.ann_bruteforce_sql(),
         "embedding_neardup": A.embedding_neardup_planted_sql(),
         "embedding_decontaminate": A.embedding_decontaminate_sql(),

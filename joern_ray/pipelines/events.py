@@ -326,3 +326,174 @@ def props_k_stats_sql() -> str:
     WHERE json_extract(props, '$.k') IS NOT NULL
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(sf_dir: str, *, n_buckets: int = 256):
+    """Ordered-funnel completion counts: (step, n_users) where a user
+    reaches step k iff the first step-k event STRICTLY AFTER their
+    step-(k-1) completion time exists (min-ts chaining — the standard
+    funnel semantics; ties on ts do not advance the funnel).
+
+    Scale shape: users co-locate into hash(user_id) bucket shards; the
+    per-shard chain is vectorized (factorize + ``np.minimum.at`` per
+    step — no per-user Python groups), each shard emits at most
+    len(FUNNEL_STEPS) partial rows, and the global exchange is a
+    3-row-per-shard sum."""
+    from ..functions.buckets import add_bucket
+
+    ds = ray.data.read_parquet(_p(sf_dir),
+                               columns=["user_id", "event_type", "ts"])
+
+    def shard(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(uid, sort=False)
+        if len(codes) == 0:
+            return pa.schema([("step", pa.int32()),
+                              ("n_users", pa.int64())]).empty_table()
+        n_users = codes.max() + 1
+        prev = np.full(n_users, -(2 ** 62), dtype=np.int64)  # step-0 time
+        counts = []
+        for step_type in FUNNEL_STEPS:
+            cur = np.full(n_users, 2 ** 62, dtype=np.int64)
+            m = (et == step_type) & (ts > prev[codes])
+            np.minimum.at(cur, codes[m], ts[m])
+            reached = cur < 2 ** 62
+            counts.append(int(reached.sum()))
+            prev = cur
+        return pa.table({
+            "step": pa.array(range(1, len(FUNNEL_STEPS) + 1), pa.int32()),
+            "n_users": pa.array(counts, pa.int64())})
+
+    return (ds.map_batches(lambda t: add_bucket(t, "user_id", n_buckets),
+                           batch_format="pyarrow")
+            .groupby("bucket").map_groups(shard, batch_format="pyarrow")
+            .groupby("step")
+            .aggregate(Sum(on="n_users", alias_name="n_users"))
+            .map_batches(
+                lambda t: pa.table(
+                    {"step": t.column("step").cast(pa.int32()),
+                     "n_users": t.column("n_users").cast(pa.int64())})
+                if t.num_columns else pa.schema(
+                    [("step", pa.int32()),
+                     ("n_users", pa.int64())]).empty_table(),
+                batch_format="pyarrow"))
+
+
+def funnel_sql() -> str:
+    steps = FUNNEL_STEPS
+    return f"""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS c FROM events
+      WHERE event_type = '{steps[0]}' GROUP BY 1),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS c FROM events e
+      JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.c
+      WHERE e.event_type = '{steps[1]}' GROUP BY 1),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS c FROM events e
+      JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.c
+      WHERE e.event_type = '{steps[2]}' GROUP BY 1)
+    SELECT CAST(step AS INTEGER) AS step, n_users FROM (
+      SELECT 1 AS step, count(*) AS n_users FROM t1
+      UNION ALL SELECT 2, count(*) FROM t2
+      UNION ALL SELECT 3, count(*) FROM t3)
+    ORDER BY step
+    """
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (first-day cohort × day offset)
+# ---------------------------------------------------------------------------
+
+def retention(sf_dir: str, *, n_buckets: int = 256):
+    """Classic cohort-retention matrix: cohort = calendar day of the
+    user's FIRST event; a user counts toward (cohort_day, day_offset)
+    iff they have any event exactly day_offset days after their cohort
+    day.  Output: (cohort_day ISO string, day_offset, n_users).
+
+    Scale shape: one user-bucketed shard pass — per user the first day
+    and the distinct active-day set are computed vectorized (lexsort +
+    boundary diff), each shard pre-aggregates to (cohort, offset)
+    partial counts, and the global exchange carries only those
+    (days × offsets)-bounded rows."""
+    from ..functions.buckets import add_bucket
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["user_id", "ts"])
+    day_us = 86400 * 1_000_000
+
+    def shard(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        day = (g.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // day_us).astype(np.int64)
+        codes, _ = pd.factorize(uid, sort=False)
+        if len(codes) == 0:
+            return pa.schema([("cohort_day", pa.int64()),
+                              ("day_offset", pa.int32()),
+                              ("n_users", pa.int64())]).empty_table()
+        n_users = codes.max() + 1
+        first = np.full(n_users, 2 ** 62, dtype=np.int64)
+        np.minimum.at(first, codes, day)
+        # distinct (user, day) pairs via one lexsort + adjacent diff
+        order = np.lexsort((day, codes))
+        cc, dd = codes[order], day[order]
+        keep = np.empty(len(cc), dtype=bool)
+        keep[0] = True
+        keep[1:] = (cc[1:] != cc[:-1]) | (dd[1:] != dd[:-1])
+        cc, dd = cc[keep], dd[keep]
+        cohort = first[cc]
+        offset = (dd - cohort).astype(np.int32)
+        part = (pa.table({"cohort_day": pa.array(cohort, pa.int64()),
+                          "day_offset": pa.array(offset, pa.int32())})
+                .group_by(["cohort_day", "day_offset"])
+                .aggregate([([], "count_all")]))
+        # select by GENERATED name (never positional rename — pyarrow
+        # moved key-column position between major versions)
+        return (part.select(["cohort_day", "day_offset", "count_all"])
+                .rename_columns(["cohort_day", "day_offset", "n_users"]))
+
+    def tidy(t: pa.Table) -> pa.Table:
+        if not t.num_columns:
+            return pa.schema([("cohort_day", pa.string()),
+                              ("day_offset", pa.int32()),
+                              ("n_users", pa.int64())]).empty_table()
+        iso = pc.strftime(
+            pc.cast(pc.multiply(t.column("cohort_day").cast(pa.int64()),
+                                day_us), pa.timestamp("us")), "%Y-%m-%d")
+        return pa.table({"cohort_day": iso,
+                         "day_offset": t.column("day_offset")
+                         .cast(pa.int32()),
+                         "n_users": t.column("n_users").cast(pa.int64())})
+
+    return (ds.map_batches(lambda t: add_bucket(t, "user_id", n_buckets),
+                           batch_format="pyarrow")
+            .groupby("bucket").map_groups(shard, batch_format="pyarrow")
+            .groupby(["cohort_day", "day_offset"])
+            .aggregate(Sum(on="n_users", alias_name="n_users"))
+            .map_batches(tidy, batch_format="pyarrow"))
+
+
+def retention_sql() -> str:
+    return """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      FROM events GROUP BY 1),
+    d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort, d.day) AS INTEGER) AS day_offset,
+           count(*) AS n_users
+    FROM d JOIN f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
