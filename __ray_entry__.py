@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis + dedup (training-data ops)
         "text_quality": T.text_quality,
         "dedup_exact": T.dedup_exact,
+        "dedup_snapshot": T.snapshot_dedup,
         "text_clean_corpus": T.clean_corpus,
         "conv_line_dedup": (lambda sf_dir: T.line_dedup(_transcripts(sf_dir))),
         "text_sample_stratified": T.sample_stratified,
@@ -320,7 +321,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream ops (sessionize / window / as-of / funnel /
         # retention — funnel + retention new r4)
         "events_sessionize": EV.sessionize,
-        "events_window_counts": EV.window_counts,
         "events_sliding_counts": EV.sliding_window_counts,
         "events_props_k_stats": EV.props_k_stats,
         "events_funnel": EV.funnel,
@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_post_dominators": kg_post_dominators,
         "rel_q1_pricing": REL.q1_pricing,
         "rel_events_by_user": REL.events_by_user,
+        "events_window_counts": EV.window_counts,
         "rel_revenue_by_nation": REL.revenue_by_nation,
         "text_lang_id": T.lang_id,
         "text_fingerprint": T.doc_fingerprint,
@@ -522,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": T.token_counts_sql(),
         "text_quality": T.text_quality_sql(),
         "dedup_exact": T.dedup_exact_sql(),
+        "dedup_snapshot": T.snapshot_dedup_sql(),
         "text_clean_corpus": T.clean_corpus_sql(),
         "conv_line_dedup": T.line_dedup_sql(tr),
         "text_bigram_lm": T.bigram_lm_sql(),

@@ -2105,6 +2105,172 @@ def dedup_exact_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# snapshot (incremental) dedup: new docs vs a prior corpus snapshot
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_MOD = 5          # prior snapshot = doc_id % SNAPSHOT_MOD == 0
+BLOOM_BITS = 1 << 23      # 1 MiB bit array; ~1% FP at ~10^6 prior keys
+_BLOOM_K = 4              # Kirsch-Mitzenmacher double-hash probes
+
+
+def _bloom_positions(h1: "np.ndarray", h2: "np.ndarray",
+                     m_bits: int) -> "np.ndarray":
+    """(n, k) probe positions from two 64-bit digests (h + i*h2 mod m)."""
+    i = np.arange(_BLOOM_K, dtype=np.uint64)
+    return ((h1.astype(np.uint64)[:, None]
+             + i[None, :] * h2.astype(np.uint64)[:, None])
+            % np.uint64(m_bits))
+
+
+def _doc_digest_np(text_col: pa.ChunkedArray):
+    import pandas as pd
+    tnp = text_col.to_numpy(zero_copy_only=False)
+    h1 = pd.util.hash_array(tnp).view("int64")
+    h2 = pd.util.hash_array(tnp, hash_key="joernraydedup2nd").view("int64")
+    return h1, h2
+
+
+def snapshot_dedup(sf_dir: str, *, bloom_bits: int = BLOOM_BITS,
+                   n_buckets: int = _DEDUP_BUCKETS):
+    """Incremental (cross-snapshot) dedup — the continuous-crawl shape:
+    keep NEW docs (doc_id % SNAPSHOT_MOD != 0) whose text does not appear
+    in the PRIOR snapshot (doc_id % SNAPSHOT_MOD == 0).  New-vs-new
+    duplicates are kept (only the snapshot dedups them next round).
+
+    Scale shape (100 TB): both sides reduce to 128-bit text digests
+    map-side (text never shuffles — the ``_digest_partial`` discipline).
+    The prior side folds into a FIXED-SIZE Bloom filter (per-block
+    partial bit arrays ORed on the driver one at a time — driver state
+    is one ``bloom_bits``-bit array, never corpus-proportional) and the
+    filter broadcasts once via ``ray.put``.  New docs probe it map-side:
+    definite negatives (the overwhelming majority) are kept WITHOUT any
+    exchange; only Bloom-positive candidates (true dups + ~1% FPs) enter
+    the bucketed exact anti-join against the prior digests.  Correctness
+    never depends on the Bloom: FPs are re-checked exactly, and the
+    equivalence test runs the same input with a 64-bit Bloom (≈all-FP)
+    and asserts identical output."""
+    m_words = max(1, bloom_bits // 64)
+    m_bits = m_words * 64
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+
+    def _mod_col(doc_id):
+        return pc.subtract(
+            doc_id.cast(pa.int64()),
+            pc.multiply(pc.divide(doc_id.cast(pa.int64()), SNAPSHOT_MOD),
+                        SNAPSHOT_MOD))
+
+    def prior_digests(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(_mod_col(t.column("doc_id")), 0))
+        h1, h2 = _doc_digest_np(t.column("text"))
+        p = (pa.table({"h1": pa.array(h1, pa.int64()),
+                       "h2": pa.array(h2, pa.int64())})
+             .group_by(["h1", "h2"]).aggregate([]))
+        return p.append_column(
+            "bucket", pc.bit_wise_and(p.column("h1"),
+                                      n_buckets - 1).cast(pa.int64()))
+
+    prior = ds.map_batches(prior_digests, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        words = np.zeros(m_words, dtype=np.uint64)
+        if t.num_rows:
+            h1 = t.column("h1").to_numpy().view("uint64")
+            h2 = t.column("h2").to_numpy().view("uint64")
+            pos = _bloom_positions(h1, h2, m_bits).ravel()
+            np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bloom": pa.array([words.tobytes()],
+                                           pa.large_binary())})
+
+    def bloom_or(t: pa.Table) -> pa.Table:
+        words = np.zeros(m_words, dtype=np.uint64)
+        for buf in t.column("bloom").to_pylist():
+            words |= np.frombuffer(buf, dtype=np.uint64)
+        return pa.table({"bloom": pa.array([words.tobytes()],
+                                           pa.large_binary())})
+
+    # tree fold: per-block partials → one OR row per 128 blocks (a
+    # distributed reduction level) → driver ORs the ≤ n_blocks/128
+    # survivors one at a time — driver state stays one bit array
+    bloom = np.zeros(m_words, dtype=np.uint64)
+    for b in (prior.map_batches(bloom_partial, batch_format="pyarrow")
+              .map_batches(bloom_or, batch_format="pyarrow",
+                           batch_size=128)
+              .iter_batches(batch_format="pyarrow")):
+        for buf in b.column("bloom").to_pylist():
+            bloom |= np.frombuffer(buf, dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def probe(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(_mod_col(t.column("doc_id")), 0))
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()), ("h1", pa.int64()),
+                              ("h2", pa.int64()), ("candidate", pa.bool_()),
+                              ("bucket", pa.int64())]).empty_table()
+        h1, h2 = _doc_digest_np(t.column("text"))
+        words = ray.get(bloom_ref)
+        pos = _bloom_positions(h1.view("uint64"), h2.view("uint64"), m_bits)
+        hit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        member = hit.all(axis=1)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "h1": pa.array(h1, pa.int64()),
+            "h2": pa.array(h2, pa.int64()),
+            "candidate": pa.array(member, pa.bool_()),
+            "bucket": pa.array(
+                (h1 & (n_buckets - 1)).astype(np.int64), pa.int64())})
+
+    # narrow tagged store (25 B/row, no text): both consumers — the
+    # exchange-free definite keeps and the candidate anti-join — replay
+    # from it instead of re-reading + re-hashing the corpus
+    tagged = ds.map_batches(probe, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    kept_definite = tagged.map_batches(
+        lambda t: t.filter(pc.invert(t.column("candidate")))
+        .select(["doc_id"]), batch_format="pyarrow")
+
+    cands = tagged.map_batches(
+        lambda t: t.filter(t.column("candidate"))
+        .select(["doc_id", "h1", "h2", "bucket"]), batch_format="pyarrow")
+
+    def anti_shard(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"]).combine_chunks()
+        cand = g.filter(pc.is_valid(g.column("doc_id")))
+        pri = (g.filter(pc.is_null(g.column("doc_id")))
+               .select(["h1", "h2"]))
+        if cand.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        out = cand.join(pri.group_by(["h1", "h2"]).aggregate([]),
+                        keys=["h1", "h2"], join_type="left anti")
+        return out.select(["doc_id"]).cast(
+            pa.schema([("doc_id", pa.int64())]))
+
+    prior_tag = prior.map_batches(
+        lambda t: pa.table({
+            "doc_id": pa.nulls(t.num_rows, pa.int64()),
+            "h1": t.column("h1"), "h2": t.column("h2"),
+            "bucket": t.column("bucket")}), batch_format="pyarrow")
+    kept_cands = (cands.union(prior_tag)
+                  .groupby("bucket")
+                  .map_groups(anti_shard, batch_format="pyarrow"))
+    return _tidy(kept_definite.union(kept_cands))
+
+
+def snapshot_dedup_sql() -> str:
+    return f"""
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % {SNAPSHOT_MOD} <> 0
+      AND NOT EXISTS (
+        SELECT 1 FROM documents p
+        WHERE p.doc_id % {SNAPSHOT_MOD} = 0 AND p.text = d.text)
+    """
+
+
 QUALITY_KEEP_MIN = 2
 
 
