@@ -318,9 +318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_decontaminate_ngram": T.decontaminate_ngram,
         "text_tfidf_topk": T.tfidf_topk,
         "text_source_mix_weights": T.source_mix_weights,
+        "text_source_overlap": T.source_overlap,
         # event-stream ops (sessionize / window / as-of / funnel /
         # retention — funnel + retention new r4)
-        "events_sessionize": EV.sessionize,
         "events_sliding_counts": EV.sliding_window_counts,
         "events_props_k_stats": EV.props_k_stats,
         "events_funnel": EV.funnel,
@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q1_pricing": REL.q1_pricing,
         "rel_events_by_user": REL.events_by_user,
         "events_window_counts": EV.window_counts,
+        "events_sessionize": EV.sessionize,
         "rel_revenue_by_nation": REL.revenue_by_nation,
         "text_lang_id": T.lang_id,
         "text_fingerprint": T.doc_fingerprint,
@@ -524,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": T.text_quality_sql(),
         "dedup_exact": T.dedup_exact_sql(),
         "dedup_snapshot": T.snapshot_dedup_sql(),
+        "text_source_overlap": T.source_overlap_sql(),
         "text_clean_corpus": T.clean_corpus_sql(),
         "conv_line_dedup": T.line_dedup_sql(tr),
         "text_bigram_lm": T.bigram_lm_sql(),

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Sum
 
 from ..functions import hashing as H
 
@@ -2102,6 +2102,135 @@ def dedup_exact_sql() -> str:
     return """
     SELECT min(doc_id) AS doc_id, count(*) AS n_copies
     FROM documents GROUP BY text
+    """
+
+
+# ---------------------------------------------------------------------------
+# cross-source token-overlap matrix (contamination between sources)
+# ---------------------------------------------------------------------------
+
+def source_overlap(sf_dir: str, *, n_buckets: int = 64):
+    """Exact pairwise Jaccard between sources over their DISTINCT token
+    sets — the cross-source contamination matrix a corpus curator reads
+    before mixing sources.  Output: (source_a, source_b, n_common,
+    n_union, jaccard_ppm) for every source pair sharing ≥1 token,
+    source_a < source_b, integer parts-per-million (no float hashing).
+
+    100-TB shape: the corpus reduces map-side to per-batch DISTINCT
+    (source, token) pairs — vocabulary-bounded, not corpus-bounded — and
+    ONE token-bucketed exchange computes per-bucket source set sizes and
+    pairwise co-occurrence counts (an in-shard Acero self-join on token).
+    Because Jaccard components are additive over disjoint token buckets,
+    the global reduce is a (k² + k)-row sum for k sources, finalized in
+    a single tiny group."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["source", "text"])
+    schema = pa.schema([("source_a", pa.string()),
+                        ("source_b", pa.string()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = ascii_trim(t.column("text"))
+        sub = t.filter(pc.fill_null(pc.not_equal(trimmed, ""), False))
+        out_schema = pa.schema([("source", pa.string()),
+                                ("token", pa.string()),
+                                ("bucket", pa.int64())])
+        if sub.num_rows == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern_regex(ascii_trim(sub.column("text")),
+                                      _WS_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = pa.array(np.repeat(
+            sub.column("source").to_numpy(zero_copy_only=False), n_per),
+            pa.string())
+        pairs = (pa.table({"source": src, "token": pc.list_flatten(toks)})
+                 .group_by(["source", "token"]).aggregate([]))
+        import pandas as pd
+        h = pd.util.hash_array(
+            pairs.column("token").to_numpy(zero_copy_only=False))
+        return pairs.append_column(
+            "bucket", pa.array((h & (n_buckets - 1)).astype("int64"),
+                               pa.int64())).cast(out_schema)
+
+    def shard(g: pa.Table) -> pa.Table:
+        g = (g.drop_columns(["bucket"]).combine_chunks()
+             .group_by(["source", "token"]).aggregate([]))
+        if g.num_rows == 0:
+            return schema.empty_table()
+        sizes = (g.group_by("source").aggregate([([], "count_all")])
+                 .select(["source", "count_all"]))
+        size_t = pa.table({
+            "source_a": sizes.column("source").cast(pa.string()),
+            "source_b": pa.array([""] * sizes.num_rows, pa.string()),
+            "n": sizes.column("count_all").cast(pa.int64())})
+        right = pa.table({"token": g.column("token"),
+                          "source_b": g.column("source")})
+        j = g.join(right, keys=["token"], join_type="inner")
+        j = j.filter(pc.less(j.column("source"), j.column("source_b")))
+        if j.num_rows == 0:
+            return size_t.cast(schema)
+        inter = (j.group_by(["source", "source_b"])
+                 .aggregate([([], "count_all")])
+                 .select(["source", "source_b", "count_all"])
+                 .rename_columns(["source_a", "source_b", "n"]))
+        return pa.concat_tables([size_t.cast(schema), inter.cast(schema)])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["one"])
+        out_schema = pa.schema([
+            ("source_a", pa.string()), ("source_b", pa.string()),
+            ("n_common", pa.int64()), ("n_union", pa.int64()),
+            ("jaccard_ppm", pa.int64())])
+        is_size = pc.equal(t.column("source_b"), "")
+        sz = dict(zip(t.filter(is_size).column("source_a").to_pylist(),
+                      t.filter(is_size).column("n").to_pylist()))
+        pt = t.filter(pc.invert(is_size))
+        sa = pt.column("source_a").to_pylist()
+        sb = pt.column("source_b").to_pylist()
+        i = np.asarray(pt.column("n").to_pylist(), dtype=np.int64)
+        u = np.asarray([sz[a] + sz[b] for a, b in zip(sa, sb)],
+                       dtype=np.int64) - i
+        return pa.table({
+            "source_a": pa.array(sa, pa.string()),
+            "source_b": pa.array(sb, pa.string()),
+            "n_common": pa.array(i, pa.int64()),
+            "n_union": pa.array(u, pa.int64()),
+            "jaccard_ppm": pa.array(1_000_000 * i // u, pa.int64())})
+
+    summed = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("bucket").map_groups(shard, batch_format="pyarrow")
+              .groupby(["source_a", "source_b"])
+              .aggregate(Sum(on="n", alias_name="n")))
+    return (summed.map_batches(
+        lambda t: t.append_column("one", pa.array([0] * t.num_rows,
+                                                  pa.int64()))
+        if t.num_columns else pa.schema(
+            [("source_a", pa.string()), ("source_b", pa.string()),
+             ("n", pa.int64()), ("one", pa.int64())]).empty_table(),
+        batch_format="pyarrow")
+        .groupby("one").map_groups(finalize, batch_format="pyarrow"))
+
+
+def source_overlap_sql() -> str:
+    ws = _WS_SQL
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT source,
+             unnest(regexp_split_to_array(trim(text, {ws}), '\\s+'))
+               AS token
+      FROM documents WHERE trim(text, {ws}) <> ''),
+    sz AS (SELECT source, count(*) AS n FROM tok GROUP BY 1),
+    iv AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, CAST(i AS BIGINT) AS n_common,
+           CAST(sa.n + sb.n - i AS BIGINT) AS n_union,
+           CAST((1000000 * i) // (sa.n + sb.n - i) AS BIGINT)
+             AS jaccard_ppm
+    FROM iv JOIN sz sa ON sa.source = iv.source_a
+            JOIN sz sb ON sb.source = iv.source_b
     """
 
 
