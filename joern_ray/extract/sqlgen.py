@@ -262,7 +262,7 @@ def resolved_triples_sql(rel: str) -> str:
     per TURN (turn-level state commit) so duplicate-turn_idx rows cannot
     make the result order-dependent."""
     return f"""
-    WITH ev AS ({events_sql(rel)}),
+    WITH ev AS MATERIALIZED ({events_sql(rel)}),
     st AS (
       SELECT *,
              CASE WHEN etype = 'triple' THEN

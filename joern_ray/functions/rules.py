@@ -268,6 +268,18 @@ MULTI_TEMPLATES = [
      r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) met[.?]$',
      [("met", "subj", "person", "subj2", "person", 0, "reciprocal"),
       ("met", "subj2", "person", "subj", "person", 1, "reciprocal")]),
+    # v22: DITRANSITIVE nested in QUOTED speech ('X said "Alice
+    # introduced Bob to Carol."') — the v20 double emission under the
+    # quoting contract: clause 'quoted', the speaker is not an emitted
+    # slot and feeds no state, a pronoun subject resolves in the QUOTING
+    # turn's scope (v11), and both person objects feed referent state
+    # per-row.  Turn-final only (the '."' terminator carries no sentence
+    # boundary, like quoted_uses).
+    ("quoted_ditrans_introduced",
+     r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) introduced '
+     r'(?P<obj>[A-Z][a-z]+) to (?P<obj2>[A-Z][a-z]+)\."$',
+     [("introduced", "subj", "person", "obj", "person", 0, "quoted"),
+      ("introduced", "subj", "person", "obj2", "person", 1, "quoted")]),
 ]
 
 # v21 OBJECT-PRONOUN rule for multi-relation templates: an emission whose
@@ -490,6 +502,7 @@ MULTI_TEMPLATE_LITERALS = {
     "postposed_quoted_uses": '," said ',
     "ditrans_introduced": " introduced ",
     "recip_met": " met",
+    "quoted_ditrans_introduced": " introduced ",
 }
 
 DEFAULT_SLOT_IDX = 0

@@ -482,7 +482,7 @@ def triangles_sql(rel: str) -> str:
     the same floor division as the engine."""
     from .chains import cooccurrence_sql
     return f"""
-    WITH cooc AS ({cooccurrence_sql(rel)}),
+    WITH cooc AS MATERIALIZED ({cooccurrence_sql(rel)}),
     e AS (SELECT a, b FROM cooc),
     deg AS (SELECT entity, CAST(count(*) AS BIGINT) AS degree
             FROM (SELECT a AS entity FROM e

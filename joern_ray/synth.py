@@ -23,7 +23,11 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v21"  # v21: RECIPROCAL coordination ('Alice and Bob
+CORPUS_VERSION = "v22"  # v22: DITRANSITIVE nested in QUOTED speech
+#                         ('X said "Alice introduced Bob to Carol."' —
+#                         the v20 double emission under the quoting
+#                         contract, clause 'quoted', turn-final).
+#                         v21: RECIPROCAL coordination ('Alice and Bob
 #                         met.' — symmetric verb, the relation emits in
 #                         BOTH directions, slot_idx = the row subject's
 #                         coordination position, clause 'reciprocal';
@@ -171,11 +175,13 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                  "coordN_works_at", "vp_coord_maintains_uses",
                  "postposed_quoted_uses", "ditrans_introduced",
                  "recip_met"] \
-            + (["quoted_uses", "quoted_coord_uses"] if allow_quoted else [])
+            + (["quoted_uses", "quoted_coord_uses",
+                "quoted_ditrans_introduced"] if allow_quoted else [])
         kind = kinds[int(rng.integers(0, len(kinds)))]
         end = "?" if (rng.random() < 0.05
                       and kind not in ("quoted_uses", "quoted_coord_uses",
-                                       "postposed_quoted_uses")) \
+                                       "postposed_quoted_uses",
+                                       "quoted_ditrans_introduced")) \
             else "."
         if kind == "coord_works_at":
             a = _pick_person(rng)
@@ -299,6 +305,21 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             while c in (a, b):
                 c = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             text = f"{a} introduced {b} to {c}{end}"
+            gts = [("person", a.lower(), "introduced", "person", b.lower()),
+                   ("person", a.lower(), "introduced", "person", c.lower())]
+            return text, gts, max(b, c)
+        if kind == "quoted_ditrans_introduced":
+            # ditransitive nested in quoted speech (v22): the speaker is
+            # not an emitted slot; both person objects feed state
+            speaker = _pick_person(rng)
+            a = _pick_person(rng)
+            b = _pick_person(rng)
+            while b == a:
+                b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+            c = _pick_person(rng)
+            while c in (a, b):
+                c = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+            text = f'{speaker} said "{a} introduced {b} to {c}."'
             gts = [("person", a.lower(), "introduced", "person", b.lower()),
                    ("person", a.lower(), "introduced", "person", c.lower())]
             return text, gts, max(b, c)

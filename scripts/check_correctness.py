@@ -75,7 +75,16 @@ def main() -> int:
                 print(f"           WARNING: zero rows")
             continue
         try:
-            want = con.execute(oracles[name]).fetchdf()
+            try:
+                want = con.execute(oracles[name]).fetchdf()
+            except duckdb.IOException:
+                # transient EMFILE observed when DuckDB re-opens a view's
+                # parquet right after a many-operator Ray job — one retry
+                # after a breather has always cleared it
+                import gc
+                gc.collect()
+                time.sleep(2.0)
+                want = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             print(f"[FAIL-sql ] {name}: {type(ex).__name__}: {ex}")
             failures.append(name)
