@@ -276,7 +276,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities_exact": kg_entities_exact,
         # conversation-local enrichment (use-chain analog)
         "kg_mention_chains": CH.mention_chains_query,
-        "kg_cooccurrence": CH.cooccurrence_query,
         # frontier-BFS reachability (reachableBy analog) + slice
         "kg_reachable": RCH.reachable_query,
         "kg_paths": RCH.paths_query,
@@ -297,9 +296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_counts": FND.entity_mention_counts,
         "kg_conv_tools": FND.conv_tools,
         # relational layer (SURVEY.md §2.4/2.5/2.7/2.8)
-        "rel_topk_per_customer": REL.topk_orders_per_customer,
         "rel_price_quantiles": REL.price_quantiles_by_segment,
         "rel_running_order_total": REL.running_order_total,
+        "rel_order_gaps": REL.order_gaps,
         # text analysis + dedup (training-data ops)
         "text_quality": T.text_quality,
         "dedup_exact": T.dedup_exact,
@@ -307,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_clean_corpus": T.clean_corpus,
         "conv_line_dedup": (lambda sf_dir: T.line_dedup(_transcripts(sf_dir))),
         "text_sample_stratified": T.sample_stratified,
+        "text_sample_weighted": T.sample_weighted,
         "text_token_bins": T.token_bins,
         "text_redact_persons": T.redact_persons,
         "text_repetition": T.repetition_stats,
@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_by_user": REL.events_by_user,
         "events_window_counts": EV.window_counts,
         "events_sessionize": EV.sessionize,
+        "kg_cooccurrence": CH.cooccurrence_query,
+        "rel_topk_per_customer": REL.topk_orders_per_customer,
         "rel_revenue_by_nation": REL.revenue_by_nation,
         "text_lang_id": T.lang_id,
         "text_fingerprint": T.doc_fingerprint,
@@ -526,6 +528,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": T.dedup_exact_sql(),
         "dedup_snapshot": T.snapshot_dedup_sql(),
         "text_source_overlap": T.source_overlap_sql(),
+        "text_sample_weighted": T.sample_weighted_sql(),
+        "rel_order_gaps": REL.order_gaps_sql(),
         "text_clean_corpus": T.clean_corpus_sql(),
         "conv_line_dedup": T.line_dedup_sql(tr),
         "text_bigram_lm": T.bigram_lm_sql(),

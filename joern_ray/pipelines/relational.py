@@ -293,6 +293,92 @@ def running_order_total(sf_dir: str, *, n_buckets: int = 1024):
             .groupby("bucket").map_groups(window, batch_format="pyarrow"))
 
 
+def order_gaps(sf_dir: str, *, n_buckets: int = 1024):
+    """Per-customer consecutive-order calendar-day gaps (the LAG window
+    class): for every customer with ≥2 orders, the order count, the
+    integer-milli mean gap and the max gap between consecutive orders in
+    (o_orderdate, o_orderkey) order.  Calendar-day semantics (epoch-day
+    difference) shared exactly with the SQL mirror's
+    datediff('day', CAST(.. AS DATE), ..).
+
+    Scale shape: customers hash into buckets (whole history per bucket);
+    the per-bucket pass is one lexsort + boundary diff + np.add/maximum
+    scatter — no per-customer Python groups, and only (custkey, 3 ints)
+    rows leave any bucket."""
+    import numpy as np
+    import pandas as pd
+
+    day_us = 86400 * 1_000_000
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    out_schema = pa.schema([
+        ("custkey", pa.int64()), ("n_orders", pa.int64()),
+        ("avg_gap_days_milli", pa.int64()), ("max_gap_days", pa.int64())])
+
+    def key(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t.column("o_custkey").to_numpy())
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "day": pc.divide(t.column("o_orderdate").cast(pa.int64()),
+                             day_us),
+            "bucket": pa.array((h % n_buckets).astype("int64")),
+        })
+
+    def shard(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"]).combine_chunks()
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        cust = g.column("o_custkey").to_numpy()
+        day = g.column("day").to_numpy()
+        okey = g.column("o_orderkey").to_numpy()
+        order = np.lexsort((okey, day, cust))
+        cust, day = cust[order], day[order]
+        codes, uniq = pd.factorize(cust, sort=False)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        same = np.empty(len(cust), dtype=bool)
+        same[0] = False
+        same[1:] = cust[1:] == cust[:-1]
+        gap = np.empty(len(cust), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = day[1:] - day[:-1]
+        gsum = np.zeros(len(uniq), dtype=np.int64)
+        gmax = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(gsum, codes[same], gap[same])
+        np.maximum.at(gmax, codes[same], gap[same])
+        keep = n >= 2
+        return pa.table({
+            "custkey": pa.array(np.asarray(uniq)[keep], pa.int64()),
+            "n_orders": pa.array(n[keep], pa.int64()),
+            "avg_gap_days_milli": pa.array(
+                (1000 * gsum[keep]) // (n[keep] - 1), pa.int64()),
+            "max_gap_days": pa.array(gmax[keep], pa.int64())})
+
+    return (ds.map_batches(key, batch_format="pyarrow")
+            .groupby("bucket").map_groups(shard, batch_format="pyarrow"))
+
+
+def order_gaps_sql() -> str:
+    return """
+    WITH g AS (
+      SELECT o_custkey,
+             datediff('day',
+                      CAST(lag(o_orderdate) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS DATE),
+                      CAST(o_orderdate AS DATE)) AS gap
+      FROM orders)
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST((1000 * sum(gap)) // count(gap) AS BIGINT)
+             AS avg_gap_days_milli,
+           CAST(max(gap) AS BIGINT) AS max_gap_days
+    FROM g GROUP BY 1 HAVING count(gap) >= 1
+    """
+
+
 TOPK_PER_GROUP = 3
 
 

@@ -170,6 +170,65 @@ def sample_stratified_sql(k: int = SAMPLE_QUOTA_PER_LANG) -> str:
     """
 
 
+SAMPLE_WEIGHTED_K = 200
+
+
+def sample_weighted(sf_dir: str, k: int = SAMPLE_WEIGHTED_K):
+    """Deterministic weighted sampling without replacement: the k docs
+    with the smallest integer priority hash(doc_id) * 1000 // weight
+    (weight = n_chars, ties by doc_id) — longer docs draw
+    proportionally more often, yet membership stays a pure function of
+    the key (stable under re-partitioning, resumable, no RNG state).
+    The integer-priority variant of exponential-key weighted reservoir
+    sampling (Efraimidis-Spirakis), shared verbatim with the SQL mirror.
+
+    Scale shape: per-batch local top-k (k rows leave any batch) → one
+    k × n_blocks head — no global sort, no full shuffle."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "n_chars"])
+
+    def pri(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy()
+        w = np.maximum(
+            t.column("n_chars").cast(pa.int64()).to_numpy(), 1)
+        h = ((ids % _SAMPLE_HASH_MOD).astype(np.uint64)
+             * np.uint64(_SAMPLE_HASH_MULT)) % np.uint64(_SAMPLE_HASH_MOD)
+        p = (h.astype(np.int64) * 1000) // w
+        return t.append_column("pri", pa.array(p, pa.int64()))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return (t.sort_by([("pri", "ascending"), ("doc_id", "ascending")])
+                .slice(0, k))
+
+    def finish(g: pa.Table) -> pa.Table:
+        return (local_topk(g.drop_columns(["one"]).combine_chunks())
+                .drop_columns(["pri"]))
+
+    return (ds.map_batches(pri, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(local_topk, batch_format="pyarrow")
+            .map_batches(lambda t: t.append_column(
+                "one", pa.array([0] * t.num_rows, pa.int64())),
+                batch_format="pyarrow")
+            .groupby("one").map_groups(finish, batch_format="pyarrow"))
+
+
+def sample_weighted_sql(k: int = SAMPLE_WEIGHTED_K) -> str:
+    return f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             CAST((CAST(doc_id % {_SAMPLE_HASH_MOD} AS HUGEINT)
+                   * {_SAMPLE_HASH_MULT}) % {_SAMPLE_HASH_MOD} AS BIGINT)
+               * 1000 // GREATEST(n_chars, 1) AS pri
+      FROM documents)
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY pri, doc_id) AS rn
+      FROM h) WHERE rn <= {k}
+    """
+
+
 REDACT_TOKEN = "[PERSON]"
 
 
