@@ -2319,7 +2319,10 @@ def _doc_digest_np(text_col: pa.ChunkedArray):
     return h1, h2
 
 
-def snapshot_dedup(sf_dir: str, *, bloom_bits: int = BLOOM_BITS,
+BLOOM_BITS_CAP = 1 << 33   # 1 GiB bit-array ceiling (broadcast once)
+
+
+def snapshot_dedup(sf_dir: str, *, bloom_bits: int | None = None,
                    n_buckets: int = _DEDUP_BUCKETS):
     """Incremental (cross-snapshot) dedup — the continuous-crawl shape:
     keep NEW docs (doc_id % SNAPSHOT_MOD != 0) whose text does not appear
@@ -2337,10 +2340,13 @@ def snapshot_dedup(sf_dir: str, *, bloom_bits: int = BLOOM_BITS,
     the bucketed exact anti-join against the prior digests.  Correctness
     never depends on the Bloom: FPs are re-checked exactly, and the
     equivalence test runs the same input with a 64-bit Bloom (≈all-FP)
-    and asserts identical output."""
-    m_words = max(1, bloom_bits // 64)
-    m_bits = m_words * 64
+    and asserts identical output.
 
+    Sizing: unless ``bloom_bits`` is forced, the filter is count-gated
+    AFTER the prior digests materialize — ~10 bits/key (≈1% FP with 4
+    probes), floored at BLOOM_BITS and capped at BLOOM_BITS_CAP (1 GiB);
+    beyond the cap the FP rate degrades gracefully and the exact
+    anti-join absorbs the excess candidates."""
     ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
 
     def _mod_col(doc_id):
@@ -2361,6 +2367,11 @@ def snapshot_dedup(sf_dir: str, *, bloom_bits: int = BLOOM_BITS,
 
     prior = ds.map_batches(prior_digests, batch_format="pyarrow",
                            zero_copy_batch=True).materialize()
+    if bloom_bits is None:
+        bloom_bits = int(min(max(10 * prior.count(), BLOOM_BITS),
+                             BLOOM_BITS_CAP))
+    m_words = max(1, bloom_bits // 64)
+    m_bits = m_words * 64
 
     def bloom_partial(t: pa.Table) -> pa.Table:
         words = np.zeros(m_words, dtype=np.uint64)

@@ -349,10 +349,10 @@ def extract_events(batch: pa.Table,
             # object-pronoun class; both-pronoun emissions drop
             obj_pron = (pc.fill_null(
                 pc.is_in(obj, value_set=_PRONOUN_SET), False)
-                if ok == "person"
-                else pa.array([False] * len(idx0), pa.bool_()))
-            mask = pc.and_(pc.and_(base_mask, pc.invert(is_pron)),
-                           pc.invert(obj_pron))
+                if ok == "person" else None)
+            mask = pc.and_(base_mask, pc.invert(is_pron))
+            if obj_pron is not None:
+                mask = pc.and_(mask, pc.invert(obj_pron))
             if pc.any(mask).as_py():
                 local = pc.indices_nonzero(mask)
                 idx = idx0.take(local)
@@ -366,8 +366,9 @@ def extract_events(batch: pa.Table,
             # becomes a PRONOUN event (subj NULL) carrying the emission's
             # slot/clause — resolved in Stage B like any pronoun turn
             if sk == "person":
-                pmask = pc.and_(pc.and_(base_mask, is_pron),
-                                pc.invert(obj_pron))
+                pmask = pc.and_(base_mask, is_pron)
+                if obj_pron is not None:
+                    pmask = pc.and_(pmask, pc.invert(obj_pron))
                 if pc.any(pmask).as_py():
                     local = pc.indices_nonzero(pmask)
                     idx = idx0.take(local)
