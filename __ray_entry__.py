@@ -322,9 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream ops (sessionize / window / as-of / funnel /
         # retention — funnel + retention new r4)
         "events_sliding_counts": EV.sliding_window_counts,
-        "events_props_k_stats": EV.props_k_stats,
         "events_funnel": EV.funnel,
         "events_retention": EV.retention,
+        "events_daily_anomaly": EV.daily_anomaly,
         # similarity search + embedding-space decontamination
         "ann_topk": A.ann_bruteforce,
         "embedding_neardup": A.embedding_neardup_planted,
@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": EV.sessionize,
         "kg_cooccurrence": CH.cooccurrence_query,
         "rel_topk_per_customer": REL.topk_orders_per_customer,
+        "events_props_k_stats": EV.props_k_stats,
         "rel_revenue_by_nation": REL.revenue_by_nation,
         "text_lang_id": T.lang_id,
         "text_fingerprint": T.doc_fingerprint,
@@ -552,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_k_stats": EV.props_k_stats_sql(),
         "events_funnel": EV.funnel_sql(),
         "events_retention": EV.retention_sql(),
+        "events_daily_anomaly": EV.daily_anomaly_sql(),
         "ann_topk": A.ann_bruteforce_sql(),
         "embedding_neardup": A.embedding_neardup_planted_sql(),
         "embedding_decontaminate": A.embedding_decontaminate_sql(),

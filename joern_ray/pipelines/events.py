@@ -329,6 +329,88 @@ def props_k_stats_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# daily-count anomaly scores (integer-exact z² milli per event_type day)
+# ---------------------------------------------------------------------------
+
+def daily_anomaly(sf_dir: str):
+    """Per-(event_type, calendar day) event-count outlier scores:
+    z²·1000 computed EXACTLY in integers — z² = (n·c − s)² / (c·ss − s²)
+    for day count n against the type's day-count distribution
+    (c = #days, s = Σn, ss = Σn²) — so the Ray result and the SQL
+    mirror agree bit-for-bit (no float stddev).
+
+    Scale shape: raw events pre-aggregate per batch to (type, day)
+    partial counts — the exchange is (types × days)-bounded, never
+    corpus-bounded; the per-type finish is one vectorized pass over a
+    type's day rows (types are a small set, days bounded by the corpus
+    time span)."""
+    day_us = 86400 * 1_000_000
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t.column("ts").cast(pa.int64()), day_us)
+        p = (pa.table({"event_type": t.column("event_type"), "day": day})
+             .group_by(["event_type", "day"])
+             .aggregate([([], "count_all")]))
+        return (p.select(["event_type", "day", "count_all"])
+                .rename_columns(["event_type", "day", "n"]))
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum(on="n", alias_name="n")))
+
+    def finish(g: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("event_type", pa.string()), ("day", pa.string()),
+            ("n_events", pa.int64()), ("z2_milli", pa.int64())])
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        n = g.column("n").cast(pa.int64()).to_numpy()
+        c = len(n)
+        s = int(n.sum())
+        ss = int((n.astype(object) * n.astype(object)).sum())
+        den = c * ss - s * s
+        if den > 0:
+            # python-int vectorized via object dtype: exact at any count
+            dev = n.astype(object) * c - s
+            z2 = np.array([(1000 * d * d) // den for d in dev],
+                          dtype=np.int64)
+        else:
+            z2 = np.zeros(c, dtype=np.int64)
+        iso = pc.strftime(
+            pc.cast(pc.multiply(g.column("day").cast(pa.int64()), day_us),
+                    pa.timestamp("us")), "%Y-%m-%d")
+        return pa.table({
+            "event_type": g.column("event_type").cast(pa.string()),
+            "day": iso,
+            "n_events": pa.array(n, pa.int64()),
+            "z2_milli": pa.array(z2, pa.int64())})
+
+    return counts.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow")
+
+
+def daily_anomaly_sql() -> str:
+    return """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    a AS (
+      SELECT event_type, count(*) AS c, sum(n) AS s, sum(n * n) AS ss
+      FROM d GROUP BY 1)
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.n AS BIGINT) AS n_events,
+           CAST(CASE WHEN a.c * a.ss - a.s * a.s > 0
+                THEN (1000 * CAST(d.n * a.c - a.s AS HUGEINT)
+                           * (d.n * a.c - a.s))
+                     // (a.c * a.ss - a.s * a.s)
+                ELSE 0 END AS BIGINT) AS z2_milli
+    FROM d JOIN a USING (event_type)
+    """
+
+
+# ---------------------------------------------------------------------------
 # ordered funnel (view → click → purchase)
 # ---------------------------------------------------------------------------
 
