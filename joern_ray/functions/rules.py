@@ -501,7 +501,10 @@ MULTI_TEMPLATE_LITERALS = {
     "vp_coord_maintains_uses": " and uses ",
     "postposed_quoted_uses": '," said ',
     "ditrans_introduced": " introduced ",
-    "recip_met": " met",
+    # tuple = conjunction of literal prefilters (ALL must hit): " met"
+    # alone also hits every "met with" sentence — requiring " and " too
+    # keeps the reciprocal regex off the hot met-with path
+    "recip_met": (" and ", " met"),
     "quoted_ditrans_introduced": " introduced ",
 }
 

@@ -46,13 +46,24 @@ _TEMPLATE_LITERALS = {
 # Purely a candidate-set refinement — per-template logic is unchanged.
 import re as _re  # noqa: E402
 
+def _flat_literals(vals):
+    """Tuple values are CONJUNCTIONS of prefilter literals (all must
+    hit); for the any-literal gate each element is a sufficient
+    candidate condition, so flatten them into the alternation."""
+    for v in vals:
+        if isinstance(v, tuple):
+            yield from v
+        else:
+            yield v
+
+
 _ANY_LITERAL_RE = "|".join(
-    _re.escape(lit) for lit in
-    list(_TEMPLATE_LITERALS.values())
-    + list(R.MULTI_TEMPLATE_LITERALS.values())
-    + list(R.LIST_TEMPLATE_LITERALS.values())
-    + [R.MENTIONED_LITERAL, R.DESC_LITERAL, R.DESC_OBJ_LITERAL,
-       R.MGR_DESC_LITERAL, R.MGR_DESC_OBJ_LITERAL])
+    _re.escape(lit) for lit in _flat_literals(
+        list(_TEMPLATE_LITERALS.values())
+        + list(R.MULTI_TEMPLATE_LITERALS.values())
+        + list(R.LIST_TEMPLATE_LITERALS.values())
+        + [R.MENTIONED_LITERAL, R.DESC_LITERAL, R.DESC_OBJ_LITERAL,
+           R.MGR_DESC_LITERAL, R.MGR_DESC_OBJ_LITERAL]))
 
 
 def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
@@ -325,10 +336,18 @@ def extract_events(batch: pa.Table,
         lit = R.MULTI_TEMPLATE_LITERALS.get(name)
         if lit is not None and not n_cand:
             continue
-        idx0 = (cand_idx.take(pc.indices_nonzero(pc.fill_null(
-                    pc.match_substring(cand_text, lit), False)))
-                if lit is not None
-                else pa.array(range(len(text)), pa.int64()))
+        if lit is None:
+            idx0 = pa.array(range(len(text)), pa.int64())
+        else:
+            # a tuple literal is a CONJUNCTION of memchr prefilters
+            # (all must hit) — e.g. recip_met needs " and " AND " met"
+            lits = lit if isinstance(lit, tuple) else (lit,)
+            pre = pc.fill_null(pc.match_substring(cand_text, lits[0]),
+                               False)
+            for extra in lits[1:]:
+                pre = pc.and_(pre, pc.fill_null(
+                    pc.match_substring(cand_text, extra), False))
+            idx0 = cand_idx.take(pc.indices_nonzero(pre))
         if len(idx0) == 0:
             continue
         sub = text.take(idx0)

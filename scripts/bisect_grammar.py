@@ -59,9 +59,9 @@ def main() -> None:
         # disable the fused mentioned arm via an unmatchable literal
         R.MENTIONED_LITERAL = "\x00never\x00"
         X._ANY_LITERAL_RE = "|".join(
-            re.escape(lit) for lit in
-            list(X._TEMPLATE_LITERALS.values())
-            + list(R.MULTI_TEMPLATE_LITERALS.values()))
+            re.escape(lit) for lit in X._flat_literals(
+                list(X._TEMPLATE_LITERALS.values())
+                + list(R.MULTI_TEMPLATE_LITERALS.values())))
         pin_sec, pin_ev = run(table, trials)
     finally:
         (R.MULTI_TEMPLATES, R.PRONOUN_OBJECT_TEMPLATES,
