@@ -675,7 +675,7 @@ def _resolve_bucket(group: pa.Table,
         return S.TRIPLES_SURFACE.empty_table()
     if cap is None:
         cap = MAX_RESOLVE_EVENTS_PER_CONV
-    g = group.drop_columns(["bucket"]).combine_chunks()
+    g = _decode_narrow(group.drop_columns(["bucket"])).combine_chunks()
     codes, _uniq = pd.factorize(
         g.column("conv_id").to_numpy(zero_copy_only=False), sort=False)
     turn = g.column("turn_idx").to_numpy().astype(np.int64)
@@ -926,12 +926,47 @@ DEFAULT_RESOLVE_BUCKETS = 1024
 MAX_RESOLVE_EVENTS_PER_CONV = 100_000
 
 
+# Resolve-exchange dictionary shipping: every string column of the narrow
+# schema is vocabulary-drawn (person names, preds, kinds, module keys) or
+# block-local-repetitive (conv_id — whole conversations land in one input
+# block), so the exchange ships int32 indices + one small dictionary per
+# block instead of repeated strings (~2-3x fewer shuffled bytes at the
+# 64M-turn scale).  Decoded ONCE per bucket shard in _resolve_bucket;
+# NULLs (the row-class discriminators) survive as null indices.
+_NARROW_DICT_COLS = ("conv_id", "person", "pred", "obj", "obj_kind",
+                     "clause", "desc_key")
+
+
+def _encode_narrow(t: pa.Table) -> pa.Table:
+    # combine_chunks FIRST: a chunked dictionary column carries (and
+    # ships) one dictionary copy PER CHUNK, and extraction output is many
+    # small per-template chunks (measured 10x size blowup without this)
+    t = t.combine_chunks()
+    for name in _NARROW_DICT_COLS:
+        i = t.schema.get_field_index(name)
+        t = t.set_column(i, name, pc.dictionary_encode(t.column(name)))
+    return t
+
+
+def _decode_narrow(t: pa.Table) -> pa.Table:
+    """Inverse of _encode_narrow, tolerant of already-plain input (the
+    per-conversation reference path and tests feed plain strings)."""
+    for f in t.schema:
+        if pa.types.is_dictionary(f.type):
+            i = t.schema.get_field_index(f.name)
+            t = t.set_column(i, f.name, t.column(f.name).cast(
+                f.type.value_type))
+    return t
+
+
 def _with_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
     import pandas as pd
     h = pd.util.hash_array(batch.column("conv_id").to_numpy(
         zero_copy_only=False))
+    # int32 key: n_buckets is operator-config-sized (≤ millions), and the
+    # key column ships with every exchange row
     return batch.append_column(
-        "bucket", pa.array((h % n_buckets).astype("int64")))
+        "bucket", pa.array((h % n_buckets).astype("int32")))
 
 
 def _passthrough_triples(t: pa.Table) -> pa.Table:
@@ -1045,7 +1080,8 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
                              nulls),
         "desc_key": dk_val,
     }).filter(mask)
-    return _with_bucket(pa.concat_tables([narrow, mst_rows]), n_buckets)
+    return _encode_narrow(
+        _with_bucket(pa.concat_tables([narrow, mst_rows]), n_buckets))
 
 
 def extract_triples(transcripts_ds, *, num_partitions: int | None = None,

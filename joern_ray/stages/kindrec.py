@@ -48,7 +48,7 @@ import ray.data
 
 from .. import schema as S
 from ..functions import rules as R
-from .extract import _attrs, _explode_sentences
+from .extract import _attrs, _decode_narrow, _explode_sentences
 
 # above this many unknown-mention rows the recovery runs FULLY
 # distributed (recover_distributed — two keyed exchanges, no driver
@@ -229,42 +229,62 @@ def recover_distributed(events_ds,
          (kind = coalesce(k1, k2, 'unknown'), round 1/2/0).
 
     Equivalence with the driver path is pytest-asserted."""
-    s1_in = _stage_schema([("kind", pa.string()), ("bucket", pa.int64())])
+    s1_in = _stage_schema([("kind", pa.string()), ("bucket", pa.int32())])
     s1_out = _stage_schema([("k1", pa.string())])
     s2_in = _stage_schema([("k1", pa.string()), ("kind", pa.string()),
-                           ("bucket", pa.int64())])
+                           ("bucket", pa.int32())])
     unt_names = [f.name for f in UNTYPED]
+
+    # both exchanges ship their string columns as dictionary indices
+    # (surfaces/kinds are vocabulary-drawn, conv_id block-repetitive —
+    # the extract._encode_narrow discipline); shards decode once.  Every
+    # return path of a tag fn encodes (incl. empty tables) so all blocks
+    # of one exchange share the dictionary-typed schema.
+    def _enc(t: pa.Table, names: tuple[str, ...]) -> pa.Table:
+        # combine first — a chunked dict column ships one dictionary
+        # copy per chunk (see extract._encode_narrow)
+        t = t.combine_chunks()
+        for name in names:
+            i = t.schema.get_field_index(name)
+            t = t.set_column(i, name,
+                             pc.dictionary_encode(t.column(name)))
+        return t
+
+    _S1_DICT = ("conv_id", "subj", "surface", "kind")
+    _S2_DICT = ("conv_id", "subj", "surface", "k1", "kind")
 
     def _bucket_conv(conv) -> pa.Array:
         h = pd.util.hash_array(pc.cast(conv, pa.string())
                                .to_numpy(zero_copy_only=False))
-        return pa.array((h % n_buckets).astype("int64"))
+        return pa.array((h % n_buckets).astype("int32"))
 
     def tag_ev1(ev: pa.Table) -> pa.Table:
         t = evidence_batch(ev)
         if t.num_rows == 0:
-            return s1_in.empty_table()
+            return _enc(s1_in.empty_table(), _S1_DICT)
         n = t.num_rows
-        return pa.Table.from_arrays(
+        return _enc(pa.Table.from_arrays(
             [t.column("conv_id"),
              pa.nulls(n, pa.int32()), pa.nulls(n, pa.int32()),
              pa.nulls(n, pa.string()),
              t.column("surface"),
              pa.nulls(n, pa.bool_()), pa.nulls(n, pa.bool_()),
              t.column("kind"), _bucket_conv(t.column("conv_id"))],
-            schema=s1_in)
+            schema=s1_in), _S1_DICT)
 
     def tag_unk1(ev: pa.Table) -> pa.Table:
         t = untyped_from_events(ev)
         if t.num_rows == 0:
-            return s1_in.empty_table()
+            return _enc(s1_in.empty_table(), _S1_DICT)
         t = t.append_column("kind", pa.nulls(t.num_rows, pa.string()))
-        return t.append_column("bucket", _bucket_conv(t.column("conv_id")))
+        return _enc(
+            t.append_column("bucket", _bucket_conv(t.column("conv_id"))),
+            _S1_DICT)
 
     def shard1(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return s1_out.empty_table()
-        g = g.drop_columns(["bucket"]).combine_chunks()
+        g = _decode_narrow(g.drop_columns(["bucket"])).combine_chunks()
         # evidence rows carry kind; unknown rows carry turn_idx
         is_ev = pc.is_valid(g.column("kind"))
         unks = g.filter(pc.invert(is_ev)).select(unt_names)
@@ -286,16 +306,16 @@ def recover_distributed(events_ds,
 
     def _bucket_surface(surface) -> pa.Array:
         return pa.array((_surface_hash(surface) % n_buckets)
-                        .astype("int64"))
+                        .astype("int32"))
 
     def tag_ev2(ev: pa.Table) -> pa.Table:
         t = evidence_batch(ev)
         if t.num_rows == 0:
-            return s2_in.empty_table()
+            return _enc(s2_in.empty_table(), _S2_DICT)
         t = (t.select(["surface", "kind"])
              .group_by(["surface", "kind"]).aggregate([]))
         n = t.num_rows
-        return pa.Table.from_arrays(
+        return _enc(pa.Table.from_arrays(
             [pa.nulls(n, pa.string()),
              pa.nulls(n, pa.int32()), pa.nulls(n, pa.int32()),
              pa.nulls(n, pa.string()),
@@ -303,19 +323,19 @@ def recover_distributed(events_ds,
              pa.nulls(n, pa.bool_()), pa.nulls(n, pa.bool_()),
              pa.nulls(n, pa.string()), t.column("kind"),
              _bucket_surface(t.column("surface"))],
-            schema=s2_in)
+            schema=s2_in), _S2_DICT)
 
     def tag_unk2(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
-            return s2_in.empty_table()
+            return _enc(s2_in.empty_table(), _S2_DICT)
         t = t.append_column("kind", pa.nulls(t.num_rows, pa.string()))
-        return t.append_column("bucket",
-                               _bucket_surface(t.column("surface")))
+        return _enc(t.append_column(
+            "bucket", _bucket_surface(t.column("surface"))), _S2_DICT)
 
     def shard2(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return RECOVERED.empty_table()
-        g = g.drop_columns(["bucket"]).combine_chunks()
+        g = _decode_narrow(g.drop_columns(["bucket"])).combine_chunks()
         # evidence rows carry kind; unknown rows carry conv_id
         is_ev = pc.is_valid(g.column("kind"))
         unks = g.filter(pc.invert(is_ev)).select(unt_names + ["k1"])
