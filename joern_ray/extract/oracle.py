@@ -47,9 +47,9 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                             sent_idx=0, negated=False, in_question=False))
             continue
         text = row.get("text") or ""
-        # shared segmentation contract (rules.SENT_*): mark + split
-        sents = _re.sub(R.SENT_MARK_RE, R.SENT_MARK_SUB,
-                        text).split(R.SENT_SPLIT)
+        # shared segmentation contract (rules.split_sentences):
+        # mark + split + quote-parity repair
+        sents = R.split_sentences(text)
         for si, sent in enumerate(sents):
             attrs = dict(sent_idx=si, negated=R.NEGATION_MARK in sent,
                          in_question=sent.endswith(R.QUESTION_MARK))

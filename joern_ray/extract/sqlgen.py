@@ -22,17 +22,36 @@ def _plain(rx: str) -> str:
 
 
 def _sents_cte(rel: str) -> str:
-    """Sentence explosion mirroring rules.SENT_* (RE2 both sides): mark the
-    boundary, split, zip with the 0-based sentence ordinal."""
+    """Sentence explosion mirroring rules.split_sentences (RE2 both
+    sides): mark the boundary, split, then the v23 quote-parity repair —
+    a part whose preceding in-turn double-quote count is odd started
+    inside an open quotation and merges back into its predecessor with
+    the one space the mark consumed (window cumsum → segment ids →
+    ordered string_agg)."""
     return f"""(
       SELECT conv_id, turn_idx,
-             unnest(sl) AS sent,
-             CAST(unnest(range(len(sl))) AS INTEGER) AS sent_idx
-      FROM (SELECT conv_id, turn_idx,
-                   regexp_split_to_array(
-                     regexp_replace(text, '([.?!]) ', '\\1' || chr(30), 'g'),
-                     chr(30)) AS sl
-            FROM {rel}))"""
+             string_agg(part, ' ' ORDER BY pi) AS sent,
+             CAST(seg - 1 AS INTEGER) AS sent_idx
+      FROM (
+        SELECT conv_id, turn_idx, part, pi,
+               SUM(CASE WHEN cumq % 2 = 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY conv_id, turn_idx ORDER BY pi) AS seg
+        FROM (
+          SELECT conv_id, turn_idx, part, pi,
+                 COALESCE(SUM(len(part) - len(replace(part, '"', '')))
+                   OVER (PARTITION BY conv_id, turn_idx ORDER BY pi
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cumq
+          FROM (
+            SELECT conv_id, turn_idx, unnest(sl) AS part,
+                   CAST(unnest(range(len(sl))) AS INTEGER) AS pi
+            FROM (SELECT conv_id, turn_idx,
+                         regexp_split_to_array(
+                           regexp_replace(text, '([.?!]) ',
+                                          '\\1' || chr(30), 'g'),
+                           chr(30)) AS sl
+                  FROM {rel}))))
+      GROUP BY conv_id, turn_idx, seg)"""
 
 
 def _attr_cols() -> str:

@@ -76,13 +76,38 @@ SUBJ_PRONOUNS = PRONOUNS + POSS_PRONOUNS
 
 # Sentence segmentation contract (shared by the Arrow pipeline, the Python
 # oracle and the DuckDB oracle — all RE2): a sentence boundary is
-# punctuation [.?!] followed by one space.  Both implementations mark the
-# boundary with \x1e then split on it (RE2 has no lookbehind).  A turn may
-# carry several sentences; each is matched independently (the multi-match
-# analog of the reference's per-statement AST visit).
+# punctuation [.?!] followed by one space, OUTSIDE quotation marks (v23:
+# quote-aware — a multi-sentence quotation 'X said "A uses t daily. She
+# maintains m."' is ONE sentence).  RE2 has neither lookbehind nor
+# lookaround, so every implementation uses the same two-pass recipe:
+#   1. mark EVERY '[.?!] ' boundary with \x1e (keeping the punctuation,
+#      consuming exactly the one space) and split on the mark;
+#   2. PARITY REPAIR: a part whose preceding in-turn double-quote count is
+#      ODD started inside an open quotation — merge it into its
+#      predecessor with one space (the exact inverse of step 1, since the
+#      mark consumed exactly one space).
+# A turn may carry several sentences; each is matched independently (the
+# multi-match analog of the reference's per-statement AST visit).
 SENT_MARK_RE = r"([.?!]) "
 SENT_MARK_SUB = "\\1\x1e"
 SENT_SPLIT = "\x1e"
+
+
+def split_sentences(text: str) -> list[str]:
+    """Reference implementation of the segmentation contract above (plain
+    Python; the Arrow kernel in ``stages.extract._explode_sentences`` and
+    the SQL mirror in ``extract.sqlgen._sents_cte`` implement the same
+    mark/split/parity-repair recipe independently)."""
+    parts = re.sub(SENT_MARK_RE, SENT_MARK_SUB, text).split(SENT_SPLIT)
+    out: list[str] = []
+    quotes = 0   # double quotes seen in all preceding parts
+    for p in parts:
+        if out and quotes % 2 == 1:
+            out[-1] = out[-1] + " " + p
+        else:
+            out.append(p)
+        quotes += p.count('"')
+    return out
 
 # (pred, regex, subj_kind, obj_kind).  Group names subj/obj are mandatory.
 # Modifier support (the relation-attribute analog): an optional 'no longer '
@@ -280,6 +305,31 @@ MULTI_TEMPLATES = [
      r'(?P<obj>[A-Z][a-z]+) to (?P<obj2>[A-Z][a-z]+)\."$',
      [("introduced", "subj", "person", "obj", "person", 0, "quoted"),
       ("introduced", "subj", "person", "obj2", "person", 1, "quoted")]),
+    # v23: MULTI-SENTENCE quoted speech ('X said "Alice uses vim daily.
+    # She maintains auth.core."') — enabled by the quote-aware splitter
+    # (the parity-repair contract above): the whole quotation is ONE
+    # sentence, so one RE2 match emits both inner relations.  Contract:
+    #   * clause 'quoted' for every emission; the SPEAKER is not an
+    #     emitted slot (no state commit, no shadowing) — the v11 rule;
+    #   * sent_idx is the OUTER sentence's ordinal (the inner boundary is
+    #     not a sentence boundary), shared by both emissions;
+    #   * INTRA-QUOTE anaphora resolves in the QUOTING turn's scope — a
+    #     pronoun subject of the second inner sentence resolves to the
+    #     committed referent of the latest strictly-earlier turn, NOT to
+    #     the first inner sentence's subject (same-turn state is never
+    #     visible: resolution stays a pure function of the committed
+    #     turn-state stream, exactly the v11 rationale);
+    #   * an EXPLICIT maintains subject inside the quote feeds the
+    #     module-keyed descriptor state as usual (state selection is by
+    #     predicate, not by construct).
+    # Disjointness: quoted_uses anchors 'daily\\."$' (no inner boundary);
+    # the plain maintains template anchors '^<Name> maintains'.
+    ("quoted_multi_uses_maintains",
+     r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) uses '
+     r'(?P<obj>[a-z0-9_]+) daily\. (?P<subj2>[A-Z][a-z]+) maintains '
+     r'(?P<obj2>[a-z_]+(?:\.[a-z_]+)*)\."$',
+     [("uses", "subj", "person", "obj", "tool", 0, "quoted"),
+      ("maintains", "subj2", "person", "obj2", "module", 0, "quoted")]),
 ]
 
 # v21 OBJECT-PRONOUN rule for multi-relation templates: an emission whose
@@ -506,6 +556,10 @@ MULTI_TEMPLATE_LITERALS = {
     # keeps the reciprocal regex off the hot met-with path
     "recip_met": (" and ", " met"),
     "quoted_ditrans_introduced": " introduced ",
+    # conjunction: ' daily. ' requires an in-turn boundary right after a
+    # uses-sentence, ' maintains ' the second inner relation — together
+    # they keep the regex off both the quoted_uses and maintains paths
+    "quoted_multi_uses_maintains": (" daily. ", " maintains "),
 }
 
 DEFAULT_SLOT_IDX = 0

@@ -60,8 +60,7 @@ for line in sys.stdin:
                     None])
     else:
         text = row.get("text") or ""
-        sents = re.sub(R.SENT_MARK_RE, R.SENT_MARK_SUB,
-                       text).split(R.SENT_SPLIT)
+        sents = R.split_sentences(text)
         for si, sent in enumerate(sents):
             attrs = [si, R.NEGATION_MARK in sent,
                      sent.endswith(R.QUESTION_MARK)]

@@ -107,13 +107,20 @@ def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
 
 def _explode_sentences(batch: pa.Table) -> pa.Table:
     """Turn rows → one row per sentence (vectorized: RE2 boundary-mark +
-    split + list_flatten; the per-statement AST-visit analog).  Output:
+    split + list_flatten + quote-parity repair; the per-statement
+    AST-visit analog of rules.split_sentences).  Output:
     (conv_id, turn_idx, sent, sent_idx).
 
     Fast path: rows WITHOUT a sentence boundary (the overwhelming
     majority) skip the rewrite/split/flatten entirely — one boundary scan
     decides, so multi-sentence support costs single-sentence rows one RE2
-    pass instead of three allocations of the whole text column."""
+    pass instead of three allocations of the whole text column.  The
+    parity repair (a part at odd preceding in-turn quote count merges
+    into its predecessor — the v23 quote-aware contract in rules.py) is
+    itself gated: corpora without in-quote boundaries skip it after one
+    vectorized parity scan, and the merge is round-based
+    ``binary_join_element_wise`` + ``replace_with_mask`` — no per-row
+    Python."""
     import numpy as np
 
     text = batch.column("text")
@@ -141,11 +148,39 @@ def _explode_sentences(batch: pa.Table) -> pa.Table:
     parts = pc.split_pattern(marked, R.SENT_SPLIT)
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
-    parent = pc.list_parent_indices(parts)
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(parts)
-    offs = parts.offsets.to_numpy()
-    sent_idx = (np.arange(len(flat), dtype=np.int64)
-                - np.repeat(offs[:-1], np.diff(offs)))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    # quote-parity repair (rules.py segmentation contract step 2): the
+    # preceding in-turn double-quote count of each part decides whether
+    # the mark before it was a real boundary (even) or sat inside an open
+    # quotation (odd → merge back, restoring the consumed space)
+    qc = pc.count_substring(flat, '"').to_numpy(zero_copy_only=False)
+    cum = np.cumsum(qc) - qc                       # global exclusive cumsum
+    new_turn = np.empty(len(parent), dtype=bool)
+    new_turn[0] = True
+    new_turn[1:] = parent[1:] != parent[:-1]
+    # subtract each turn's base so cum is the in-turn exclusive count
+    base = np.maximum.accumulate(np.where(new_turn, cum, 0))
+    is_start = ((cum - base) % 2 == 0) | new_turn
+    if not bool(is_start.all()):
+        first = np.flatnonzero(is_start)           # first part per sentence
+        sizes = np.diff(np.append(first, len(flat)))
+        sent = flat.take(pa.array(first, pa.int64()))
+        for k in range(1, int(sizes.max())):
+            m = sizes > k
+            joined = pc.binary_join_element_wise(
+                sent.take(pa.array(np.flatnonzero(m), pa.int64())),
+                flat.take(pa.array(first[m] + k, pa.int64())), " ")
+            sent = pc.replace_with_mask(sent, pa.array(m), joined)
+        flat, parent = sent, parent[first]
+        new_turn = np.empty(len(parent), dtype=bool)
+        new_turn[0] = True
+        new_turn[1:] = parent[1:] != parent[:-1]
+    pos = np.arange(len(parent), dtype=np.int64)
+    sent_idx = pos - np.maximum.accumulate(np.where(new_turn, pos, 0))
+    parent = pa.array(parent, pa.int64())
     multi = pa.table({
         "conv_id": batch.column("conv_id").take(multi_idx).take(parent),
         "turn_idx": batch.column("turn_idx").take(multi_idx).take(parent),

@@ -23,7 +23,12 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v22"  # v22: DITRANSITIVE nested in QUOTED speech
+CORPUS_VERSION = "v23"  # v23: MULTI-SENTENCE quoted speech (quote-aware
+#                         splitter: 'X said "A uses t daily. She maintains
+#                         m."' is ONE sentence; the inner pronoun resolves
+#                         in the QUOTING turn's scope, the explicit inner
+#                         maintains subject feeds descriptor state)
+# v22: DITRANSITIVE nested in QUOTED speech
 #                         ('X said "Alice introduced Bob to Carol."' —
 #                         the v20 double emission under the quoting
 #                         contract, clause 'quoted', turn-final).
@@ -176,12 +181,14 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                  "postposed_quoted_uses", "ditrans_introduced",
                  "recip_met"] \
             + (["quoted_uses", "quoted_coord_uses",
-                "quoted_ditrans_introduced"] if allow_quoted else [])
+                "quoted_ditrans_introduced",
+                "quoted_multi_uses_maintains"] if allow_quoted else [])
         kind = kinds[int(rng.integers(0, len(kinds)))]
         end = "?" if (rng.random() < 0.05
                       and kind not in ("quoted_uses", "quoted_coord_uses",
                                        "postposed_quoted_uses",
-                                       "quoted_ditrans_introduced")) \
+                                       "quoted_ditrans_introduced",
+                                       "quoted_multi_uses_maintains")) \
             else "."
         if kind == "coord_works_at":
             a = _pick_person(rng)
@@ -308,6 +315,25 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             gts = [("person", a.lower(), "introduced", "person", b.lower()),
                    ("person", a.lower(), "introduced", "person", c.lower())]
             return text, gts, max(b, c)
+        if kind == "quoted_multi_uses_maintains":
+            # MULTI-SENTENCE quoted speech (v23): the quote-aware
+            # splitter keeps the whole quotation as ONE sentence; both
+            # inner relations emit with clause 'quoted'.  Explicit
+            # variant: both inner subjects feed referent state (per-row
+            # max), and the maintains subject feeds the module-keyed
+            # descriptor state via track_maint at the callsites (state
+            # selection is by predicate, not construct).  Turn-final
+            # only, like every '."'-terminated quote.
+            speaker = _pick_person(rng)
+            a = _pick_person(rng)
+            b = _pick_person(rng)
+            tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
+            mod = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
+            text = (f'{speaker} said "{a} uses {tool} daily. '
+                    f'{b} maintains {mod}."')
+            gts = [("person", a.lower(), "uses", "tool", tool),
+                   ("person", b.lower(), "maintains", "module", mod)]
+            return text, gts, max(a, b)
         if kind == "quoted_ditrans_introduced":
             # ditransitive nested in quoted speech (v22): the speaker is
             # not an emitted slot; both person objects feed state
@@ -588,11 +614,31 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 speaker = _pick_person(rng)
                 pronoun = R.PRONOUNS[int(rng.integers(0, 2))]
                 tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
-                if rng.random() < 0.5:
+                u4 = rng.random()
+                if u4 < 0.4:
                     text = f'{speaker} said "{pronoun} uses {tool} daily."'
                     add_row(t, role, text)
                     add_gt(t, "person", last_person.lower(), "uses",
                            "tool", tool)
+                elif u4 < 0.7:
+                    # MULTI-SENTENCE quote with the pronoun in the SECOND
+                    # inner sentence (v23): intra-quote anaphora resolves
+                    # in the QUOTING turn's scope — the committed referent
+                    # of earlier turns, NOT the first inner subject d.
+                    # d (explicit uses subject) commits the new referent;
+                    # the pronoun-RESOLVED maintains row feeds no
+                    # maintainer state (the descriptor-state contract)
+                    d = _pick_person(rng)
+                    while d == last_person:
+                        d = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+                    mod = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
+                    add_row(t, role,
+                            f'{speaker} said "{d} uses {tool} daily. '
+                            f'{pronoun} maintains {mod}."')
+                    add_gt(t, "person", d.lower(), "uses", "tool", tool)
+                    add_gt(t, "person", last_person.lower(), "maintains",
+                           "module", mod)
+                    last_person = d
                 else:
                     partner = _pick_person(rng)
                     while partner == last_person:
