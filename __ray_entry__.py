@@ -128,12 +128,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_triples_attributed(sf_dir):
         """Resolved triples WITH relation attributes (sent_idx / negated /
-        in_question) — the DependencyJsonGenerator attributed-relation
-        analog (``DependencyJsonGenerator.scala:278-292``)."""
+        in_question / is_past — the v24 tense attribute) — the
+        DependencyJsonGenerator attributed-relation analog
+        (``DependencyJsonGenerator.scala:278-292``)."""
         return X.extract_triples(_transcripts(sf_dir)).map_batches(
             lambda t: t.select(["conv_id", "turn_idx", "sent_idx", "subj",
                                 "pred", "obj", "negated", "in_question",
-                                "slot_idx", "clause"]),
+                                "is_past", "slot_idx", "clause"]),
             batch_format="pyarrow")
 
     def kg_triples_definite(sf_dir):
@@ -426,7 +427,7 @@ def oracle_sql() -> dict[str, str]:
                                 f"FROM ({G.resolved_triples_sql(tr)})"),
         "kg_triples_attributed": (
             "SELECT conv_id, turn_idx, sent_idx, subj, pred, obj, "
-            "negated, in_question, slot_idx, clause "
+            "negated, in_question, is_past, slot_idx, clause "
             f"FROM ({G.resolved_triples_sql(tr)})"),
         "kg_triples_definite": (
             "SELECT conv_id, turn_idx, subj, pred, obj, clause "

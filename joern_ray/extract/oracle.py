@@ -44,7 +44,8 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
             out.append(dict(conv_id=conv_id, turn_idx=t, subj=conv_id,
                             pred=R.INVOKED_PRED, obj=row["tool"],
                             subj_kind="conv", obj_kind="tool",
-                            sent_idx=0, negated=False, in_question=False))
+                            sent_idx=0, negated=False, in_question=False,
+                            is_past=False))
             continue
         text = row.get("text") or ""
         # shared segmentation contract (rules.split_sentences):
@@ -52,7 +53,10 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
         sents = R.split_sentences(text)
         for si, sent in enumerate(sents):
             attrs = dict(sent_idx=si, negated=R.NEGATION_MARK in sent,
-                         in_question=sent.endswith(R.QUESTION_MARK))
+                         in_question=sent.endswith(R.QUESTION_MARK),
+                         is_past=bool(
+                             _re.search(R.PAST_RE, sent)
+                             and not _re.search(R.PRES_PASSIVE_RE, sent)))
             matched = False
             for pred, rx, obj_kind in R.COMPILED_PRONOUN_TEMPLATES:
                 m = rx.match(sent)

@@ -55,8 +55,13 @@ def _sents_cte(rel: str) -> str:
 
 
 def _attr_cols() -> str:
+    from ..functions import rules as R
+    past = R.PAST_RE.replace("'", "''")
+    ppas = R.PRES_PASSIVE_RE.replace("'", "''")
     return ("sent_idx, contains(sent, 'no longer ') AS negated, "
-            "ends_with(sent, '?') AS in_question")
+            "ends_with(sent, '?') AS in_question, "
+            f"(regexp_matches(sent, '{past}') AND NOT "
+            f"regexp_matches(sent, '{ppas}')) AS is_past")
 
 
 def events_sql(rel: str) -> str:
@@ -188,6 +193,7 @@ def events_sql(rel: str) -> str:
         ln, an, on = nums["list"], nums["last"], nums["obj"]
         inner = f"""(
           SELECT conv_id, turn_idx, sent_idx, negated, in_question,
+                 is_past,
                  unnest(ml) AS member,
                  CAST(unnest(range(len(ml))) AS INTEGER) AS slot, obj0
           FROM (SELECT conv_id, turn_idx, {_attr_cols()},
@@ -199,7 +205,7 @@ def events_sql(rel: str) -> str:
                   AND NOT ({pron_any})))"""
         parts.append(f"""
         SELECT conv_id, turn_idx, 'triple', member, '{pred}', obj0,
-               '{mk}', '{ok}', sent_idx, negated, in_question,
+               '{mk}', '{ok}', sent_idx, negated, in_question, is_past,
                slot, '{clause}', CAST(NULL AS VARCHAR)
         FROM {inner} WHERE member NOT IN ({pron_in})""")
         parts.append(f"""
@@ -218,7 +224,7 @@ def events_sql(rel: str) -> str:
             parts.append(f"""
         SELECT conv_id, turn_idx, 'pronoun', CAST(NULL AS VARCHAR),
                '{pred}', obj0, '{mk}', '{ok}',
-               sent_idx, negated, in_question,
+               sent_idx, negated, in_question, is_past,
                slot, '{clause}', CAST(NULL AS VARCHAR)
         FROM {inner} WHERE member IN ({pron_in})""")
             parts.append(f"""
@@ -266,7 +272,7 @@ def events_sql(rel: str) -> str:
           AND NOT ({pron_any})""")
     parts.append(f"""
         SELECT conv_id, turn_idx, 'triple', conv_id, '{R.INVOKED_PRED}',
-               tool, 'conv', 'tool', 0, FALSE, FALSE,
+               tool, 'conv', 'tool', 0, FALSE, FALSE, FALSE,
                {R.DEFAULT_SLOT_IDX}, '{R.DEFAULT_CLAUSE}',
                CAST(NULL AS VARCHAR)
         FROM {rel} WHERE role = 'tool' AND tool IS NOT NULL""")
@@ -336,7 +342,7 @@ def resolved_triples_sql(rel: str) -> str:
            CASE WHEN etype = 'pronoun_obj' THEN tr.prev_person
                 WHEN etype = 'desc_obj' THEN mtr.prev_m
                 ELSE obj END AS obj,
-           subj_kind, obj_kind, sent_idx, negated, in_question,
+           subj_kind, obj_kind, sent_idx, negated, in_question, is_past,
            slot_idx, clause
     FROM st JOIN tr
       ON st.conv_id = tr.conv_id AND st.turn_idx = tr.turn_idx

@@ -112,15 +112,39 @@ def split_sentences(text: str) -> list[str]:
 # (pred, regex, subj_kind, obj_kind).  Group names subj/obj are mandatory.
 # Modifier support (the relation-attribute analog): an optional 'no longer '
 # before the verb (negated=true), and '?' terminators (in_question=true).
+#
+# Tense attribute (v24) — the third relation attribute (after negated /
+# in_question; the fork's per-relation structural attributes,
+# ``DependencyJsonGenerator.scala:278-292``).  Shared LEXICAL contract
+# (sentence-level, like negated — every emission of one sentence carries
+# the same value; all four implementations run the identical RE2 pair):
+#
+#   is_past(sent) = matches(PAST_RE) AND NOT matches(PRES_PASSIVE_RE)
+#
+# PAST_RE is the word-bounded alternation of every past-form verb token
+# the grammar can produce: the intrinsically-past verbs (reported,
+# acquired, met, joined, left, partnered, introduced, mentioned) plus the
+# past alternants of the present-tense families (worked / used /
+# maintained / managed / was).  PRES_PASSIVE_RE carves out the one
+# construct where a participle is NOT past tense: a participle directly
+# after 'is' is a present passive ('auth.core is maintained by Alice');
+# the past passive ('was maintained by') stays past via 'was'.  Templates
+# whose verb admits both tenses alternate the verb form in their regex
+# ((?:works|worked)); templates left un-alternated simply never match a
+# past-form sentence, so the contract stays total.
+PAST_RE = (r"\b(?:worked|used|maintained|managed|was|reported|acquired|"
+           r"met|joined|left|partnered|introduced|mentioned)\b")
+PRES_PASSIVE_RE = r"\bis [a-z]+ed\b"
+
 TEMPLATES = [
     ("works_at",
-     r"^(?P<subj>[A-Z][a-z]+) (?:no longer )?works at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     r"^(?P<subj>[A-Z][a-z]+) (?:no longer )?work(?:s|ed) at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
      "person", "org"),
     ("reported_bug",
      r"^(?P<subj>[A-Z][a-z]+) reported a bug in (?P<obj>[a-z_]+(?:\.[a-z_]+)*)[.?]$",
      "person", "module"),
     ("uses",
-     r"^(?P<subj>[A-Z][a-z]+) (?:no longer )?uses (?P<obj>[a-z0-9_]+) daily[.?]$",
+     r"^(?P<subj>[A-Z][a-z]+) (?:no longer )?use(?:s|d) (?P<obj>[a-z0-9_]+) daily[.?]$",
      "person", "tool"),
     ("acquired",
      r"^(?P<subj>[A-Z][A-Za-z ]+?) acquired (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
@@ -135,10 +159,10 @@ TEMPLATES = [
      r"^(?P<subj>[A-Z][a-z]+) left (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
      "person", "org"),
     ("manages",
-     r"^(?P<subj>[A-Z][a-z]+) manages (?P<obj>[A-Z][a-z]+)[.?]$",
+     r"^(?P<subj>[A-Z][a-z]+) manage(?:s|d) (?P<obj>[A-Z][a-z]+)[.?]$",
      "person", "person"),
     ("maintains",
-     r"^(?P<subj>[A-Z][a-z]+) maintains (?P<obj>[a-z_]+(?:\.[a-z_]+)*)[.?]$",
+     r"^(?P<subj>[A-Z][a-z]+) maintain(?:s|ed) (?P<obj>[a-z_]+(?:\.[a-z_]+)*)[.?]$",
      "person", "module"),
     ("partnered",
      r"^(?P<subj>[A-Z][A-Za-z ]+?) partnered with (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
@@ -171,12 +195,12 @@ TEMPLATES = [
 #     the SQL mirror are derived from the order of appearance).
 MULTI_TEMPLATES = [
     ("coord_works_at",
-     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) work at '
+     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) work(?:ed)? at '
      r'(?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
      [("works_at", "subj", "person", "obj", "org", 0, "main"),
       ("works_at", "subj2", "person", "obj", "org", 1, "main")]),
     ("coord_uses",
-     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) use '
+     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) use(?:d)? '
      r'(?P<obj>[a-z0-9_]+) daily[.?]$',
      [("uses", "subj", "person", "obj", "tool", 0, "main"),
       ("uses", "subj2", "person", "obj", "tool", 1, "main")]),
@@ -192,20 +216,22 @@ MULTI_TEMPLATES = [
      [("manages", "subj", "person", "rel", "person", 0, "relative"),
       ("joined", "subj", "person", "obj", "org", 0, "main")]),
     ("quoted_uses",
-     r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) uses '
+     r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) use(?:s|d) '
      r'(?P<obj>[a-z0-9_]+) daily\."$',
      [("uses", "subj", "person", "obj", "tool", 0, "quoted")]),
     # passive voice: the agent (grammatical subject of the relation) appears
     # AFTER the patient in the surface text — exercises the name-based (not
-    # position-based) capture-group contract end-to-end
+    # position-based) capture-group contract end-to-end.  'is maintained'
+    # is PRESENT (the PRES_PASSIVE_RE carve-out of the v24 tense
+    # contract); 'was maintained' is the past alternant.
     ("passive_maintains",
-     r'^(?P<obj>[a-z_]+(?:\.[a-z_]+)*) is maintained by '
+     r'^(?P<obj>[a-z_]+(?:\.[a-z_]+)*) (?:is|was) maintained by '
      r'(?P<subj>[A-Z][a-z]+)[.?]$',
      [("maintains", "subj", "person", "obj", "module", 0, "passive")]),
     # possessive construct: "<B>'s manager is <A>" ⇒ manages(A, B); the
     # relation's subject is the LAST surface mention
     ("possessive_manager",
-     r"^(?P<obj>[A-Z][a-z]+)'s manager is (?P<subj>[A-Z][a-z]+)[.?]$",
+     r"^(?P<obj>[A-Z][a-z]+)'s manager (?:is|was) (?P<subj>[A-Z][a-z]+)[.?]$",
      [("manages", "subj", "person", "obj", "person", 0, "possessive")]),
     # OBJECT-side coordination ("works at both Y and Z"): slot_idx is the
     # position in whichever list is coordinated (objects here).  The
@@ -538,13 +564,16 @@ COMPILED_DESC_OBJ_TEMPLATES = [
 # literal prefilters for the multi-relation templates (same discipline as
 # _TEMPLATE_LITERALS: memchr scan before the RE2 kernel)
 MULTI_TEMPLATE_LITERALS = {
-    "coord_works_at": " work at ",
-    "coord_uses": " use ",
+    # v24: tense-alternated templates carry the longest literal common to
+    # BOTH verb forms (' work' ⊂ 'work at'/'worked at') — a prefilter must
+    # be implied by its regex
+    "coord_works_at": (" and ", " work"),
+    "coord_uses": (" and ", " use"),
     "appos_maintainer": ", the maintainer of ",
     "relative_manages": ", who manages ",
     "quoted_uses": ' said "',
-    "passive_maintains": " is maintained by ",
-    "possessive_manager": "'s manager is ",
+    "passive_maintains": " maintained by ",
+    "possessive_manager": "'s manager ",
     "coord_orgs": " works at both ",
     "coord3_works_at": " work at ",
     "quoted_coord_uses": ' said "',
@@ -578,17 +607,18 @@ def named_group_numbers(rx: str) -> dict[str, int]:
 # recently mentioned person (see resolution rule below).
 PRONOUN_TEMPLATES = [
     ("works_at",
-     r"^(?:She|He) (?:no longer )?works at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     r"^(?:She|He) (?:no longer )?work(?:s|ed) at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
      "org"),
     ("uses",
-     r"^(?:She|He) (?:no longer )?uses (?P<obj>[a-z0-9_]+) daily[.?]$",
+     r"^(?:She|He) (?:no longer )?use(?:s|d) (?P<obj>[a-z0-9_]+) daily[.?]$",
      "tool"),
     # possessive pronoun ("Her manager is Erin"): the REFERENT is the
     # managee, so the relation is the inverse predicate managed_by —
     # subj = resolved referent (the standard pronoun-subject slot),
-    # obj = the explicit person
+    # obj = the explicit person.  'manager was' is the past alternant
+    # (v24 tense contract above).
     ("managed_by",
-     r"^(?:Her|His) manager is (?P<obj>[A-Z][a-z]+)[.?]$",
+     r"^(?:Her|His) manager (?:is|was) (?P<obj>[A-Z][a-z]+)[.?]$",
      "person"),
 ]
 

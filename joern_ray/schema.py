@@ -50,6 +50,7 @@ EVENTS = pa.schema([
     ("sent_idx", pa.int32()),        # sentence position within the turn
     ("negated", pa.bool_()),         # 'no longer' modifier present
     ("in_question", pa.bool_()),     # sentence ends with '?'
+    ("is_past", pa.bool_()),         # v24 tense attribute (rules.PAST_RE)
     ("slot_idx", pa.int32()),        # subject position in a coordinated list
     ("clause", EVENTS_DICT),         # main | appositive | relative | quoted
     # definite-description events ONLY (v12): the module key the descriptor
@@ -71,6 +72,7 @@ TRIPLES_SURFACE = pa.schema([
     ("sent_idx", pa.int32()),
     ("negated", pa.bool_()),
     ("in_question", pa.bool_()),
+    ("is_past", pa.bool_()),
     ("slot_idx", pa.int32()),
     ("clause", pa.string()),
 ])

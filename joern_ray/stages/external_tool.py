@@ -9,7 +9,7 @@ through it over a line-delimited JSON pipe protocol:
 
     driver row  →  {"conv_id", "turn_idx", "role", "text", "tool"}\\n
     tool reply  →  {"events": [[subj, pred, obj, subj_kind, obj_kind,
-                                 sent_idx, negated, in_question,
+                                 sent_idx, negated, in_question, is_past,
                                  slot_idx, clause, desc_key], ...]}\\n
 
 There is no astgen binary in this environment, so the default external
@@ -56,14 +56,16 @@ for line in sys.stdin:
     evs = []
     if row.get("role") == "tool" and row.get("tool"):
         evs.append([row["conv_id"], R.INVOKED_PRED, row["tool"],
-                    "conv", "tool", 0, False, False, 0, R.DEFAULT_CLAUSE,
-                    None])
+                    "conv", "tool", 0, False, False, False, 0,
+                    R.DEFAULT_CLAUSE, None])
     else:
         text = row.get("text") or ""
         sents = R.split_sentences(text)
         for si, sent in enumerate(sents):
             attrs = [si, R.NEGATION_MARK in sent,
-                     sent.endswith(R.QUESTION_MARK)]
+                     sent.endswith(R.QUESTION_MARK),
+                     bool(re.search(R.PAST_RE, sent)
+                          and not re.search(R.PRES_PASSIVE_RE, sent))]
             matched = False
             for pred, rx, ok in R.COMPILED_PRONOUN_TEMPLATES:
                 m = rx.match(sent)
@@ -248,9 +250,10 @@ class ExternalToolExtractor:
             "sent_idx": pa.array(cols[5], pa.int32()),
             "negated": pa.array(cols[6], pa.bool_()),
             "in_question": pa.array(cols[7], pa.bool_()),
-            "slot_idx": pa.array(cols[8], pa.int32()),
-            "clause": pa.array(cols[9], pa.string()),
-            "desc_key": pa.array(cols[10], pa.string()),
+            "is_past": pa.array(cols[8], pa.bool_()),
+            "slot_idx": pa.array(cols[9], pa.int32()),
+            "clause": pa.array(cols[10], pa.string()),
+            "desc_key": pa.array(cols[11], pa.string()),
         }).cast(S.EVENTS)
 
     def __del__(self):

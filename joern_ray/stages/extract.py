@@ -28,15 +28,17 @@ _PRONOUN_SET = pa.array(list(R.PRONOUNS) + list(R.POSS_PRONOUNS))
 # regex engine only sees candidate rows — "prune at the read" applied to
 # the hot extraction loop.  Literal must be implied by the template regex.
 _TEMPLATE_LITERALS = {
-    "works_at": " works at ",
+    # v24: tense-alternated verbs keep the longest literal common to both
+    # forms (' work' ⊂ 'works at'/'worked at') — implied-by-regex rule
+    "works_at": " work",
     "reported_bug": " reported a bug in ",
-    "uses": " uses ",
+    "uses": " use",
     "acquired": " acquired ",
     "met": " met with ",
     "joined": " joined ",
     "left_org": " left ",
-    "manages": " manages ",
-    "maintains": " maintains ",
+    "manages": " manage",
+    "maintains": " maintain",
     "partnered": " partnered with ",
 }
 
@@ -68,6 +70,7 @@ _ANY_LITERAL_RE = "|".join(
 
 def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
                   sent_idx=0, negated=False, in_question=False,
+                  is_past=False,
                   slot_idx=0, clause=R.DEFAULT_CLAUSE,
                   desc_key=None) -> pa.Table:
     """One template's matches as an EVENTS table.  subj=None rows are
@@ -100,7 +103,7 @@ def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
          dcol(subj), dcol(pred), dcol(obj),
          dcol(sk), dcol(ok),
          col(sent_idx, pa.int32()), col(negated, pa.bool_()),
-         col(in_question, pa.bool_()),
+         col(in_question, pa.bool_()), col(is_past, pa.bool_()),
          col(slot_idx, pa.int32()), dcol(clause), dcol(desc_key)],
         schema=S.EVENTS)
 
@@ -191,9 +194,15 @@ def _explode_sentences(batch: pa.Table) -> pa.Table:
 
 
 def _attrs(sent) -> tuple:
-    """(negated, in_question) attribute kernels over matched sentences."""
+    """(negated, in_question, is_past) attribute kernels over matched
+    sentences.  is_past is the v24 lexical tense contract (rules.py):
+    a word-bounded past-form verb token, minus the present-passive
+    carve-out ('is maintained by')."""
     return (pc.match_substring(sent, R.NEGATION_MARK),
-            pc.ends_with(sent, R.QUESTION_MARK))
+            pc.ends_with(sent, R.QUESTION_MARK),
+            pc.and_(pc.match_substring_regex(sent, R.PAST_RE),
+                    pc.invert(pc.match_substring_regex(
+                        sent, R.PRES_PASSIVE_RE))))
 
 
 def extract_events(batch: pa.Table,
@@ -232,7 +241,7 @@ def extract_events(batch: pa.Table,
     # attribute kernels ONCE over the whole sentence column; every
     # emission below takes its subset (previously recomputed per
     # emission — ~2x per multi-template with the pronoun branch)
-    neg_all, inq_all = _attrs(text)
+    neg_all, inq_all, past_all = _attrs(text)
 
     # pronoun templates first (their sentences also match the person-subject
     # shape; the oracle applies the same precedence, per sentence)
@@ -256,12 +265,13 @@ def extract_events(batch: pa.Table,
         local = pc.indices_nonzero(mask)
         idx = pron_idx.take(local)
         pron_matched_np[idx.to_numpy(zero_copy_only=False)] = True
-        neg, inq = neg_all.take(idx), inq_all.take(idx)
+        neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
+                          past_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             pa.array([None] * len(idx), pa.string()), pred,
             pc.struct_field(ex, "obj").take(local), "person", ok,
-            sidx.take(idx), neg, inq))
+            sidx.take(idx), neg, inq, past))
 
     cand_idx = pc.indices_nonzero(pc.fill_null(
         pc.match_substring_regex(text, _ANY_LITERAL_RE), False))
@@ -294,12 +304,13 @@ def extract_events(batch: pa.Table,
             continue
         local = pc.indices_nonzero(mask)
         idx = idx0.take(local)
-        neg, inq = neg_all.take(idx), inq_all.take(idx)
+        neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
+                          past_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             subj.take(local), pred,
             pa.array([None] * len(idx), pa.string()), "person", ok,
-            sidx.take(idx), neg, inq))
+            sidx.take(idx), neg, inq, past))
 
     # OBJECT pronouns inside quoted speech (v18): same event class as
     # the plain object-pronoun rows (subj + NULL obj, no desc_key) —
@@ -321,12 +332,13 @@ def extract_events(batch: pa.Table,
             continue
         local = pc.indices_nonzero(mask)
         idx = idx0.take(local)
-        neg, inq = neg_all.take(idx), inq_all.take(idx)
+        neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
+                          past_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             subj.take(local), pred,
             pa.array([None] * len(idx), pa.string()), "person", ok,
-            sidx.take(idx), neg, inq, R.DEFAULT_SLOT_IDX,
+            sidx.take(idx), neg, inq, past, R.DEFAULT_SLOT_IDX,
             R.QUOTED_CLAUSE))
 
     for pred, rx, sk, ok in R.TEMPLATES + list(extra_templates or []):
@@ -354,12 +366,13 @@ def extract_events(batch: pa.Table,
             continue
         local = pc.indices_nonzero(mask)
         idx = idx0.take(local)
-        neg, inq = neg_all.take(idx), inq_all.take(idx)
+        neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
+                          past_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             subj.take(local), pred,
             pc.struct_field(ex, "obj").take(local), sk, ok,
-            sidx.take(idx), neg, inq))
+            sidx.take(idx), neg, inq, past))
 
     # multi-relation templates (coordination / appositive / relative /
     # quoted): ONE RE2 extract per template, N emissions per match — the
@@ -410,12 +423,13 @@ def extract_events(batch: pa.Table,
             if pc.any(mask).as_py():
                 local = pc.indices_nonzero(mask)
                 idx = idx0.take(local)
-                neg, inq = neg_all.take(idx), inq_all.take(idx)
+                neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
+                          past_all.take(idx))
                 outs.append(_events_table(
                     len(idx), conv.take(idx), tidx.take(idx),
                     subj.take(local), pred,
                     obj.take(local), sk, ok,
-                    sidx.take(idx), neg, inq, slot, clause))
+                    sidx.take(idx), neg, inq, past, slot, clause))
             # a pronoun in a person subject slot ("She and Bob work at X")
             # becomes a PRONOUN event (subj NULL) carrying the emission's
             # slot/clause — resolved in Stage B like any pronoun turn
@@ -426,12 +440,13 @@ def extract_events(batch: pa.Table,
                 if pc.any(pmask).as_py():
                     local = pc.indices_nonzero(pmask)
                     idx = idx0.take(local)
-                    neg, inq = neg_all.take(idx), inq_all.take(idx)
+                    neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
+                          past_all.take(idx))
                     outs.append(_events_table(
                         len(idx), conv.take(idx), tidx.take(idx),
                         pa.array([None] * len(idx), pa.string()), pred,
                         obj.take(local), sk, ok,
-                        sidx.take(idx), neg, inq, slot, clause))
+                        sidx.take(idx), neg, inq, past, slot, clause))
             # a pronoun in a person OBJECT slot ("She and Bob met." —
             # emission met(Bob, She)) becomes an OBJECT-PRONOUN event
             # (explicit subj, NULL obj): Stage B fills the object and the
@@ -442,12 +457,13 @@ def extract_events(batch: pa.Table,
                 if pc.any(omask).as_py():
                     local = pc.indices_nonzero(omask)
                     idx = idx0.take(local)
-                    neg, inq = neg_all.take(idx), inq_all.take(idx)
+                    neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
+                          past_all.take(idx))
                     outs.append(_events_table(
                         len(idx), conv.take(idx), tidx.take(idx),
                         subj.take(local), pred,
                         pa.array([None] * len(idx), pa.string()), sk, ok,
-                        sidx.take(idx), neg, inq, slot, clause))
+                        sidx.take(idx), neg, inq, past, slot, clause))
 
     # LIST templates (open-ended coordination, v12): RE2 captures the list
     # head as ONE group; the split into member slots is a vectorized
@@ -496,7 +512,9 @@ def extract_events(batch: pa.Table,
             [slot_head, lens.astype(np.int64)]).astype("int32"), pa.int32())
         m_idx = idx.take(m_sent)   # sentence-row index per member
         m_obj = obj.take(m_sent)
-        m_neg, m_inq = neg_all.take(m_idx), inq_all.take(m_idx)
+        m_neg, m_inq, m_past = (neg_all.take(m_idx),
+                                inq_all.take(m_idx),
+                                past_all.take(m_idx))
         is_pron = pc.fill_null(
             pc.is_in(members, value_set=_PRONOUN_SET), False)
         npron = pc.indices_nonzero(pc.invert(is_pron))
@@ -506,7 +524,8 @@ def extract_events(batch: pa.Table,
                 tidx.take(m_idx.take(npron)),
                 members.take(npron), pred, m_obj.take(npron), mk, ok,
                 sidx.take(m_idx.take(npron)), m_neg.take(npron),
-                m_inq.take(npron), m_slot.take(npron), clause))
+                m_inq.take(npron), m_past.take(npron),
+                m_slot.take(npron), clause))
         if mk == "person":
             ppron = pc.indices_nonzero(is_pron)
             if len(ppron):
@@ -516,7 +535,8 @@ def extract_events(batch: pa.Table,
                     pa.array([None] * len(ppron), pa.string()), pred,
                     m_obj.take(ppron), mk, ok,
                     sidx.take(m_idx.take(ppron)), m_neg.take(ppron),
-                    m_inq.take(ppron), m_slot.take(ppron), clause))
+                    m_inq.take(ppron), m_past.take(ppron),
+                    m_slot.take(ppron), clause))
 
     # definite-description templates (cross-sentence anaphora, v12): emit a
     # DESCRIPTOR event — subj NULL + desc_key (the module) — resolved in
@@ -535,12 +555,13 @@ def extract_events(batch: pa.Table,
                 continue
             local = pc.indices_nonzero(mask)
             idx = idx0.take(local)
-            neg, inq = neg_all.take(idx), inq_all.take(idx)
+            neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
+                          past_all.take(idx))
             outs.append(_events_table(
                 len(idx), conv.take(idx), tidx.take(idx),
                 pa.array([None] * len(idx), pa.string()), pred,
                 pc.struct_field(ex, "obj").take(local), "person", ok,
-                sidx.take(idx), neg, inq, R.DEFAULT_SLOT_IDX, clause,
+                sidx.take(idx), neg, inq, past, R.DEFAULT_SLOT_IDX, clause,
                 pc.struct_field(ex, "key").take(local)))
 
     # OBJECT-side definite descriptions (v15): emit an event with the
@@ -564,12 +585,13 @@ def extract_events(batch: pa.Table,
                 continue
             local = pc.indices_nonzero(mask)
             idx = idx0.take(local)
-            neg, inq = neg_all.take(idx), inq_all.take(idx)
+            neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
+                          past_all.take(idx))
             outs.append(_events_table(
                 len(idx), conv.take(idx), tidx.take(idx),
                 subj.take(local), pred,
                 pa.array([None] * len(idx), pa.string()), "person",
-                "person", sidx.take(idx), neg, inq,
+                "person", sidx.take(idx), neg, inq, past,
                 R.DEFAULT_SLOT_IDX, clause,
                 pc.struct_field(ex, "key").take(local)))
 
@@ -592,13 +614,14 @@ def extract_events(batch: pa.Table,
             if pc.any(mask).as_py():
                 local = pc.indices_nonzero(mask)
                 idx = idx0.take(local)
-                neg, inq = neg_all.take(idx), inq_all.take(idx)
+                neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
+                          past_all.take(idx))
                 outs.append(_events_table(
                     len(idx), conv.take(idx), tidx.take(idx),
                     subj.take(local), R.MENTIONED_PRED,
                     pc.struct_field(ex, "obj").take(local),
                     "person", R.UNKNOWN_KIND,
-                    sidx.take(idx), neg, inq))
+                    sidx.take(idx), neg, inq, past))
 
     if not outs:
         return S.EVENTS.empty_table()
@@ -770,6 +793,7 @@ def _resolve_bucket(group: pa.Table,
              sub.column("sent_idx").cast(pa.int32()),
              sub.column("negated").cast(pa.bool_()),
              sub.column("in_question").cast(pa.bool_()),
+             sub.column("is_past").cast(pa.bool_()),
              sub.column("slot_idx").cast(pa.int32()),
              sub.column("clause").cast(pa.string())],
             schema=S.TRIPLES_SURFACE)
@@ -852,7 +876,7 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
     # sentence differing only in slot_idx
     df = df.sort_values(
         ["conv_id", "turn_idx", "person", "pred", "obj", "sent_idx",
-         "slot_idx", "clause", "desc_key"],
+         "is_past", "slot_idx", "clause", "desc_key"],
         kind="mergesort", ignore_index=True)
     within = df.groupby(df["conv_id"].to_numpy(), sort=False).cumcount()
     if (within >= cap).any():
@@ -861,7 +885,7 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
 
     def _payload(sel: pd.DataFrame) -> pd.DataFrame:
         return sel[["conv_id", "turn_idx", "pred", "obj", "obj_kind",
-                    "sent_idx", "negated", "in_question",
+                    "sent_idx", "negated", "in_question", "is_past",
                     "slot_idx", "clause", "person"]] \
             .rename(columns={"person": "own_person"})
 
@@ -878,6 +902,7 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
              pa.array(out["sent_idx"].to_numpy(), pa.int32()),
              pa.array(out["negated"].to_numpy(bool), pa.bool_()),
              pa.array(out["in_question"].to_numpy(bool), pa.bool_()),
+             pa.array(out["is_past"].to_numpy(bool), pa.bool_()),
              pa.array(out["slot_idx"].to_numpy(), pa.int32()),
              pa.array(out["clause"].to_numpy(object), pa.string())],
             schema=S.TRIPLES_SURFACE)
@@ -1091,6 +1116,7 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
         "sent_idx": t.column("sent_idx"),
         "negated": t.column("negated"),
         "in_question": t.column("in_question"),
+        "is_past": t.column("is_past"),
         "slot_idx": pa.nulls(t.num_rows, pa.int32()),
         "clause": nulls,
         "desc_key": obj_s,
@@ -1105,6 +1131,7 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
         "sent_idx": t.column("sent_idx"),
         "negated": t.column("negated"),
         "in_question": t.column("in_question"),
+        "is_past": t.column("is_past"),
         # pronoun slots inside multi-relation constructs carry their own
         # slot/clause (e.g. "Bob and She use x daily" → slot_idx 1); only
         # PRONOUN rows need them — state rows ship null (bitmap-only), so

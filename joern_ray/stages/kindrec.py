@@ -95,7 +95,7 @@ def untyped_mentions_batch(batch: pa.Table) -> pa.Table:
         return UNTYPED.empty_table()
     local = pc.indices_nonzero(mask)
     idx = cand.take(local)
-    neg, inq = _attrs(sub.take(local))
+    neg, inq, _past = _attrs(sub.take(local))
     return pa.Table.from_arrays(
         [sents.column("conv_id").take(idx).cast(pa.string()),
          sents.column("turn_idx").take(idx).cast(pa.int32()),
@@ -501,6 +501,8 @@ def recovered_triples(transcripts_ds, events_ds=None) -> "ray.data.Dataset":
              rec.column("sent_idx"),
              pa.array([False] * n, pa.bool_()),
              pa.array([False] * n, pa.bool_()),
+             # 'mentioned' is intrinsically past (rules.PAST_RE)
+             pa.array([True] * n, pa.bool_()),
              pa.array([0] * n, pa.int32()),
              pa.array([R.DEFAULT_CLAUSE] * n, pa.string())],
             schema=S.TRIPLES_SURFACE)

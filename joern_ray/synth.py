@@ -23,7 +23,15 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v23"  # v23: MULTI-SENTENCE quoted speech (quote-aware
+CORPUS_VERSION = "v24"  # v24: TENSE attribute (is_past) — past-form verb
+#                         alternants ('worked at', 'used ... daily',
+#                         'maintained', 'managed', 'manager was',
+#                         'was maintained by') generated at ~15% in the
+#                         alternating template families; the lexical
+#                         is_past kernel (rules.PAST_RE minus the
+#                         present-passive carve-out) is the third
+#                         relation attribute after negated/in_question
+# v23: MULTI-SENTENCE quoted speech (quote-aware
 #                         splitter: 'X said "A uses t daily. She maintains
 #                         m."' is ONE sentence; the inner pronoun resolves
 #                         in the QUOTING turn's scope, the explicit inner
@@ -136,6 +144,11 @@ def _pick_person(rng) -> str:
     return R.PERSONS[_skew_index(rng, len(R.PERSONS))]
 
 
+def _tense(rng, present: str, past: str) -> str:
+    """v24: ~15% of alternating-family sentences realize the past form."""
+    return past if rng.random() < 0.15 else present
+
+
 def _pick_org(rng) -> tuple[str, str]:
     """Returns (surface, canonical). 15% of surfaces carry a deterministic
     typo (doubled last letter) so fuzzy MinHash linking is exercised."""
@@ -196,7 +209,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             while b == a:
                 b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             obj_surface, obj_canon = _pick_org(rng)
-            text = f"{a} and {b} work at {obj_surface}{end}"
+            verb = _tense(rng, "work", "worked")
+            text = f"{a} and {b} {verb} at {obj_surface}{end}"
             gts = [("person", a.lower(), "works_at", "org", obj_canon),
                    ("person", b.lower(), "works_at", "org", obj_canon)]
             return text, gts, max(a, b)
@@ -206,7 +220,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             while b == a:
                 b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
-            text = f"{a} and {b} use {tool} daily{end}"
+            verb = _tense(rng, "use", "used")
+            text = f"{a} and {b} {verb} {tool} daily{end}"
             gts = [("person", a.lower(), "uses", "tool", tool),
                    ("person", b.lower(), "uses", "tool", tool)]
             return text, gts, max(a, b)
@@ -233,7 +248,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         if kind == "passive_maintains":
             a = _pick_person(rng)
             mod = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
-            text = f"{mod} is maintained by {a}{end}"
+            cop = _tense(rng, "is", "was")
+            text = f"{mod} {cop} maintained by {a}{end}"
             gts = [("person", a.lower(), "maintains", "module", mod)]
             return text, gts, a   # subj person commits (obj not a person)
         if kind == "coord_orgs":
@@ -376,7 +392,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             b = _pick_person(rng)
             while b == a:
                 b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
-            text = f"{b}'s manager is {a}{end}"
+            cop = _tense(rng, "is", "was")
+            text = f"{b}'s manager {cop} {a}{end}"
             gts = [("person", a.lower(), "manages", "person", b.lower())]
             return text, gts, b   # obj person shadows subj (slot contract)
         # quoted_uses — must be the FINAL sentence of its turn (the '."'
@@ -384,7 +401,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         speaker = _pick_person(rng)
         d = _pick_person(rng)
         tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
-        text = f'{speaker} said "{d} uses {tool} daily."'
+        verb = _tense(rng, "uses", "used")
+        text = f'{speaker} said "{d} {verb} {tool} daily."'
         gts = [("person", d.lower(), "uses", "tool", tool)]
         return text, gts, d
 
@@ -405,7 +423,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         if pred == "works_at":
             subj = _pick_person(rng)
             obj_surface, obj_canon = _pick_org(rng)
-            text = f"{subj} {neg}works at {obj_surface}{end}"
+            verb = _tense(rng, "works", "worked")
+            text = f"{subj} {neg}{verb} at {obj_surface}{end}"
             subj_canon = subj.lower()
             person_slot = subj
             conv_ev.extend([(subj, "person", subj_canon),
@@ -421,7 +440,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         elif pred == "uses":
             subj = _pick_person(rng)
             obj_surface = obj_canon = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
-            text = f"{subj} {neg}uses {obj_surface} daily{end}"
+            verb = _tense(rng, "uses", "used")
+            text = f"{subj} {neg}{verb} {obj_surface} daily{end}"
             subj_canon = subj.lower()
             person_slot = subj
             conv_ev.extend([(subj, "person", subj_canon),
@@ -435,7 +455,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             conv_ev.extend([(s_surface, "org", subj_canon),
                         (obj_surface, "org", obj_canon)])
         elif pred in ("met", "manages"):
-            verb = "met with" if pred == "met" else "manages"
+            verb = ("met with" if pred == "met"
+                    else _tense(rng, "manages", "managed"))
             subj = _pick_person(rng)
             obj_surface = _pick_person(rng)
             while obj_surface == subj:
@@ -458,7 +479,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         elif pred == "maintains":
             subj = _pick_person(rng)
             obj_surface = obj_canon = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
-            text = f"{subj} maintains {obj_surface}{end}"
+            verb = _tense(rng, "maintains", "maintained")
+            text = f"{subj} {verb} {obj_surface}{end}"
             subj_canon = subj.lower()
             person_slot = subj
             conv_ev.extend([(subj, "person", subj_canon),
@@ -661,7 +683,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 other = _pick_person(rng)
                 while other == last_person:
                     other = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
-                text = f"{pronoun} manager is {other}."
+                cop = _tense(rng, "is", "was")
+                text = f"{pronoun} manager {cop} {other}."
                 add_row(t, role, text)
                 add_gt(t, "person", last_person.lower(), pred,
                        "person", other.lower())
@@ -671,11 +694,13 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             neg = "no longer " if rng.random() < 0.08 else ""
             if obj_kind == "org":
                 obj_surface, obj_canon = _pick_org(rng)
-                text = f"{pronoun} {neg}works at {obj_surface}."
+                verb = _tense(rng, "works", "worked")
+                text = f"{pronoun} {neg}{verb} at {obj_surface}."
                 pred = "works_at"
             else:
                 obj_surface = obj_canon = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
-                text = f"{pronoun} {neg}uses {obj_surface} daily."
+                verb = _tense(rng, "uses", "used")
+                text = f"{pronoun} {neg}{verb} {obj_surface} daily."
                 pred = "uses"
             add_row(t, role, text)
             add_gt(t, "person", last_person.lower(), pred, obj_kind, obj_canon)

@@ -22,7 +22,7 @@ from joern_ray.stages.external_tool import (ExternalToolExtractor,
 def _ev_key(r):
     return (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"],
             r["subj_kind"], r["obj_kind"], r["sent_idx"], r["negated"],
-            r["in_question"], r["slot_idx"], r["clause"])
+            r["in_question"], r["is_past"], r["slot_idx"], r["clause"])
 
 
 def test_external_tool_matches_vectorized_kernel(ray_session):

@@ -23,6 +23,7 @@ def _triples(rows):
         "sent_idx": pa.array([0] * n, pa.int32()),
         "negated": [False] * n,
         "in_question": [False] * n,
+        "is_past": [False] * n,
         "slot_idx": pa.array([0] * n, pa.int32()),
         "clause": ["main"] * n,
     }).cast(S.TRIPLES_SURFACE))
@@ -104,6 +105,7 @@ def test_pagerank_excludes_nonlink_conv_nodes(ray_session):
         "sent_idx": pa.array([0] * n, pa.int32()),
         "negated": [False] * n,
         "in_question": [False] * n,
+        "is_past": [False] * n,
         "slot_idx": pa.array([0] * n, pa.int32()),
         "clause": ["main"] * n,
     }).cast(S.TRIPLES_SURFACE))
