@@ -1052,6 +1052,15 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
     person-carrying triples collapse to a single ``person`` state value.
     Everything else skips the shuffle entirely, and no wide or redundant
     column ever enters it."""
+    return _encode_narrow(
+        _with_bucket(_resolve_subset_plain(t), n_buckets))
+
+
+def _resolve_subset_plain(t: pa.Table) -> pa.Table:
+    """_resolve_subset before encoding/bucketing — the plain narrow rows.
+    Exposed separately so the fused resolve+kind-recovery exchange
+    (``kindrec.extract_with_recovery``) can concatenate its own tagged
+    rows into the SAME exchange before the one encode/bucket step."""
     dk_s = t.column("desc_key").cast(pa.string())
     is_desc = pc.and_(pc.is_null(t.column("subj")), pc.is_valid(dk_s))
     # v15 object-side descriptors: subj ∧ ¬obj ∧ desc_key — object
@@ -1142,8 +1151,7 @@ def _resolve_subset(t: pa.Table, n_buckets: int) -> pa.Table:
                              nulls),
         "desc_key": dk_val,
     }).filter(mask)
-    return _encode_narrow(
-        _with_bucket(pa.concat_tables([narrow, mst_rows]), n_buckets))
+    return pa.concat_tables([narrow, mst_rows])
 
 
 def extract_triples(transcripts_ds, *, num_partitions: int | None = None,

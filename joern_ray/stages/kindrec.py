@@ -210,7 +210,8 @@ def _stage_schema(extra: list[tuple[str, "pa.DataType"]]) -> pa.Schema:
 
 
 def recover_distributed(events_ds,
-                        n_buckets: int = KINDREC_BUCKETS
+                        n_buckets: int = KINDREC_BUCKETS,
+                        stage1_ds: "ray.data.Dataset | None" = None
                         ) -> "ray.data.Dataset":
     """Fully distributed recovery — the beyond-broadcast path: NO driver
     state at any point (the unknown-mention set is corpus-proportional,
@@ -364,11 +365,17 @@ def recover_distributed(events_ds,
               ("surface", pa.string())]] + [kind.cast(pa.string()), rnd],
             schema=RECOVERED)
 
-    stage1 = (events_ds.map_batches(tag_ev1, batch_format="pyarrow")
-              .union(events_ds.map_batches(tag_unk1,
-                                           batch_format="pyarrow"))
-              .groupby("bucket").map_groups(shard1,
-                                            batch_format="pyarrow"))
+    # stage1_ds short-circuits the conv-bucket exchange: the fused
+    # resolve+recovery path (extract_with_recovery) piggybacks stage 1 on
+    # the resolver's conv-hash exchange and hands the s1_out rows here
+    if stage1_ds is not None:
+        stage1 = stage1_ds
+    else:
+        stage1 = (events_ds.map_batches(tag_ev1, batch_format="pyarrow")
+                  .union(events_ds.map_batches(tag_unk1,
+                                               batch_format="pyarrow"))
+                  .groupby("bucket").map_groups(shard1,
+                                                batch_format="pyarrow"))
     stage2 = (events_ds.map_batches(tag_ev2, batch_format="pyarrow")
               .union(stage1.map_batches(tag_unk2,
                                         batch_format="pyarrow"))
@@ -470,6 +477,30 @@ def recover(transcripts_ds, events_ds=None, *,
         schema=RECOVERED)
 
 
+def recovered_to_surface(rec: pa.Table) -> pa.Table:
+    """RECOVERED rows → TRIPLES_SURFACE rows (pred='mentioned', obj_kind =
+    the recovered kind); round-0 (unrecovered stub) rows are DROPPED."""
+    rec = rec.filter(pc.greater(rec.column("round"), 0))
+    n = rec.num_rows
+    if n == 0:
+        return S.TRIPLES_SURFACE.empty_table()
+    return pa.Table.from_arrays(
+        [rec.column("conv_id"), rec.column("turn_idx"),
+         rec.column("subj"),
+         pa.array([R.MENTIONED_PRED] * n, pa.string()),
+         rec.column("surface"),
+         pa.array(["person"] * n, pa.string()),
+         rec.column("kind"),
+         rec.column("sent_idx"),
+         pa.array([False] * n, pa.bool_()),
+         pa.array([False] * n, pa.bool_()),
+         # 'mentioned' is intrinsically past (rules.PAST_RE)
+         pa.array([True] * n, pa.bool_()),
+         pa.array([0] * n, pa.int32()),
+         pa.array([R.DEFAULT_CLAUSE] * n, pa.string())],
+        schema=S.TRIPLES_SURFACE)
+
+
 def recovered_triples(transcripts_ds, events_ds=None) -> "ray.data.Dataset":
     """Recovered mentions as TRIPLES_SURFACE rows (pred='mentioned',
     obj_kind = the recovered kind) — the rewrite-before-canonicalization
@@ -486,26 +517,7 @@ def recovered_triples(transcripts_ds, events_ds=None) -> "ray.data.Dataset":
     the old always-collect shape at ~GBs of driver RSS)."""
     from . import extract as X
 
-    def to_surface(rec: pa.Table) -> pa.Table:
-        rec = rec.filter(pc.greater(rec.column("round"), 0))
-        n = rec.num_rows
-        if n == 0:
-            return S.TRIPLES_SURFACE.empty_table()
-        return pa.Table.from_arrays(
-            [rec.column("conv_id"), rec.column("turn_idx"),
-             rec.column("subj"),
-             pa.array([R.MENTIONED_PRED] * n, pa.string()),
-             rec.column("surface"),
-             pa.array(["person"] * n, pa.string()),
-             rec.column("kind"),
-             rec.column("sent_idx"),
-             pa.array([False] * n, pa.bool_()),
-             pa.array([False] * n, pa.bool_()),
-             # 'mentioned' is intrinsically past (rules.PAST_RE)
-             pa.array([True] * n, pa.bool_()),
-             pa.array([0] * n, pa.int32()),
-             pa.array([R.DEFAULT_CLAUSE] * n, pa.string())],
-            schema=S.TRIPLES_SURFACE)
+    to_surface = recovered_to_surface
 
     if events_ds is None:
         events_ds = transcripts_ds.map_batches(
@@ -518,6 +530,192 @@ def recovered_triples(transcripts_ds, events_ds=None) -> "ray.data.Dataset":
             to_surface, batch_format="pyarrow")
     return ray.data.from_arrow(
         to_surface(recover(transcripts_ds, events_ds)))
+
+
+# ---------------------------------------------------------------------------
+# Fused resolve + recovery-stage-1 exchange (the round-4 scaling lever):
+# kindrec stage 1 co-locates by hash(conv_id) — the SAME key as the pronoun
+# resolver's bucketed exchange — so its evidence partials and unknown rows
+# ride the resolver exchange as tagged extra rows instead of paying their
+# own all-to-all.  One events pass emits all three row classes; one
+# map_groups runs both shard kernels; the materialized fused output is
+# split by tag with two cheap filter maps.  Headline savings vs the
+# separate chain: the untyped-count dispatch pass, the tag_ev1/tag_unk1
+# events passes, and one full keyed exchange.  Stage 2 (surface-keyed,
+# a different key) is unchanged and reached via
+# ``recover_distributed(stage1_ds=...)``.
+
+# input-row tags on the fused exchange (plain int8, rides beside the
+# dictionary-encoded narrow columns): 0 = resolver row (the untouched
+# _resolve_subset_plain semantics), 1 = evidence partial, 2 = unknown
+# mention.  Output tags: 0 = resolved TRIPLES_SURFACE row, 1 = stage-1
+# (UNTYPED + k1) row packed into the triples columns (subj=subject,
+# obj=surface, pred=k1).
+_KTAG = "ktag"
+
+
+def _fused_out_schema() -> pa.Schema:
+    return pa.schema([(f.name, f.type) for f in S.TRIPLES_SURFACE] +
+                     [(_KTAG, pa.int8())])
+
+
+def _narrow_from_evidence(ev_t: pa.Table) -> pa.Table:
+    """_EVIDENCE rows → the plain narrow resolve schema (surface rides the
+    obj column, kind rides obj_kind; everything else null)."""
+    n = ev_t.num_rows
+    snull = pa.nulls(n, pa.string())
+    inull = pa.nulls(n, pa.int32())
+    bnull = pa.nulls(n, pa.bool_())
+    return pa.table({
+        "conv_id": ev_t.column("conv_id").cast(pa.string()),
+        "turn_idx": inull, "person": snull, "pred": snull,
+        "obj": ev_t.column("surface").cast(pa.string()),
+        "obj_kind": ev_t.column("kind").cast(pa.string()),
+        "sent_idx": inull, "negated": bnull, "in_question": bnull,
+        "is_past": bnull, "slot_idx": inull, "clause": snull,
+        "desc_key": snull})
+
+
+def _narrow_from_unknowns(unk_t: pa.Table) -> pa.Table:
+    """UNTYPED rows → the plain narrow resolve schema (subject rides the
+    person column, surface rides obj)."""
+    n = unk_t.num_rows
+    snull = pa.nulls(n, pa.string())
+    return pa.table({
+        "conv_id": unk_t.column("conv_id").cast(pa.string()),
+        "turn_idx": unk_t.column("turn_idx").cast(pa.int32()),
+        "person": unk_t.column("subj").cast(pa.string()),
+        "pred": snull,
+        "obj": unk_t.column("surface").cast(pa.string()),
+        "obj_kind": snull,
+        "sent_idx": unk_t.column("sent_idx").cast(pa.int32()),
+        "negated": unk_t.column("negated").cast(pa.bool_()),
+        "in_question": unk_t.column("in_question").cast(pa.bool_()),
+        "is_past": pa.nulls(n, pa.bool_()),
+        "slot_idx": pa.nulls(n, pa.int32()),
+        "clause": snull, "desc_key": snull})
+
+
+def _fused_tag(t: pa.Table, n_buckets: int) -> pa.Table:
+    """One events pass → all three tagged row classes of the fused
+    exchange, encoded/bucketed once (the _encode_narrow discipline)."""
+    from . import extract as X
+
+    res = X._resolve_subset_plain(t)
+    ev = _narrow_from_evidence(evidence_batch(t))
+    unk = _narrow_from_unknowns(untyped_from_events(t))
+    tags = pa.concat_arrays([
+        pa.array(np.zeros(res.num_rows, dtype=np.int8), pa.int8()),
+        pa.array(np.ones(ev.num_rows, dtype=np.int8), pa.int8()),
+        pa.array(np.full(unk.num_rows, 2, dtype=np.int8), pa.int8())])
+    plain = (pa.concat_tables([res, ev, unk])
+             .append_column(_KTAG, tags))
+    return X._encode_narrow(X._with_bucket(plain, n_buckets))
+
+
+def _fused_shard(g: pa.Table, cap: int | None) -> pa.Table:
+    """Per-bucket kernel: the resolver kernel over tag-0 rows + the
+    stage-1 conv-local min-kind join over tag-1/2 rows."""
+    from . import extract as X
+
+    out_schema = _fused_out_schema()
+    if g.num_rows == 0:
+        return out_schema.empty_table()
+    ktag = g.column(_KTAG)
+    outs = []
+    res = g.filter(pc.equal(ktag, 0)).drop_columns([_KTAG])
+    tri = X._resolve_bucket(res, cap)
+    if tri.num_rows:
+        outs.append(tri.append_column(
+            _KTAG, pa.array(np.zeros(tri.num_rows, dtype=np.int8),
+                            pa.int8())))
+    unk = g.filter(pc.equal(ktag, 2))
+    if unk.num_rows:
+        unkd = _decode_narrow(
+            unk.drop_columns(["bucket", _KTAG])).combine_chunks()
+        evd = _decode_narrow(g.filter(pc.equal(ktag, 1))
+                             .drop_columns(["bucket", _KTAG])) \
+            .combine_chunks()
+        if evd.num_rows:
+            d = (evd.select(["conv_id", "obj", "obj_kind"])
+                 .group_by(["conv_id", "obj"])
+                 .aggregate([("obj_kind", "min")])
+                 .rename_columns(["conv_id", "obj", "k1"]))
+            j = unkd.join(d, keys=["conv_id", "obj"],
+                          join_type="left outer")
+        else:
+            j = unkd.append_column(
+                "k1", pa.nulls(unkd.num_rows, pa.string()))
+        n = j.num_rows
+        outs.append(pa.Table.from_arrays(
+            [j.column("conv_id").cast(pa.string()),
+             j.column("turn_idx").cast(pa.int32()),
+             j.column("person").cast(pa.string()),     # mention subject
+             j.column("k1").cast(pa.string()),         # k1 rides pred
+             j.column("obj").cast(pa.string()),        # surface
+             pa.nulls(n, pa.string()), pa.nulls(n, pa.string()),
+             j.column("sent_idx").cast(pa.int32()),
+             j.column("negated").cast(pa.bool_()),
+             j.column("in_question").cast(pa.bool_()),
+             pa.nulls(n, pa.bool_()), pa.nulls(n, pa.int32()),
+             pa.nulls(n, pa.string()),
+             pa.array(np.ones(n, dtype=np.int8), pa.int8())],
+            schema=out_schema))
+    if not outs:
+        return out_schema.empty_table()
+    return pa.concat_tables(outs)
+
+
+def _fused_triples(t: pa.Table) -> pa.Table:
+    return (t.filter(pc.equal(t.column(_KTAG), 0))
+            .drop_columns([_KTAG]).cast(S.TRIPLES_SURFACE))
+
+
+def _fused_s1(t: pa.Table) -> pa.Table:
+    sub = t.filter(pc.equal(t.column(_KTAG), 1))
+    return pa.Table.from_arrays(
+        [sub.column("conv_id"), sub.column("turn_idx"),
+         sub.column("sent_idx"),
+         sub.column("subj"),        # mention subject
+         sub.column("obj"),         # surface
+         sub.column("negated"), sub.column("in_question"),
+         sub.column("pred")],       # k1
+        schema=_stage_schema([("k1", pa.string())]))
+
+
+def extract_with_recovery(transcripts_ds, *,
+                          resolve_buckets: int | None = None,
+                          max_resolve_events_per_conv: int | None = None):
+    """Headline-build extraction with the kind-recovery stage-1 exchange
+    FUSED into the resolver exchange.  Returns
+    ``(triples_surface_ds, events_ds, recovered_surface_ds)`` —
+    semantically identical to ``extract_triples_and_events`` +
+    ``recovered_triples`` (equivalence pytest-asserted) with two fewer
+    events passes and one fewer keyed exchange."""
+    from . import extract as X
+
+    if resolve_buckets is None:
+        resolve_buckets = X.DEFAULT_RESOLVE_BUCKETS
+    events = transcripts_ds.map_batches(
+        X.extract_events, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+    passthrough = events.map_batches(X._passthrough_triples,
+                                     batch_format="pyarrow")
+    cap = (X.MAX_RESOLVE_EVENTS_PER_CONV
+           if max_resolve_events_per_conv is None
+           else max_resolve_events_per_conv)
+    fused = (events.map_batches(
+        lambda t: _fused_tag(t, resolve_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: _fused_shard(g, cap),
+                    batch_format="pyarrow")
+        .materialize())
+    resolved = fused.map_batches(_fused_triples, batch_format="pyarrow")
+    s1 = fused.map_batches(_fused_s1, batch_format="pyarrow")
+    recovered = recover_distributed(events, stage1_ds=s1)
+    rec_surface = recovered.map_batches(recovered_to_surface,
+                                        batch_format="pyarrow")
+    return passthrough.union(resolved), events, rec_surface
 
 
 def kind_recovery_query(sf_dir: str):
