@@ -272,7 +272,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # v12 constructs: definite-description anaphora + 4+-way lists
         "kg_triples_definite": kg_triples_definite,
         "kg_list_coordination": kg_list_coordination,
-        "kg_dominators": kg_dominators,
+        # r4 window rotation: text_top_tokens (corpus heavy-hitters, new
+        # this round, never driver-confirmed) takes the slot of
+        # kg_dominators (driver-confirmed r2 AND r3, code unchanged)
+        "text_top_tokens": T.top_tokens,
         "kg_cdg": kg_cdg,
         "kg_entities_exact": kg_entities_exact,
         # conversation-local enrichment (use-chain analog)
@@ -371,7 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_prior_view": EV.asof_prior_view,
         "rel_topk_orders": REL.topk_orders,
         "rel_orders_by_segment": REL.orders_by_segment,
-        "text_top_tokens": T.top_tokens,
+        "kg_dominators": kg_dominators,
         # ---- rows-only, no driver row yet (next in the window) ----
         "kg_kcore": GS.kcore_query,
         "ann_lsh": A.ann_lsh,
