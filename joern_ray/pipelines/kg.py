@@ -77,24 +77,22 @@ def build_graph(transcripts_ds: "ray.data.Dataset", *,
         turn_keys_ds = transcripts_ds
     if turn_text_ds is None:
         turn_text_ds = transcripts_ds
-    # events + the small fused resolve/recovery-stage-1 branch are
+    # events (inside extract_triples) + the small resolved branch are
     # materialized; triples stays lazy — re-consumers only replay the
-    # cheap passthrough map over stored events, never the shuffle.
-    # The kind-recovery overlay (XTypeRecovery analog, stages/kindrec.py)
-    # types untyped "mentioned" objects from the stored events' evidence
-    # and rewrites them into the canonicalization input — never into the
-    # surface-grammar stream or the entity vocabulary (recovery requires
-    # an already-typed mention of the same surface, so the (kind, norm)
-    # key is guaranteed present in the directory).  Its conv-keyed
-    # stage-1 exchange is FUSED into the resolver exchange
-    # (kindrec.extract_with_recovery — same hash(conv_id) bucket key).
-    from ..stages import kindrec as KR
-    triples, events, recovered = KR.extract_with_recovery(transcripts_ds)
+    # cheap passthrough map over stored events, never the shuffle
+    triples, events = X.extract_triples_and_events(transcripts_ds)
     mentions = triples.map_batches(L.mentions_from_triples,
                                    batch_format="pyarrow")
     vocab = L.vocab_from_mentions(mentions)
     entities = L.build_entities(vocab).materialize()
-    canon_input = triples.union(recovered)
+    # kind-recovery overlay (XTypeRecovery analog, stages/kindrec.py):
+    # untyped "mentioned" objects are typed from the stored events'
+    # evidence and rewritten into the canonicalization input — never into
+    # the surface-grammar stream or the entity vocabulary (recovery
+    # requires an already-typed mention of the same surface, so the
+    # (kind, norm) key is guaranteed present in the directory)
+    from ..stages import kindrec as KR
+    canon_input = triples.union(KR.recovered_triples(transcripts_ds, events))
     # canonical triples are narrow (ids + kinds, no text): one store copy
     # here saves a full chain replay for each of its two consumers.  The
     # store copy is dictionary-encoded (vocabulary-sized columns as int32
