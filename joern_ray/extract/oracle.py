@@ -163,7 +163,7 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                 for pred, subj_g, sk, obj_g, ok, slot, clause in emissions:
                     subj, obj = m.group(subj_g), m.group(obj_g)
                     obj_is_pron = (ok == "person"
-                                   and obj in R.SUBJ_PRONOUNS)
+                                   and obj in R.OBJ_PRONOUNS)
                     if subj in R.SUBJ_PRONOUNS:
                         # pronoun in a coordinated person slot: resolve to
                         # the committed referent, keep the emission's

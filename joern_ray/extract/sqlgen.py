@@ -75,8 +75,10 @@ def events_sql(rel: str) -> str:
     pron_any = " OR ".join(
         f"regexp_matches(sent, '{_plain(rx)}')"
         for _, rx, _ in R.PRONOUN_TEMPLATES)
-    # the shared subject-pronoun surface set (rules.SUBJ_PRONOUNS)
+    # the shared subject-pronoun surface set (rules.SUBJ_PRONOUNS) and the
+    # object-slot set (rules.OBJ_PRONOUNS — adds lowercase forms, v25)
     pron_in = ", ".join(f"'{p}'" for p in R.SUBJ_PRONOUNS)
+    opron_in = ", ".join(f"'{p}'" for p in R.OBJ_PRONOUNS)
     sents = _sents_cte(rel)
     for pred, rx, ok in R.PRONOUN_TEMPLATES:
         rxs = _plain(rx)
@@ -144,7 +146,7 @@ def events_sql(rel: str) -> str:
             obj_not_pron = (
                 f"""
           AND regexp_extract(sent, '{rxs}', {nums[obj_g]})
-              NOT IN ({pron_in})""" if ok == "person" else "")
+              NOT IN ({opron_in})""" if ok == "person" else "")
             parts.append(f"""
         SELECT conv_id, turn_idx, 'triple',
                regexp_extract(sent, '{rxs}', {nums[subj_g]}), '{pred}',
@@ -166,7 +168,7 @@ def events_sql(rel: str) -> str:
           AND regexp_extract(sent, '{rxs}', {nums[subj_g]})
               NOT IN ({pron_in})
           AND regexp_extract(sent, '{rxs}', {nums[obj_g]})
-              IN ({pron_in})
+              IN ({opron_in})
           AND NOT ({pron_any})""")
             if sk != 'person':
                 continue

@@ -68,6 +68,12 @@ POSS_PRONOUNS = ("Her", "His")
 # implementations — engine kernel, Python oracle, SQL mirror): a captured
 # person-slot surface equal to any of these is a pronoun, never a name
 SUBJ_PRONOUNS = PRONOUNS + POSS_PRONOUNS
+# OBJECT-slot pronoun surface test (v25): object slots can additionally
+# capture the LOWERCASE mid-sentence forms ("Bob, her manager, ..."), which
+# subject slots never can (every subject group requires a leading capital).
+# Extending the object test is a no-op for pre-v25 templates — their person
+# object groups are all [A-Z][a-z]+, which cannot capture a lowercase form.
+OBJ_PRONOUNS = SUBJ_PRONOUNS + ("her", "him", "his")
 
 # ---------------------------------------------------------------------------
 # Sentence templates.  Exactly one template sentence per templated turn.
@@ -356,10 +362,35 @@ MULTI_TEMPLATES = [
      r'(?P<obj2>[a-z_]+(?:\.[a-z_]+)*)\."$',
      [("uses", "subj", "person", "obj", "tool", 0, "quoted"),
       ("maintains", "subj2", "person", "obj2", "module", 0, "quoted")]),
+    # v25: PRONOUN-IN-APPOSITIVE ("Bob, her manager, joined Initech.") —
+    # the appositive asserts manages(Bob, referent) where the referent is
+    # the committed pronoun referent of the latest strictly-earlier turn;
+    # the main clause carries joined(Bob, org).  This is the v21
+    # object-pronoun rule applied INSIDE an appositive clause, and the
+    # grammar's first LOWERCASE mid-sentence pronoun: the obj group
+    # captures 'her'/'his', which is a pronoun surface under the v25
+    # OBJ_PRONOUNS extension (subject slots are unaffected — they never
+    # admit lowercase).  Emission 1 therefore becomes an OBJECT-PRONOUN
+    # event (explicit subj, NULL obj, clause 'appositive'): Stage B fills
+    # the object and the explicit subject feeds referent state.  The
+    # resolved manages row never feeds the manager-descriptor state
+    # (pronoun-RESOLVED rows never commit, the v12 discipline).
+    # Disjointness: no other template admits ', her manager,' (the plain
+    # 'joined' template anchors '^<Name> joined'; possessive_manager
+    # anchors "'s manager "; descriptor templates anchor 'The manager
+    # of ').  A subject-pronoun variant ("She, his manager, ...") drops
+    # emission 1 (both-pronoun, v21 rule) and emission 2 rides the
+    # standard pronoun-subject arm.
+    ("appos_manager_pronoun",
+     r"^(?P<subj>[A-Z][a-z]+), (?P<obj>her|his) manager, joined "
+     r"(?P<obj2>[A-Z][A-Za-z ]+?)[.?]$",
+     [("manages", "subj", "person", "obj", "person", 0, "appositive"),
+      ("joined", "subj", "person", "obj2", "org", 0, "main")]),
 ]
 
 # v21 OBJECT-PRONOUN rule for multi-relation templates: an emission whose
-# person OBJECT slot captured a subject-form pronoun (SUBJ_PRONOUNS)
+# person OBJECT slot captured a pronoun surface (OBJ_PRONOUNS — the
+# subject forms plus, since v25, the lowercase mid-sentence forms)
 # becomes an OBJECT-PRONOUN event — explicit subject, NULL object, the
 # emission's slot/clause — resolved by the standard Stage-B object-pronoun
 # rule (referent of the latest strictly-earlier turn fills the OBJECT; the
@@ -589,6 +620,9 @@ MULTI_TEMPLATE_LITERALS = {
     # uses-sentence, ' maintains ' the second inner relation — together
     # they keep the regex off both the quoted_uses and maintains paths
     "quoted_multi_uses_maintains": (" daily. ", " maintains "),
+    # ' manager, ' (with the comma) is disjoint from possessive_manager
+    # ("'s manager is") and the manager-descriptor family ('manager of ')
+    "appos_manager_pronoun": " manager, ",
 }
 
 DEFAULT_SLOT_IDX = 0

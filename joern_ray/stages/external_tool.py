@@ -117,7 +117,7 @@ for line in sys.stdin:
                     continue
                 for pred, sg, sk, og, ok, slot, clause in emissions:
                     obj_is_pron = (ok == "person"
-                                   and m.group(og) in R.SUBJ_PRONOUNS)
+                                   and m.group(og) in R.OBJ_PRONOUNS)
                     if m.group(sg) in R.SUBJ_PRONOUNS:
                         # pronoun in a person slot: unresolved pronoun
                         # event carrying the emission's slot/clause;

@@ -23,6 +23,9 @@ from .. import schema as S
 from ..functions import rules as R
 
 _PRONOUN_SET = pa.array(list(R.PRONOUNS) + list(R.POSS_PRONOUNS))
+# OBJECT-slot pronoun test (v25): adds the lowercase mid-sentence forms —
+# subject slots never capture lowercase, so this set is object-only
+_OBJ_PRONOUN_SET = pa.array(list(R.OBJ_PRONOUNS))
 
 # cheap literal prefilters (memchr scan) run before each RE2 kernel so the
 # regex engine only sees candidate rows — "prune at the read" applied to
@@ -412,10 +415,10 @@ def extract_events(batch: pa.Table,
             is_pron = pc.fill_null(
                 pc.is_in(subj, value_set=_PRONOUN_SET), False)
             # v21 object-pronoun rule (rules.py): a pronoun in a person
-            # OBJECT slot (reciprocal coordination) rides the Stage-B
-            # object-pronoun class; both-pronoun emissions drop
+            # OBJECT slot (reciprocal coordination, v25 appositive) rides
+            # the Stage-B object-pronoun class; both-pronoun emissions drop
             obj_pron = (pc.fill_null(
-                pc.is_in(obj, value_set=_PRONOUN_SET), False)
+                pc.is_in(obj, value_set=_OBJ_PRONOUN_SET), False)
                 if ok == "person" else None)
             mask = pc.and_(base_mask, pc.invert(is_pron))
             if obj_pron is not None:

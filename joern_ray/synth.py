@@ -23,7 +23,11 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v24"  # v24: TENSE attribute (is_past) — past-form verb
+CORPUS_VERSION = "v25"  # v25: pronoun-in-appositive ("Bob, her manager,
+#                         joined Initech.") — the grammar's first lowercase
+#                         mid-sentence pronoun; manages(Bob, referent) via
+#                         the object-pronoun class + joined(Bob, org).
+#                         v24: TENSE attribute (is_past) — past-form verb
 #                         alternants ('worked at', 'used ... daily',
 #                         'maintained', 'managed', 'manager was',
 #                         'was maintained by') generated at ~15% in the
@@ -526,6 +530,27 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 subj = _pick_person(rng)
                 while subj == last_person:
                     subj = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+                if rng.random() < 0.25:
+                    # PRONOUN-IN-APPOSITIVE (v25): "Bob, her manager,
+                    # joined Initech." — the appositive's lowercase
+                    # pronoun resolves to the committed referent
+                    # (manages(Bob, ref), clause 'appositive'); the main
+                    # clause emits joined(Bob, org).  Both emissions'
+                    # explicit subject commits the new referent; the
+                    # pronoun-RESOLVED manages row feeds no
+                    # manager-descriptor state (the v12 discipline).
+                    pron2 = ("her", "his")[int(rng.integers(0, 2))]
+                    org_surface, org_canon = _pick_org(rng)
+                    add_row(t, role,
+                            f"{subj}, {pron2} manager, joined "
+                            f"{org_surface}.")
+                    add_gt(t, "person", subj.lower(), "manages",
+                           "person", last_person.lower())
+                    add_gt(t, "person", subj.lower(), "joined",
+                           "org", org_canon)
+                    last_person = subj
+                    t += 1
+                    continue
                 pron = ("her", "him")[int(rng.integers(0, 2))]
                 pred2 = ("met", "manages")[int(rng.integers(0, 2))]
                 verb = "met with" if pred2 == "met" else "manages"
