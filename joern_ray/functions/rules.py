@@ -351,6 +351,13 @@ MULTI_TEMPLATES = [
     #     the first inner sentence's subject (same-turn state is never
     #     visible: resolution stays a pure function of the committed
     #     turn-state stream, exactly the v11 rationale);
+    #   * pronoun CHAINS (v26): EITHER inner subject slot — or BOTH — may
+    #     be a pronoun; each resolves INDEPENDENTLY under the rule above,
+    #     so a chain of intra-quote pronouns co-refers to the same
+    #     committed referent (there is no intra-quote binding, even to an
+    #     explicit first inner subject).  Resolved rows commit nothing;
+    #     an explicit inner subject commits referent (and, for maintains,
+    #     descriptor) state exactly as in the single-pronoun cases;
     #   * an EXPLICIT maintains subject inside the quote feeds the
     #     module-keyed descriptor state as usual (state selection is by
     #     predicate, not by construct).

@@ -23,7 +23,14 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v25"  # v25: pronoun-in-appositive ("Bob, her manager,
+CORPUS_VERSION = "v26"  # v26: pronoun CHAINS across multi-sentence quoted
+#                         speech ('X said "She uses y daily. She maintains
+#                         m."') — every intra-quote pronoun resolves
+#                         independently in the QUOTING turn's scope (no
+#                         intra-quote binding), so a chain co-refers; a
+#                         pronoun may also fill the FIRST inner slot with
+#                         an explicit second subject (which commits).
+#                         v25: pronoun-in-appositive ("Bob, her manager,
 #                         joined Initech.") — the grammar's first lowercase
 #                         mid-sentence pronoun; manages(Bob, referent) via
 #                         the object-pronoun class + joined(Bob, org).
@@ -667,7 +674,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                     add_row(t, role, text)
                     add_gt(t, "person", last_person.lower(), "uses",
                            "tool", tool)
-                elif u4 < 0.7:
+                elif u4 < 0.55:
                     # MULTI-SENTENCE quote with the pronoun in the SECOND
                     # inner sentence (v23): intra-quote anaphora resolves
                     # in the QUOTING turn's scope — the committed referent
@@ -686,6 +693,42 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                     add_gt(t, "person", last_person.lower(), "maintains",
                            "module", mod)
                     last_person = d
+                elif u4 < 0.63:
+                    # v26: pronoun in the FIRST inner sentence, explicit
+                    # second subject — the pronoun resolves in the quoting
+                    # turn's scope; the EXPLICIT maintains subject commits
+                    # the new referent AND feeds the module-keyed
+                    # descriptor state (state selection is by predicate)
+                    d = _pick_person(rng)
+                    while d == last_person:
+                        d = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+                    mod = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
+                    add_row(t, role,
+                            f'{speaker} said "{pronoun} uses {tool} daily. '
+                            f'{d} maintains {mod}."')
+                    add_gt(t, "person", last_person.lower(), "uses",
+                           "tool", tool)
+                    add_gt(t, "person", d.lower(), "maintains",
+                           "module", mod)
+                    track_maint([("person", d.lower(), "maintains",
+                                  "module", mod)])
+                    last_person = d
+                elif u4 < 0.7:
+                    # v26: pronoun CHAIN — BOTH inner subjects are
+                    # pronouns; each resolves independently in the quoting
+                    # turn's scope (no intra-quote binding), so the chain
+                    # co-refers to the same committed referent.  Resolved
+                    # rows commit nothing: the referent carries over
+                    # unchanged and no maintainer state is fed.
+                    pron2 = R.PRONOUNS[int(rng.integers(0, 2))]
+                    mod = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
+                    add_row(t, role,
+                            f'{speaker} said "{pronoun} uses {tool} daily. '
+                            f'{pron2} maintains {mod}."')
+                    add_gt(t, "person", last_person.lower(), "uses",
+                           "tool", tool)
+                    add_gt(t, "person", last_person.lower(), "maintains",
+                           "module", mod)
                 else:
                     partner = _pick_person(rng)
                     while partner == last_person:
