@@ -3131,25 +3131,39 @@ def ngram_jaccard_pairs(sf_dir: str, *, k: int = NGRAM_K,
                             ("jaccard", pa.float64())])
 
     def verify(t: pa.Table) -> pa.Table:
+        # Same lexsort exact-Jaccard kernel as minhash_clusters.verify
+        # (offsets-sliced flatten, one lexsort, adjacent-dup intersection
+        # counts): per-doc gram arrays are sorted UNIQUE
+        # (`_char_ngram_hashes` ends in np.unique), so an intersection
+        # element is exactly an adjacent (pair_idx, value) duplicate.
+        # Difference vs minhash: emit the exact jaccard VALUE per kept
+        # pair rather than feeding union-find.
         if t.num_rows == 0 or t.num_columns == 0:
             return out_schema.empty_table()
-        a_out, b_out, j_out = [], [], []
-        for a, b, ha, hb in zip(t.column("a").to_pylist(),
-                                t.column("b").to_pylist(),
-                                t.column("ha").to_pylist(),
-                                t.column("hb").to_pylist()):
-            x = np.asarray(ha, dtype=np.int64)
-            y = np.asarray(hb, dtype=np.int64)
-            inter = np.intersect1d(x, y, assume_unique=True).size
-            denom = x.size + y.size - inter
-            j = inter / denom if denom else 1.0
-            if j >= threshold:
-                a_out.append(a)
-                b_out.append(b)
-                j_out.append(j)
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64()),
-                         "jaccard": pa.array(j_out, pa.float64())})
+        ha = t.column("ha").combine_chunks()
+        hb = t.column("hb").combine_chunks()
+        flat_a = pc.list_flatten(ha).to_numpy(zero_copy_only=False)
+        flat_b = pc.list_flatten(hb).to_numpy(zero_copy_only=False)
+        par_a = pc.list_parent_indices(ha).to_numpy(zero_copy_only=False)
+        par_b = pc.list_parent_indices(hb).to_numpy(zero_copy_only=False)
+        la = pc.list_value_length(ha).to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        lb = pc.list_value_length(hb).to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        vals = np.concatenate([flat_a, flat_b])
+        pids = np.concatenate([par_a, par_b]).astype(np.int64)
+        order = np.lexsort((vals, pids))
+        sv, sp = vals[order], pids[order]
+        dup = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+        inter = np.bincount(sp[1:][dup], minlength=t.num_rows)
+        denom = la + lb - inter
+        jac = np.where(denom > 0, inter / np.maximum(denom, 1), 1.0)
+        keep = jac >= threshold
+        mask = pa.array(keep)
+        return pa.table({
+            "a": t.column("a").filter(mask),
+            "b": t.column("b").filter(mask),
+            "jaccard": pa.array(jac[keep], pa.float64())})
 
     return (with_ab.map_batches(verify, batch_format="pyarrow")
             .union(ray.data.from_arrow(out_schema.empty_table())))

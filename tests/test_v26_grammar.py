@@ -82,14 +82,31 @@ def test_pronoun_first_explicit_second_commits():
 
 
 def test_chain_kernel_oracle_lockstep(ray_session):
-    """Arrow kernel and Python oracle agree on the chain constructs."""
+    """Arrow kernel and Python oracle agree on the chain constructs —
+    including the pronoun-first/EXPLICIT-second variant, whose explicit
+    quoted ``maintains`` subject feeds module-keyed descriptor state and
+    referent state through the kernel's Stage-B path (ADVICE r4: this
+    path was previously asserted via the Python oracle only)."""
     import ray
     rows = _turns(CHAIN + [
         'Erin said "He uses compiler daily. She maintains db.index."',
         "The maintainer of db.index joined Initech Labs.",
-        "She works at Globex Corp."])
+        "She works at Globex Corp.",
+        # pronoun-first / explicit-second: Dave commits referent AND
+        # module-keyed maintainer state from INSIDE the quote
+        'Frank said "She uses linker daily. Dave maintains net.proxy."',
+        # the referent committed by the explicit quoted subject...
+        "He works at Hooli Inc.",
+        # ...and a later definite description resolving through the
+        # quoted-committed maintainer state
+        "The maintainer of net.proxy met with Carol."])
+    expected = _resolved(rows)
+    # the scenario itself must exercise the Stage-B commits in question
+    assert (6, "Dave", "works_at", "Hooli Inc", "main") in expected
+    assert any(s == "Dave" and p == "met" and o == "Carol"
+               for (_, s, p, o, _c) in expected)
     out = X.extract_triples(ray.data.from_arrow(_table(rows)))
     got = {(d["turn_idx"], d["subj"], d["pred"], d["obj"], d["clause"])
            for b in out.iter_batches(batch_format="pyarrow")
            for d in b.to_pylist()}
-    assert got == _resolved(rows)
+    assert got == expected
