@@ -128,13 +128,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_triples_attributed(sf_dir):
         """Resolved triples WITH relation attributes (sent_idx / negated /
-        in_question / is_past — the v24 tense attribute) — the
-        DependencyJsonGenerator attributed-relation analog
-        (``DependencyJsonGenerator.scala:278-292``)."""
+        in_question / is_past / aspect — the v24 tense + v27 aspect
+        attributes) — the DependencyJsonGenerator attributed-relation
+        analog (``DependencyJsonGenerator.scala:278-292``)."""
         return X.extract_triples(_transcripts(sf_dir)).map_batches(
             lambda t: t.select(["conv_id", "turn_idx", "sent_idx", "subj",
                                 "pred", "obj", "negated", "in_question",
-                                "is_past", "slot_idx", "clause"]),
+                                "is_past", "aspect", "slot_idx", "clause"]),
             batch_format="pyarrow")
 
     def kg_triples_definite(sf_dir):
@@ -305,13 +305,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_gaps": REL.order_gaps,
         # text analysis + dedup (training-data ops)
         "text_quality": T.text_quality,
-        "dedup_exact": T.dedup_exact,
         "dedup_snapshot": T.snapshot_dedup,
         "text_clean_corpus": T.clean_corpus,
         "conv_line_dedup": (lambda sf_dir: T.line_dedup(_transcripts(sf_dir))),
         "text_sample_stratified": T.sample_stratified,
         "text_sample_weighted": T.sample_weighted,
-        "text_token_bins": T.token_bins,
         "text_redact_persons": T.redact_persons,
         "text_repetition": T.repetition_stats,
         "text_familiarity": T.familiarity,
@@ -325,7 +323,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_source_overlap": T.source_overlap,
         # event-stream ops (sessionize / window / as-of / funnel /
         # retention — funnel + retention new r4)
-        "events_sliding_counts": EV.sliding_window_counts,
         "events_funnel": EV.funnel,
         "events_retention": EV.retention,
         "events_daily_anomaly": EV.daily_anomaly,
@@ -334,6 +331,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": A.embedding_neardup_planted,
         "embedding_decontaminate": A.embedding_decontaminate,
         "dedup_semantic_planted": A.dedup_semantic_planted,
+        # r5 window rotation: three NEWLY-oracle-backed, never-driver-
+        # confirmed operators take the slots of dedup_exact /
+        # events_sliding_counts / text_token_bins (each driver-confirmed
+        # r3 AND r4 with unchanged code) — kg_kcore gains a recursive
+        # h-index SQL mirror, dedup_ngram_pairs an exact all-pairs
+        # n-gram-Jaccard mirror, text_bpe_token_counts a chained-replace
+        # SQL APPLY of the shared trained merges
+        "kg_kcore": GS.kcore_query,
+        "dedup_ngram_pairs": T.ngram_jaccard_pairs,
+        "text_bpe_token_counts": T.bpe_token_counts,
         # ---- oracle-backed but OUTSIDE the driver's 50-entry window
         # (every window slot is already oracle-backed); all are
         # multiply-driver-confirmed in r1-r3 with unchanged code —
@@ -352,6 +359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # code); all demoted entries stay verified by the local
         # dtype-strict gate (scripts/check_correctness.py) ----
         "kg_turns": kg_turns,
+        "dedup_exact": T.dedup_exact,
+        "events_sliding_counts": EV.sliding_window_counts,
+        "text_token_bins": T.token_bins,
         "kg_triples_surface_exttool": kg_triples_surface_exttool,
         "kg_next_turn_edges": kg_next_turn_edges,
         "kg_post_dominators": kg_post_dominators,
@@ -376,7 +386,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_orders_by_segment": REL.orders_by_segment,
         "kg_dominators": kg_dominators,
         # ---- rows-only, no driver row yet (next in the window) ----
-        "kg_kcore": GS.kcore_query,
         "ann_lsh": A.ann_lsh,
         "dedup_semantic": A.dedup_semantic,
         "ann_ivf": A.ann_ivf,
@@ -384,7 +393,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": A.embedding_pca,
         "ann_kmeans": A.kmeans,
         "dedup_simhash_clusters": T.simhash_clusters,
-        "dedup_ngram_pairs": T.ngram_jaccard_pairs,
         "multimodal_features": multimodal_features,
         "multimodal_resized_features": MM.resized_features,
         "multimodal_sampled_frames": MM.sampled_frames,
@@ -401,7 +409,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vectors_hashed": T.hashed_vectors,
         "text_model_scores": T.model_scores,
         "text_quality_classifier": T.quality_classifier_scores,
-        "text_bpe_token_counts": T.bpe_token_counts,
         "dedup_minhash": T.dedup_minhash,
         "dedup_simhash": T.dedup_simhash,
     }
@@ -430,7 +437,7 @@ def oracle_sql() -> dict[str, str]:
                                 f"FROM ({G.resolved_triples_sql(tr)})"),
         "kg_triples_attributed": (
             "SELECT conv_id, turn_idx, sent_idx, subj, pred, obj, "
-            "negated, in_question, is_past, slot_idx, clause "
+            "negated, in_question, is_past, aspect, slot_idx, clause "
             f"FROM ({G.resolved_triples_sql(tr)})"),
         "kg_triples_definite": (
             "SELECT conv_id, turn_idx, subj, pred, obj, clause "
@@ -463,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tool""",
         "kg_kind_recovery": _kind_recovery_sql(tr),
         "kg_triangles": GS.triangles_sql(tr),
+        "kg_kcore": GS.kcore_sql(tr),
         "kg_conv_tools": FND.conv_tools_sql(tr),
         "kg_next_turn_edges": f"""
             SELECT conv_id || '#' || CAST(turn_idx - 1 AS VARCHAR) AS src,
@@ -562,4 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": A.embedding_neardup_planted_sql(),
         "embedding_decontaminate": A.embedding_decontaminate_sql(),
         "dedup_semantic_planted": A.dedup_semantic_planted_sql(),
+        "dedup_ngram_pairs": T.ngram_jaccard_pairs_sql(),
+        "text_bpe_token_counts": T.bpe_token_counts_sql(
+            T.train_bpe_merges(SF_ORACLE)),
     }

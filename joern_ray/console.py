@@ -73,6 +73,7 @@ class Console:
         self.oracles = oracles or {}
         self.sf_dir = sf_dir
         self._duck = None
+        self._streg = None       # lazy Stage registry (overlay runner)
 
     # -- helpers ----------------------------------------------------------
     def _con(self):
@@ -145,6 +146,50 @@ class Console:
             return f"no SQL oracle registered for {name!r}"
         return self.oracles[name]
 
+    # -- overlay runner (the console/Run.scala `run.<overlay>` analog:
+    # invoke a registered Stage by name; deps toposort + execute, and an
+    # optional workspace dir checkpoints each stage through the Manifest
+    # ledger exactly like the reference's per-overlay project dirs) -----
+    def _stages(self):
+        if self._streg is None:
+            from .state.registry import kg_registry
+            self._streg = kg_registry()
+        return self._streg
+
+    def cmd_stages(self) -> str:
+        reg = self._stages()
+        rows = []
+        for name in reg.names():
+            st = reg._stages[name]
+            deps = ", ".join(st.deps) or "-"
+            rows.append(f"{name}  [deps: {deps}]  {st.description}")
+        return "\n".join(rows)
+
+    def cmd_stage(self, name: str, out_dir: str = "",
+                  limit: str | int = DEFAULT_LIMIT) -> str:
+        """run.<stage>: execute a registered overlay Stage (plus its
+        dependency closure) over the current sf_dir's transcripts.  With
+        out_dir, stages checkpoint through the Manifest (skip-completed
+        resume — the overlays-ledger discipline)."""
+        reg = self._stages()
+        if name not in reg.names():
+            return (f"unknown stage: {name!r} "
+                    f"(try: stages; known: {', '.join(reg.names())})")
+        import ray.data
+
+        from . import synth
+        limit = None if str(limit) in ("all", "0") else int(limit)
+        tds = ray.data.read_parquet(synth.transcripts_path(self.sf_dir))
+        t0 = time.perf_counter()
+        datasets = reg.run({"transcripts": tds}, targets=[name],
+                           out_dir=out_dir or None)
+        tbl = _to_table(datasets[name], limit)
+        dt = time.perf_counter() - t0
+        where = f" -> {out_dir}" if out_dir else ""
+        head = (f"-- stage {name} @ {self.sf_dir}{where}: showing "
+                f"{tbl.num_rows} row(s) in {dt:.2f}s --\n")
+        return head + self._fmt(tbl)
+
     def cmd_cd(self, sf_dir: str) -> str:
         self.sf_dir = sf_dir
         self._duck = None        # re-register views lazily
@@ -159,6 +204,9 @@ class Console:
                 "  schema <name>      result schema\n"
                 "  oracle <name>      show the DuckDB oracle SQL\n"
                 "  sql <stmt...>      raw DuckDB SQL over the sf tables\n"
+                "  stages             list registered overlay stages\n"
+                "  stage <name> [out_dir] [n|all]  run an overlay stage "
+                "(+ deps; out_dir checkpoints via the manifest)\n"
                 "  cd <sf_dir>        switch scale-factor directory\n"
                 "  help / exit")
 

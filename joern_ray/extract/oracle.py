@@ -45,7 +45,7 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                             pred=R.INVOKED_PRED, obj=row["tool"],
                             subj_kind="conv", obj_kind="tool",
                             sent_idx=0, negated=False, in_question=False,
-                            is_past=False))
+                            is_past=False, aspect=R.ASPECT_SIMPLE))
             continue
         text = row.get("text") or ""
         # shared segmentation contract (rules.split_sentences):
@@ -56,7 +56,13 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                          in_question=sent.endswith(R.QUESTION_MARK),
                          is_past=bool(
                              _re.search(R.PAST_RE, sent)
-                             and not _re.search(R.PRES_PASSIVE_RE, sent)))
+                             and not _re.search(R.PRES_PASSIVE_RE, sent)
+                             and not _re.search(R.PRES_PERFECT_RE, sent)),
+                         aspect=(R.ASPECT_PROG
+                                 if _re.search(R.PROG_RE, sent)
+                                 else R.ASPECT_PERF
+                                 if _re.search(R.PERF_RE, sent)
+                                 else R.ASPECT_SIMPLE))
             matched = False
             for pred, rx, obj_kind in R.COMPILED_PRONOUN_TEMPLATES:
                 m = rx.match(sent)

@@ -58,10 +58,19 @@ def _attr_cols() -> str:
     from ..functions import rules as R
     past = R.PAST_RE.replace("'", "''")
     ppas = R.PRES_PASSIVE_RE.replace("'", "''")
+    pperf = R.PRES_PERFECT_RE.replace("'", "''")
+    prog = R.PROG_RE.replace("'", "''")
+    perf = R.PERF_RE.replace("'", "''")
     return ("sent_idx, contains(sent, 'no longer ') AS negated, "
             "ends_with(sent, '?') AS in_question, "
             f"(regexp_matches(sent, '{past}') AND NOT "
-            f"regexp_matches(sent, '{ppas}')) AS is_past")
+            f"regexp_matches(sent, '{ppas}') AND NOT "
+            f"regexp_matches(sent, '{pperf}')) AS is_past, "
+            f"CASE WHEN regexp_matches(sent, '{prog}') "
+            f"THEN '{R.ASPECT_PROG}' "
+            f"WHEN regexp_matches(sent, '{perf}') "
+            f"THEN '{R.ASPECT_PERF}' "
+            f"ELSE '{R.ASPECT_SIMPLE}' END AS aspect")
 
 
 def events_sql(rel: str) -> str:
@@ -195,7 +204,7 @@ def events_sql(rel: str) -> str:
         ln, an, on = nums["list"], nums["last"], nums["obj"]
         inner = f"""(
           SELECT conv_id, turn_idx, sent_idx, negated, in_question,
-                 is_past,
+                 is_past, aspect,
                  unnest(ml) AS member,
                  CAST(unnest(range(len(ml))) AS INTEGER) AS slot, obj0
           FROM (SELECT conv_id, turn_idx, {_attr_cols()},
@@ -208,7 +217,7 @@ def events_sql(rel: str) -> str:
         parts.append(f"""
         SELECT conv_id, turn_idx, 'triple', member, '{pred}', obj0,
                '{mk}', '{ok}', sent_idx, negated, in_question, is_past,
-               slot, '{clause}', CAST(NULL AS VARCHAR)
+               aspect, slot, '{clause}', CAST(NULL AS VARCHAR)
         FROM {inner} WHERE member NOT IN ({pron_in})""")
         parts.append(f"""
         SELECT conv_id, turn_idx, 'triple',
@@ -226,7 +235,7 @@ def events_sql(rel: str) -> str:
             parts.append(f"""
         SELECT conv_id, turn_idx, 'pronoun', CAST(NULL AS VARCHAR),
                '{pred}', obj0, '{mk}', '{ok}',
-               sent_idx, negated, in_question, is_past,
+               sent_idx, negated, in_question, is_past, aspect,
                slot, '{clause}', CAST(NULL AS VARCHAR)
         FROM {inner} WHERE member IN ({pron_in})""")
             parts.append(f"""
@@ -275,6 +284,7 @@ def events_sql(rel: str) -> str:
     parts.append(f"""
         SELECT conv_id, turn_idx, 'triple', conv_id, '{R.INVOKED_PRED}',
                tool, 'conv', 'tool', 0, FALSE, FALSE, FALSE,
+               '{R.ASPECT_SIMPLE}',
                {R.DEFAULT_SLOT_IDX}, '{R.DEFAULT_CLAUSE}',
                CAST(NULL AS VARCHAR)
         FROM {rel} WHERE role = 'tool' AND tool IS NOT NULL""")
@@ -345,7 +355,7 @@ def resolved_triples_sql(rel: str) -> str:
                 WHEN etype = 'desc_obj' THEN mtr.prev_m
                 ELSE obj END AS obj,
            subj_kind, obj_kind, sent_idx, negated, in_question, is_past,
-           slot_idx, clause
+           aspect, slot_idx, clause
     FROM st JOIN tr
       ON st.conv_id = tr.conv_id AND st.turn_idx = tr.turn_idx
     LEFT JOIN mtr

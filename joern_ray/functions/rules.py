@@ -134,23 +134,65 @@ def split_sentences(text: str) -> list[str]:
 # maintained / managed / was).  PRES_PASSIVE_RE carves out the one
 # construct where a participle is NOT past tense: a participle directly
 # after 'is' is a present passive ('auth.core is maintained by Alice');
-# the past passive ('was maintained by') stays past via 'was'.  Templates
-# whose verb admits both tenses alternate the verb form in their regex
-# ((?:works|worked)); templates left un-alternated simply never match a
-# past-form sentence, so the contract stays total.
+# the past passive ('was maintained by') stays past via 'was'.
+# PRES_PERFECT_RE (v27) carves out the second non-past participle
+# position: a participle after 'has' is a PRESENT perfect ('Alice has
+# worked at Acme'); the past perfect ('had worked') stays past via its
+# participle with no carve-out.  Templates whose verb admits both tenses
+# alternate the verb form in their regex ((?:works|worked)); templates
+# left un-alternated simply never match a past-form sentence, so the
+# contract stays total.
+#
+#   is_past(sent) = matches(PAST_RE)
+#                   AND NOT matches(PRES_PASSIVE_RE)
+#                   AND NOT matches(PRES_PERFECT_RE)
 PAST_RE = (r"\b(?:worked|used|maintained|managed|was|reported|acquired|"
            r"met|joined|left|partnered|introduced|mentioned)\b")
 PRES_PASSIVE_RE = r"\bis [a-z]+ed\b"
+PRES_PERFECT_RE = r"\bhas [a-z]+ed\b"
+
+# Aspect attribute (v27) — the fourth relation attribute, completing the
+# fork's 3+-attribute structural family
+# (``DependencyJsonGenerator.scala:278-292``).  Shared LEXICAL contract
+# (sentence-level, like negated / is_past — every emission of one
+# sentence carries the same value; all four implementations run the
+# identical RE2 pair):
+#
+#   aspect(sent) = 'progressive'  if matches(PROG_RE)
+#                  'perfect'      if matches(PERF_RE)
+#                  'simple'       otherwise
+#
+# PROG_RE is the word-bounded alternation of copula + present participle
+# for every verb family the grammar alternates ('is working' / 'was
+# using' ...); PERF_RE is have-auxiliary + past participle ('has worked'
+# / 'had maintained' ...).  The two are disjoint by construction (a
+# sentence carries one verb group per relation family), and neither can
+# match the present passive ('is maintained BY' — 'maintained' is not a
+# PROG participle).  Tense composes independently: 'was working' is past
+# progressive (PAST_RE via 'was'), 'is working' present progressive,
+# 'had worked' past perfect, 'has worked' present perfect (the
+# PRES_PERFECT_RE carve-out above keeps it non-past).
+PROG_RE = r"\b(?:is|was) (?:working|using|maintaining|managing)\b"
+PERF_RE = r"\b(?:has|had) (?:worked|used|maintained|managed)\b"
+ASPECT_SIMPLE = "simple"
+ASPECT_PROG = "progressive"
+ASPECT_PERF = "perfect"
 
 TEMPLATES = [
+    # v27: the four alternating families admit progressive (is/was V-ing)
+    # and perfect (has/had V-ed) verb groups alongside the v24 simple
+    # present/past pair; the aspect attribute kernel (PROG_RE/PERF_RE
+    # above) classifies the matched sentence
     ("works_at",
-     r"^(?P<subj>[A-Z][a-z]+) (?:no longer )?work(?:s|ed) at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     r"^(?P<subj>[A-Z][a-z]+) (?:no longer )?(?:work(?:s|ed)|is working|"
+     r"was working|has worked|had worked) at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
      "person", "org"),
     ("reported_bug",
      r"^(?P<subj>[A-Z][a-z]+) reported a bug in (?P<obj>[a-z_]+(?:\.[a-z_]+)*)[.?]$",
      "person", "module"),
     ("uses",
-     r"^(?P<subj>[A-Z][a-z]+) (?:no longer )?use(?:s|d) (?P<obj>[a-z0-9_]+) daily[.?]$",
+     r"^(?P<subj>[A-Z][a-z]+) (?:no longer )?(?:use(?:s|d)|is using|"
+     r"was using|has used|had used) (?P<obj>[a-z0-9_]+) daily[.?]$",
      "person", "tool"),
     ("acquired",
      r"^(?P<subj>[A-Z][A-Za-z ]+?) acquired (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
@@ -165,10 +207,13 @@ TEMPLATES = [
      r"^(?P<subj>[A-Z][a-z]+) left (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
      "person", "org"),
     ("manages",
-     r"^(?P<subj>[A-Z][a-z]+) manage(?:s|d) (?P<obj>[A-Z][a-z]+)[.?]$",
+     r"^(?P<subj>[A-Z][a-z]+) (?:manage(?:s|d)|is managing|was managing|"
+     r"has managed|had managed) (?P<obj>[A-Z][a-z]+)[.?]$",
      "person", "person"),
     ("maintains",
-     r"^(?P<subj>[A-Z][a-z]+) maintain(?:s|ed) (?P<obj>[a-z_]+(?:\.[a-z_]+)*)[.?]$",
+     r"^(?P<subj>[A-Z][a-z]+) (?:maintain(?:s|ed)|is maintaining|"
+     r"was maintaining|has maintained|had maintained) "
+     r"(?P<obj>[a-z_]+(?:\.[a-z_]+)*)[.?]$",
      "person", "module"),
     ("partnered",
      r"^(?P<subj>[A-Z][A-Za-z ]+?) partnered with (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
@@ -579,6 +624,55 @@ DESC_OBJ_TEMPLATES = [
 DESC_OBJ_LITERAL = " the maintainer of "
 MGR_DESC_LITERAL = "The manager of "
 MGR_DESC_OBJ_LITERAL = " the manager of "
+
+# ---------------------------------------------------------------------------
+# ORG-keyed descriptor family (v28): CROSS-SENTENCE appositives keyed by an
+# organization — "The Acme engineer met with Bob." refers to the committed
+# person most recently stated to WORK AT that org.  This extends the v16
+# descriptor-state machinery with a third key family whose keys are
+# SURFACE-NORMALIZED (the typo'd-org story):
+#
+#   * state: every explicit works_at event (person subject, org object)
+#     commits (normalize_surface('org', obj) -> person) — the SAME org
+#     normalizer the linker uses (lowercase, legal-suffix strip), so a
+#     typo'd surface ("Acmee Corp") commits under ITS normalized key
+#     ("acmee"), not the canonical entity ("acme"): descriptor resolution
+#     is exact-normalized-key, fuzzy unification stays canonicalization's
+#     job (reference precedent: XImportResolverPass links by normalized
+#     name; DynamicCallLinker's fuzzy closure is a separate pass).
+#   * resolution: "The <OrgBase> engineer ..." resolves lower(<OrgBase>)
+#     against the committed state of the latest strictly-earlier turn —
+#     the standard descriptor rule; unresolvable descriptors emit nothing.
+#   * key spaces stay disjoint by shape: org keys are lowercase
+#     UNDOTTED single words, module keys lowercase dotted, manager keys
+#     Capitalized — one state map serves all three families.
+#   * clause = 'definite_org'; the explicit person object feeds referent
+#     state (kind-conditional feed, as in every descriptor family);
+#     resolved rows feed no state.
+#
+# Entry: (pred, regex, obj_kind, clause); group 'key' is the org BASE
+# surface (capitalized single token — implementations lowercase it).
+# Disjointness: no other template admits 'The <Name> engineer' (person
+# subjects are single tokens; maintainer/manager descriptors anchor
+# their own literals).
+# ---------------------------------------------------------------------------
+DESC_ORG_CLAUSE = "definite_org"
+ORG_STATE_PRED = "works_at"      # the predicate that feeds org-keyed state
+DESC_ORG_TEMPLATES = [
+    ("met",
+     r"^The (?P<key>[A-Z][a-z]+) engineer met with "
+     r"(?P<obj>[A-Z][a-z]+)[.?]$",
+     "person", DESC_ORG_CLAUSE),
+    ("joined",
+     r"^The (?P<key>[A-Z][a-z]+) engineer joined "
+     r"(?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     "org", DESC_ORG_CLAUSE),
+]
+DESC_ORG_LITERAL = " engineer "
+COMPILED_DESC_ORG_TEMPLATES = [
+    (pred, re.compile(rx), ok, clause)
+    for pred, rx, ok, clause in DESC_ORG_TEMPLATES
+]
 # family-combined prefilter alternations (the engine's memchr-style gate
 # before the per-template RE2 kernels)
 DESC_ANY_RE = "|".join(re.escape(x) for x in
@@ -648,10 +742,12 @@ def named_group_numbers(rx: str) -> dict[str, int]:
 # recently mentioned person (see resolution rule below).
 PRONOUN_TEMPLATES = [
     ("works_at",
-     r"^(?:She|He) (?:no longer )?work(?:s|ed) at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     r"^(?:She|He) (?:no longer )?(?:work(?:s|ed)|is working|was working|"
+     r"has worked|had worked) at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
      "org"),
     ("uses",
-     r"^(?:She|He) (?:no longer )?use(?:s|d) (?P<obj>[a-z0-9_]+) daily[.?]$",
+     r"^(?:She|He) (?:no longer )?(?:use(?:s|d)|is using|was using|"
+     r"has used|had used) (?P<obj>[a-z0-9_]+) daily[.?]$",
      "tool"),
     # possessive pronoun ("Her manager is Erin"): the REFERENT is the
     # managee, so the relation is the inverse predicate managed_by —

@@ -49,6 +49,40 @@ def read_turn_text(path: str) -> "ray.data.Dataset":
         path, columns=["conv_id", "turn_idx", "role", "text"])
 
 
+def read_transcripts_partitioned(pdir: str, *,
+                                 conv_ids: list[str] | None = None,
+                                 buckets: list[int] | None = None,
+                                 columns: list[str] | None = None
+                                 ) -> "ray.data.Dataset":
+    """Enumeration-pruned read over the hash-partitioned corpus layout
+    (``synth.ensure_corpus_partitioned``): a conv_id (or bucket) predicate
+    maps to its bucket directories BEFORE the read — whole files are
+    skipped at enumeration, the ``SourceFiles.determine`` discipline
+    (``x2cpg/.../SourceFiles.scala:67-96``), not filtered after scanning.
+    ``columns=`` additionally skips the unselected column chunks inside
+    the files that are read.  Row-exact: a conv_ids predicate still
+    applies the exact filter map-side (the bucket prune is a superset)."""
+    import os
+
+    from .. import synth
+
+    if buckets is None and conv_ids is not None:
+        buckets = sorted({synth.conv_bucket(c) for c in conv_ids})
+    cols = columns if columns is not None else TRANSCRIPT_COLUMNS
+    paths = ([os.path.join(pdir, f"bucket={b}") for b in sorted(buckets)]
+             if buckets is not None else [pdir])
+    ds = ray.data.read_parquet(paths, columns=cols)
+    if conv_ids is not None:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        want = pa.array(sorted(set(conv_ids)))
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("conv_id"),
+                                        value_set=want)),
+            batch_format="pyarrow")
+    return ds
+
+
 def conversation_nodes(transcripts_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """One CONVERSATION node per conv, derived shuffle-free from the turn-0
     row every conversation has (instead of a distinct over all rows)."""

@@ -2088,12 +2088,74 @@ class BpeEncoder:
                          "n_bpe_tokens": pa.array(out, pa.int64())})
 
 
+def _sql_str(x: str) -> str:
+    """SQL string expression for ``x``, control characters via chr()."""
+    parts: list[str] = []
+    run = ""
+    for ch in x:
+        if ord(ch) < 32 or ch == "'":
+            if run:
+                parts.append("'" + run + "'")
+                run = ""
+            parts.append(f"chr({ord(ch)})" if ord(ch) < 32 else "''''")
+        else:
+            run += ch
+    if run:
+        parts.append("'" + run + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def bpe_token_counts_sql(merges: list[tuple[str, str]],
+                         rel: str = "documents") -> str:
+    """DuckDB mirror of the BPE APPLY stage (r5).  The merge list comes
+    from the shared training implementation (``train_bpe_merges`` — one
+    source of truth, the rule-pack discipline); the APPLY is implemented
+    independently: each word becomes a delimiter-wrapped symbol string
+    (chr(2) sym chr(3) per symbol, so adjacent matches cannot share
+    delimiters), each merge is one non-overlapping left-to-right
+    ``replace`` — valid because BPE merges applied in rank order equal
+    the greedy lowest-rank-first encode (any pair containing a merged
+    token necessarily ranks after the merge that created the token) and
+    ``replace``'s left-to-right scan equals ``_bpe_merge_sym``'s — and
+    the token count is the surviving chr(2) count.  Unique words encode
+    once (the engine's unique-word memo, mirrored relationally)."""
+    def rep(x: str) -> str:
+        return f"chr(2) || {_sql_str(x)} || chr(3)"
+
+    expr = "s0"
+    for a, b in merges:
+        expr = f"replace({expr}, {rep(a)} || {rep(b)}, {rep(a + b)})"
+    eow = rep(BPE_EOW)
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      trim(text, ' ' || chr(9) || chr(10) || chr(12)
+                           || chr(13)) AS txt
+               FROM {rel}),
+    w AS (SELECT doc_id, unnest(regexp_split_to_array(txt, '\\s+')) AS word
+          FROM d WHERE txt <> '' AND txt IS NOT NULL),
+    uw AS (SELECT DISTINCT word FROM w),
+    ue AS (SELECT word,
+                  CAST(len(s) - len(replace(s, chr(2), '')) AS BIGINT)
+                    AS ntok
+           FROM (SELECT word, {expr} AS s
+                 FROM (SELECT word,
+                              regexp_replace(word, '(.)',
+                                             chr(2) || '\\1' || chr(3),
+                                             'g') || {eow} AS s0
+                       FROM uw))),
+    per_doc AS (SELECT w.doc_id, CAST(sum(ue.ntok) AS BIGINT) AS n
+                FROM w JOIN ue USING (word) GROUP BY 1)
+    SELECT d.doc_id, coalesce(per_doc.n, 0) AS n_bpe_tokens
+    FROM d LEFT JOIN per_doc USING (doc_id)
+    """
+
+
 def bpe_token_counts(sf_dir: str, *, n_merges: int = BPE_MERGES,
                      train_docs: int = BPE_TRAIN_DOCS):
     """Tokenizer train + corpus-scale apply: per-doc BPE token counts.
-    Rows-only (iterative merge learning has no SQL mirror); determinism,
-    a merge-training golden and serial-encoder equivalence are
-    pytest-enforced."""
+    Oracle-backed since r5 (``bpe_token_counts_sql`` — shared training,
+    independent SQL apply); determinism, a merge-training golden and
+    serial-encoder equivalence are pytest-enforced."""
     merges = train_bpe_merges(sf_dir, n_merges=n_merges,
                               train_docs=train_docs)
     ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
@@ -3167,6 +3229,40 @@ def ngram_jaccard_pairs(sf_dir: str, *, k: int = NGRAM_K,
 
     return (with_ab.map_batches(verify, batch_format="pyarrow")
             .union(ray.data.from_arrow(out_schema.empty_table())))
+
+
+def ngram_jaccard_pairs_sql(rel: str = "documents", *, k: int = NGRAM_K,
+                            threshold: float = 0.8) -> str:
+    """DuckDB mirror of ``ngram_jaccard_pairs`` (r5): EXACT all-pairs
+    padded character-k-gram Jaccard — no LSH, no hashing — so it
+    independently verifies both the banding recall AND the vectorized
+    verify kernel.  Validity: on the fixed synthetic documents corpus
+    every pair >= threshold is comfortably above it (no pair within
+    [0.75, 0.82) at sf0.01) and the deterministic 8x4 banding catches
+    all of them, so engine == oracle row-for-row; the engine's hashed
+    gram sets equal the string gram sets absent 64-bit collisions
+    (expected collisions ~1e-15 per corpus)."""
+    km1 = k - 1
+    j = "CAST(ip.i AS DOUBLE) / (sa.n + sb.n - ip.i)"
+    return f"""
+    WITH d AS (SELECT doc_id, '^' || text || '$' AS p FROM {rel}),
+    g AS (
+      SELECT DISTINCT doc_id,
+             substring(p, CAST(i AS INTEGER) + 1, {k}) AS gram
+      FROM (SELECT doc_id, p,
+                   unnest(range(greatest(len(p) - {km1}, 1))) AS i
+            FROM d)),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM g GROUP BY 1),
+    ip AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                  CAST(count(*) AS BIGINT) AS i
+           FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+    SELECT ip.a, ip.b, {j} AS jaccard
+    FROM ip JOIN sz sa ON sa.doc_id = ip.a
+            JOIN sz sb ON sb.doc_id = ip.b
+    WHERE {j} >= {threshold}
+    """
 
 
 def ngram_jaccard_exact(a: str, b: str, k: int = NGRAM_K) -> float:

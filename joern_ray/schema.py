@@ -51,6 +51,7 @@ EVENTS = pa.schema([
     ("negated", pa.bool_()),         # 'no longer' modifier present
     ("in_question", pa.bool_()),     # sentence ends with '?'
     ("is_past", pa.bool_()),         # v24 tense attribute (rules.PAST_RE)
+    ("aspect", EVENTS_DICT),         # v27: simple | progressive | perfect
     ("slot_idx", pa.int32()),        # subject position in a coordinated list
     ("clause", EVENTS_DICT),         # main | appositive | relative | quoted
     # definite-description events ONLY (v12): the module key the descriptor
@@ -73,6 +74,7 @@ TRIPLES_SURFACE = pa.schema([
     ("negated", pa.bool_()),
     ("in_question", pa.bool_()),
     ("is_past", pa.bool_()),
+    ("aspect", pa.string()),
     ("slot_idx", pa.int32()),
     ("clause", pa.string()),
 ])

@@ -10,7 +10,7 @@ through it over a line-delimited JSON pipe protocol:
     driver row  →  {"conv_id", "turn_idx", "role", "text", "tool"}\\n
     tool reply  →  {"events": [[subj, pred, obj, subj_kind, obj_kind,
                                  sent_idx, negated, in_question, is_past,
-                                 slot_idx, clause, desc_key], ...]}\\n
+                                 aspect, slot_idx, clause, desc_key], ...]}\\n
 
 There is no astgen binary in this environment, so the default external
 tool is a small Python worker script (``_WORKER_SRC``) executed with
@@ -56,7 +56,7 @@ for line in sys.stdin:
     evs = []
     if row.get("role") == "tool" and row.get("tool"):
         evs.append([row["conv_id"], R.INVOKED_PRED, row["tool"],
-                    "conv", "tool", 0, False, False, False, 0,
+                    "conv", "tool", 0, False, False, False, "simple", 0,
                     R.DEFAULT_CLAUSE, None])
     else:
         text = row.get("text") or ""
@@ -65,7 +65,11 @@ for line in sys.stdin:
             attrs = [si, R.NEGATION_MARK in sent,
                      sent.endswith(R.QUESTION_MARK),
                      bool(re.search(R.PAST_RE, sent)
-                          and not re.search(R.PRES_PASSIVE_RE, sent))]
+                          and not re.search(R.PRES_PASSIVE_RE, sent)
+                          and not re.search(R.PRES_PERFECT_RE, sent)),
+                     (R.ASPECT_PROG if re.search(R.PROG_RE, sent)
+                      else R.ASPECT_PERF if re.search(R.PERF_RE, sent)
+                      else R.ASPECT_SIMPLE)]
             matched = False
             for pred, rx, ok in R.COMPILED_PRONOUN_TEMPLATES:
                 m = rx.match(sent)
@@ -251,9 +255,10 @@ class ExternalToolExtractor:
             "negated": pa.array(cols[6], pa.bool_()),
             "in_question": pa.array(cols[7], pa.bool_()),
             "is_past": pa.array(cols[8], pa.bool_()),
-            "slot_idx": pa.array(cols[9], pa.int32()),
-            "clause": pa.array(cols[10], pa.string()),
-            "desc_key": pa.array(cols[11], pa.string()),
+            "aspect": pa.array(cols[9], pa.string()),
+            "slot_idx": pa.array(cols[10], pa.int32()),
+            "clause": pa.array(cols[11], pa.string()),
+            "desc_key": pa.array(cols[12], pa.string()),
         }).cast(S.EVENTS)
 
     def __del__(self):

@@ -31,16 +31,18 @@ _OBJ_PRONOUN_SET = pa.array(list(R.OBJ_PRONOUNS))
 # regex engine only sees candidate rows — "prune at the read" applied to
 # the hot extraction loop.  Literal must be implied by the template regex.
 _TEMPLATE_LITERALS = {
-    # v24: tense-alternated verbs keep the longest literal common to both
-    # forms (' work' ⊂ 'works at'/'worked at') — implied-by-regex rule
+    # v24/v27: tense- and aspect-alternated verbs keep the longest literal
+    # common to ALL forms (' work' ⊂ works/worked/working; ' us' ⊂
+    # uses/used/using; ' manag' ⊂ manages/managed/managing) —
+    # implied-by-regex rule
     "works_at": " work",
     "reported_bug": " reported a bug in ",
-    "uses": " use",
+    "uses": " us",
     "acquired": " acquired ",
     "met": " met with ",
     "joined": " joined ",
     "left_org": " left ",
-    "manages": " manage",
+    "manages": " manag",
     "maintains": " maintain",
     "partnered": " partnered with ",
 }
@@ -73,7 +75,7 @@ _ANY_LITERAL_RE = "|".join(
 
 def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
                   sent_idx=0, negated=False, in_question=False,
-                  is_past=False,
+                  is_past=False, aspect=R.ASPECT_SIMPLE,
                   slot_idx=0, clause=R.DEFAULT_CLAUSE,
                   desc_key=None) -> pa.Table:
     """One template's matches as an EVENTS table.  subj=None rows are
@@ -107,6 +109,7 @@ def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
          dcol(sk), dcol(ok),
          col(sent_idx, pa.int32()), col(negated, pa.bool_()),
          col(in_question, pa.bool_()), col(is_past, pa.bool_()),
+         dcol(aspect),
          col(slot_idx, pa.int32()), dcol(clause), dcol(desc_key)],
         schema=S.EVENTS)
 
@@ -197,15 +200,27 @@ def _explode_sentences(batch: pa.Table) -> pa.Table:
 
 
 def _attrs(sent) -> tuple:
-    """(negated, in_question, is_past) attribute kernels over matched
-    sentences.  is_past is the v24 lexical tense contract (rules.py):
-    a word-bounded past-form verb token, minus the present-passive
-    carve-out ('is maintained by')."""
+    """(negated, in_question, is_past, aspect) attribute kernels over
+    matched sentences.  is_past is the v24 lexical tense contract
+    (rules.py): a word-bounded past-form verb token, minus the
+    present-passive ('is maintained by') and present-perfect ('has
+    worked', v27) carve-outs.  aspect is the v27 contract: progressive
+    if PROG_RE, perfect if PERF_RE, else simple."""
     return (pc.match_substring(sent, R.NEGATION_MARK),
             pc.ends_with(sent, R.QUESTION_MARK),
-            pc.and_(pc.match_substring_regex(sent, R.PAST_RE),
-                    pc.invert(pc.match_substring_regex(
-                        sent, R.PRES_PASSIVE_RE))))
+            pc.and_(pc.and_(
+                pc.match_substring_regex(sent, R.PAST_RE),
+                pc.invert(pc.match_substring_regex(
+                    sent, R.PRES_PASSIVE_RE))),
+                pc.invert(pc.match_substring_regex(
+                    sent, R.PRES_PERFECT_RE))),
+            pc.if_else(
+                pc.match_substring_regex(sent, R.PROG_RE),
+                pa.scalar(R.ASPECT_PROG, pa.string()),
+                pc.if_else(
+                    pc.match_substring_regex(sent, R.PERF_RE),
+                    pa.scalar(R.ASPECT_PERF, pa.string()),
+                    pa.scalar(R.ASPECT_SIMPLE, pa.string()))))
 
 
 def extract_events(batch: pa.Table,
@@ -244,7 +259,7 @@ def extract_events(batch: pa.Table,
     # attribute kernels ONCE over the whole sentence column; every
     # emission below takes its subset (previously recomputed per
     # emission — ~2x per multi-template with the pronoun branch)
-    neg_all, inq_all, past_all = _attrs(text)
+    neg_all, inq_all, past_all, asp_all = _attrs(text)
 
     # pronoun templates first (their sentences also match the person-subject
     # shape; the oracle applies the same precedence, per sentence)
@@ -268,13 +283,13 @@ def extract_events(batch: pa.Table,
         local = pc.indices_nonzero(mask)
         idx = pron_idx.take(local)
         pron_matched_np[idx.to_numpy(zero_copy_only=False)] = True
-        neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
-                          past_all.take(idx))
+        neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
+                               past_all.take(idx), asp_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             pa.array([None] * len(idx), pa.string()), pred,
             pc.struct_field(ex, "obj").take(local), "person", ok,
-            sidx.take(idx), neg, inq, past))
+            sidx.take(idx), neg, inq, past, asp))
 
     cand_idx = pc.indices_nonzero(pc.fill_null(
         pc.match_substring_regex(text, _ANY_LITERAL_RE), False))
@@ -307,13 +322,13 @@ def extract_events(batch: pa.Table,
             continue
         local = pc.indices_nonzero(mask)
         idx = idx0.take(local)
-        neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
-                          past_all.take(idx))
+        neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
+                               past_all.take(idx), asp_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             subj.take(local), pred,
             pa.array([None] * len(idx), pa.string()), "person", ok,
-            sidx.take(idx), neg, inq, past))
+            sidx.take(idx), neg, inq, past, asp))
 
     # OBJECT pronouns inside quoted speech (v18): same event class as
     # the plain object-pronoun rows (subj + NULL obj, no desc_key) —
@@ -335,13 +350,13 @@ def extract_events(batch: pa.Table,
             continue
         local = pc.indices_nonzero(mask)
         idx = idx0.take(local)
-        neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
-                          past_all.take(idx))
+        neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
+                               past_all.take(idx), asp_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             subj.take(local), pred,
             pa.array([None] * len(idx), pa.string()), "person", ok,
-            sidx.take(idx), neg, inq, past, R.DEFAULT_SLOT_IDX,
+            sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
             R.QUOTED_CLAUSE))
 
     for pred, rx, sk, ok in R.TEMPLATES + list(extra_templates or []):
@@ -369,13 +384,13 @@ def extract_events(batch: pa.Table,
             continue
         local = pc.indices_nonzero(mask)
         idx = idx0.take(local)
-        neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
-                          past_all.take(idx))
+        neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
+                               past_all.take(idx), asp_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             subj.take(local), pred,
             pc.struct_field(ex, "obj").take(local), sk, ok,
-            sidx.take(idx), neg, inq, past))
+            sidx.take(idx), neg, inq, past, asp))
 
     # multi-relation templates (coordination / appositive / relative /
     # quoted): ONE RE2 extract per template, N emissions per match — the
@@ -426,13 +441,13 @@ def extract_events(batch: pa.Table,
             if pc.any(mask).as_py():
                 local = pc.indices_nonzero(mask)
                 idx = idx0.take(local)
-                neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
-                          past_all.take(idx))
+                neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
+                               past_all.take(idx), asp_all.take(idx))
                 outs.append(_events_table(
                     len(idx), conv.take(idx), tidx.take(idx),
                     subj.take(local), pred,
                     obj.take(local), sk, ok,
-                    sidx.take(idx), neg, inq, past, slot, clause))
+                    sidx.take(idx), neg, inq, past, asp, slot, clause))
             # a pronoun in a person subject slot ("She and Bob work at X")
             # becomes a PRONOUN event (subj NULL) carrying the emission's
             # slot/clause — resolved in Stage B like any pronoun turn
@@ -443,13 +458,13 @@ def extract_events(batch: pa.Table,
                 if pc.any(pmask).as_py():
                     local = pc.indices_nonzero(pmask)
                     idx = idx0.take(local)
-                    neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
-                          past_all.take(idx))
+                    neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
+                               past_all.take(idx), asp_all.take(idx))
                     outs.append(_events_table(
                         len(idx), conv.take(idx), tidx.take(idx),
                         pa.array([None] * len(idx), pa.string()), pred,
                         obj.take(local), sk, ok,
-                        sidx.take(idx), neg, inq, past, slot, clause))
+                        sidx.take(idx), neg, inq, past, asp, slot, clause))
             # a pronoun in a person OBJECT slot ("She and Bob met." —
             # emission met(Bob, She)) becomes an OBJECT-PRONOUN event
             # (explicit subj, NULL obj): Stage B fills the object and the
@@ -460,13 +475,13 @@ def extract_events(batch: pa.Table,
                 if pc.any(omask).as_py():
                     local = pc.indices_nonzero(omask)
                     idx = idx0.take(local)
-                    neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
-                          past_all.take(idx))
+                    neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
+                               past_all.take(idx), asp_all.take(idx))
                     outs.append(_events_table(
                         len(idx), conv.take(idx), tidx.take(idx),
                         subj.take(local), pred,
                         pa.array([None] * len(idx), pa.string()), sk, ok,
-                        sidx.take(idx), neg, inq, past, slot, clause))
+                        sidx.take(idx), neg, inq, past, asp, slot, clause))
 
     # LIST templates (open-ended coordination, v12): RE2 captures the list
     # head as ONE group; the split into member slots is a vectorized
@@ -515,9 +530,10 @@ def extract_events(batch: pa.Table,
             [slot_head, lens.astype(np.int64)]).astype("int32"), pa.int32())
         m_idx = idx.take(m_sent)   # sentence-row index per member
         m_obj = obj.take(m_sent)
-        m_neg, m_inq, m_past = (neg_all.take(m_idx),
-                                inq_all.take(m_idx),
-                                past_all.take(m_idx))
+        m_neg, m_inq, m_past, m_asp = (neg_all.take(m_idx),
+                                       inq_all.take(m_idx),
+                                       past_all.take(m_idx),
+                                       asp_all.take(m_idx))
         is_pron = pc.fill_null(
             pc.is_in(members, value_set=_PRONOUN_SET), False)
         npron = pc.indices_nonzero(pc.invert(is_pron))
@@ -528,7 +544,7 @@ def extract_events(batch: pa.Table,
                 members.take(npron), pred, m_obj.take(npron), mk, ok,
                 sidx.take(m_idx.take(npron)), m_neg.take(npron),
                 m_inq.take(npron), m_past.take(npron),
-                m_slot.take(npron), clause))
+                m_asp.take(npron), m_slot.take(npron), clause))
         if mk == "person":
             ppron = pc.indices_nonzero(is_pron)
             if len(ppron):
@@ -539,7 +555,7 @@ def extract_events(batch: pa.Table,
                     m_obj.take(ppron), mk, ok,
                     sidx.take(m_idx.take(ppron)), m_neg.take(ppron),
                     m_inq.take(ppron), m_past.take(ppron),
-                    m_slot.take(ppron), clause))
+                    m_asp.take(ppron), m_slot.take(ppron), clause))
 
     # definite-description templates (cross-sentence anaphora, v12): emit a
     # DESCRIPTOR event — subj NULL + desc_key (the module) — resolved in
@@ -558,13 +574,14 @@ def extract_events(batch: pa.Table,
                 continue
             local = pc.indices_nonzero(mask)
             idx = idx0.take(local)
-            neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
-                          past_all.take(idx))
+            neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
+                               past_all.take(idx), asp_all.take(idx))
             outs.append(_events_table(
                 len(idx), conv.take(idx), tidx.take(idx),
                 pa.array([None] * len(idx), pa.string()), pred,
                 pc.struct_field(ex, "obj").take(local), "person", ok,
-                sidx.take(idx), neg, inq, past, R.DEFAULT_SLOT_IDX, clause,
+                sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
+                clause,
                 pc.struct_field(ex, "key").take(local)))
 
     # OBJECT-side definite descriptions (v15): emit an event with the
@@ -588,13 +605,13 @@ def extract_events(batch: pa.Table,
                 continue
             local = pc.indices_nonzero(mask)
             idx = idx0.take(local)
-            neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
-                          past_all.take(idx))
+            neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
+                               past_all.take(idx), asp_all.take(idx))
             outs.append(_events_table(
                 len(idx), conv.take(idx), tidx.take(idx),
                 subj.take(local), pred,
                 pa.array([None] * len(idx), pa.string()), "person",
-                "person", sidx.take(idx), neg, inq, past,
+                "person", sidx.take(idx), neg, inq, past, asp,
                 R.DEFAULT_SLOT_IDX, clause,
                 pc.struct_field(ex, "key").take(local)))
 
@@ -617,14 +634,14 @@ def extract_events(batch: pa.Table,
             if pc.any(mask).as_py():
                 local = pc.indices_nonzero(mask)
                 idx = idx0.take(local)
-                neg, inq, past = (neg_all.take(idx), inq_all.take(idx),
-                          past_all.take(idx))
+                neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
+                               past_all.take(idx), asp_all.take(idx))
                 outs.append(_events_table(
                     len(idx), conv.take(idx), tidx.take(idx),
                     subj.take(local), R.MENTIONED_PRED,
                     pc.struct_field(ex, "obj").take(local),
                     "person", R.UNKNOWN_KIND,
-                    sidx.take(idx), neg, inq, past))
+                    sidx.take(idx), neg, inq, past, asp))
 
     if not outs:
         return S.EVENTS.empty_table()
@@ -797,6 +814,7 @@ def _resolve_bucket(group: pa.Table,
              sub.column("negated").cast(pa.bool_()),
              sub.column("in_question").cast(pa.bool_()),
              sub.column("is_past").cast(pa.bool_()),
+             sub.column("aspect").cast(pa.string()),
              sub.column("slot_idx").cast(pa.int32()),
              sub.column("clause").cast(pa.string())],
             schema=S.TRIPLES_SURFACE)
@@ -879,7 +897,7 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
     # sentence differing only in slot_idx
     df = df.sort_values(
         ["conv_id", "turn_idx", "person", "pred", "obj", "sent_idx",
-         "is_past", "slot_idx", "clause", "desc_key"],
+         "is_past", "aspect", "slot_idx", "clause", "desc_key"],
         kind="mergesort", ignore_index=True)
     within = df.groupby(df["conv_id"].to_numpy(), sort=False).cumcount()
     if (within >= cap).any():
@@ -889,7 +907,7 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
     def _payload(sel: pd.DataFrame) -> pd.DataFrame:
         return sel[["conv_id", "turn_idx", "pred", "obj", "obj_kind",
                     "sent_idx", "negated", "in_question", "is_past",
-                    "slot_idx", "clause", "person"]] \
+                    "aspect", "slot_idx", "clause", "person"]] \
             .rename(columns={"person": "own_person"})
 
     def _table(out: pd.DataFrame, subj_np, obj_np) -> pa.Table:
@@ -906,6 +924,7 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
              pa.array(out["negated"].to_numpy(bool), pa.bool_()),
              pa.array(out["in_question"].to_numpy(bool), pa.bool_()),
              pa.array(out["is_past"].to_numpy(bool), pa.bool_()),
+             pa.array(out["aspect"].to_numpy(object), pa.string()),
              pa.array(out["slot_idx"].to_numpy(), pa.int32()),
              pa.array(out["clause"].to_numpy(object), pa.string())],
             schema=S.TRIPLES_SURFACE)
@@ -997,7 +1016,7 @@ MAX_RESOLVE_EVENTS_PER_CONV = 100_000
 # 64M-turn scale).  Decoded ONCE per bucket shard in _resolve_bucket;
 # NULLs (the row-class discriminators) survive as null indices.
 _NARROW_DICT_COLS = ("conv_id", "person", "pred", "obj", "obj_kind",
-                     "clause", "desc_key")
+                     "aspect", "clause", "desc_key")
 
 
 def _encode_narrow(t: pa.Table) -> pa.Table:
@@ -1129,6 +1148,7 @@ def _resolve_subset_plain(t: pa.Table) -> pa.Table:
         "negated": t.column("negated"),
         "in_question": t.column("in_question"),
         "is_past": t.column("is_past"),
+        "aspect": nulls,
         "slot_idx": pa.nulls(t.num_rows, pa.int32()),
         "clause": nulls,
         "desc_key": obj_s,
@@ -1144,6 +1164,8 @@ def _resolve_subset_plain(t: pa.Table) -> pa.Table:
         "negated": t.column("negated"),
         "in_question": t.column("in_question"),
         "is_past": t.column("is_past"),
+        "aspect": pc.if_else(needs_res,
+                             t.column("aspect").cast(pa.string()), nulls),
         # pronoun slots inside multi-relation constructs carry their own
         # slot/clause (e.g. "Bob and She use x daily" → slot_idx 1); only
         # PRONOUN rows need them — state rows ship null (bitmap-only), so

@@ -475,6 +475,41 @@ def kcore_query(sf_dir: str):
     return kcore(_cooccur_edges(sf_dir))
 
 
+def kcore_sql(rel: str, *, max_rounds: int = KCORE_MAX_ROUNDS) -> str:
+    """DuckDB mirror of the h-index k-core fixpoint (r5): the SAME
+    update rule as the engine — labels init to degree; each round every
+    node's label becomes the h-index of its neighbors' labels (#
+    positions where the descending-sorted neighbor label >= its rank) —
+    iterated ``max_rounds`` times via a recursive CTE.  The h-index
+    iteration converges to coreness (Lu et al. 2016) and is idempotent
+    at the fixpoint, so running the full ``max_rounds`` rounds equals
+    the engine's converge-early loop; if neither converges, both have
+    applied the identical update the identical number of times."""
+    from .chains import cooccurrence_sql
+    return f"""
+    WITH RECURSIVE cooc AS MATERIALIZED ({cooccurrence_sql(rel)}),
+    und AS (SELECT a AS x, b AS y FROM cooc
+            UNION ALL SELECT b, a FROM cooc),
+    deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS lab
+            FROM und GROUP BY 1),
+    it AS (
+      SELECT 0 AS round, node, lab FROM deg
+      UNION ALL
+      SELECT round + 1, node,
+             CAST(coalesce(sum(CASE WHEN nlab >= rn THEN 1 ELSE 0 END),
+                           0) AS BIGINT) AS lab
+      FROM (
+        SELECT u.x AS node, i.round, i.lab AS nlab,
+               row_number() OVER (PARTITION BY u.x
+                                  ORDER BY i.lab DESC) AS rn
+        FROM und u JOIN it i ON i.node = u.y)
+      WHERE round < {max_rounds}
+      GROUP BY node, round)
+    SELECT node AS entity, lab AS core FROM it
+    WHERE round = {max_rounds}
+    """
+
+
 def triangles_sql(rel: str) -> str:
     """DuckDB mirror: once-counted triangles via the a<b<c 3-way
     self-join over the (already a<b, distinct) co-occurrence edge list;

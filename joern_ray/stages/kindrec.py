@@ -95,7 +95,7 @@ def untyped_mentions_batch(batch: pa.Table) -> pa.Table:
         return UNTYPED.empty_table()
     local = pc.indices_nonzero(mask)
     idx = cand.take(local)
-    neg, inq, _past = _attrs(sub.take(local))
+    neg, inq, _past, _asp = _attrs(sub.take(local))
     return pa.Table.from_arrays(
         [sents.column("conv_id").take(idx).cast(pa.string()),
          sents.column("turn_idx").take(idx).cast(pa.int32()),
@@ -494,8 +494,10 @@ def recovered_to_surface(rec: pa.Table) -> pa.Table:
          rec.column("sent_idx"),
          pa.array([False] * n, pa.bool_()),
          pa.array([False] * n, pa.bool_()),
-         # 'mentioned' is intrinsically past (rules.PAST_RE)
+         # 'mentioned' is intrinsically past (rules.PAST_RE), simple
+         # aspect (no auxiliary verb group in the template)
          pa.array([True] * n, pa.bool_()),
+         pa.array([R.ASPECT_SIMPLE] * n, pa.string()),
          pa.array([0] * n, pa.int32()),
          pa.array([R.DEFAULT_CLAUSE] * n, pa.string())],
         schema=S.TRIPLES_SURFACE)
@@ -572,8 +574,8 @@ def _narrow_from_evidence(ev_t: pa.Table) -> pa.Table:
         "obj": ev_t.column("surface").cast(pa.string()),
         "obj_kind": ev_t.column("kind").cast(pa.string()),
         "sent_idx": inull, "negated": bnull, "in_question": bnull,
-        "is_past": bnull, "slot_idx": inull, "clause": snull,
-        "desc_key": snull})
+        "is_past": bnull, "aspect": snull, "slot_idx": inull,
+        "clause": snull, "desc_key": snull})
 
 
 def _narrow_from_unknowns(unk_t: pa.Table) -> pa.Table:
@@ -592,6 +594,7 @@ def _narrow_from_unknowns(unk_t: pa.Table) -> pa.Table:
         "negated": unk_t.column("negated").cast(pa.bool_()),
         "in_question": unk_t.column("in_question").cast(pa.bool_()),
         "is_past": pa.nulls(n, pa.bool_()),
+        "aspect": snull,
         "slot_idx": pa.nulls(n, pa.int32()),
         "clause": snull, "desc_key": snull})
 
@@ -657,8 +660,8 @@ def _fused_shard(g: pa.Table, cap: int | None) -> pa.Table:
              j.column("sent_idx").cast(pa.int32()),
              j.column("negated").cast(pa.bool_()),
              j.column("in_question").cast(pa.bool_()),
-             pa.nulls(n, pa.bool_()), pa.nulls(n, pa.int32()),
-             pa.nulls(n, pa.string()),
+             pa.nulls(n, pa.bool_()), pa.nulls(n, pa.string()),
+             pa.nulls(n, pa.int32()), pa.nulls(n, pa.string()),
              pa.array(np.ones(n, dtype=np.int8), pa.int8())],
             schema=out_schema))
     if not outs:

@@ -23,7 +23,18 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v26"  # v26: pronoun CHAINS across multi-sentence quoted
+CORPUS_VERSION = "v27"  # v27: ASPECT attribute (simple | progressive |
+#                         perfect) — the fourth relation attribute: the
+#                         four alternating verb families (works_at / uses
+#                         / maintains / manages, incl. their pronoun
+#                         templates) realize progressive ('is/was
+#                         working', ~7%) and perfect ('has/had worked',
+#                         ~7%) verb groups; the sentence-level lexical
+#                         kernel (rules.PROG_RE / PERF_RE) classifies
+#                         them, and the is_past contract gains the
+#                         present-perfect carve-out ('has worked' is NOT
+#                         past; 'had worked' and 'was working' are).
+#                         v26: pronoun CHAINS across multi-sentence quoted
 #                         speech ('X said "She uses y daily. She maintains
 #                         m."') — every intra-quote pronoun resolves
 #                         independently in the QUOTING turn's scope (no
@@ -158,6 +169,23 @@ def _pick_person(rng) -> str:
 def _tense(rng, present: str, past: str) -> str:
     """v24: ~15% of alternating-family sentences realize the past form."""
     return past if rng.random() < 0.15 else present
+
+
+def _aspect_verb(rng, present: str, past: str, part_ing: str) -> str:
+    """v27: ~15% simple past, ~7% progressive (is/was + V-ing), ~7%
+    perfect (has/had + V-ed; the participle equals the regular past
+    form), rest simple present.  The auxiliary choice composes tense
+    with aspect ('was working' = past progressive, 'has worked' =
+    present perfect — the PRES_PERFECT_RE carve-out keeps it
+    non-past)."""
+    u = rng.random()
+    if u < 0.15:
+        return past
+    if u < 0.22:
+        return ("was " if rng.random() < 0.5 else "is ") + part_ing
+    if u < 0.29:
+        return ("had " if rng.random() < 0.5 else "has ") + past
+    return present
 
 
 def _pick_org(rng) -> tuple[str, str]:
@@ -434,7 +462,11 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         if pred == "works_at":
             subj = _pick_person(rng)
             obj_surface, obj_canon = _pick_org(rng)
-            verb = _tense(rng, "works", "worked")
+            # v27: aspect forms only without the negation modifier ('no
+            # longer is working' is not generated; the regex would still
+            # match it, so the contract stays total either way)
+            verb = (_tense(rng, "works", "worked") if neg
+                    else _aspect_verb(rng, "works", "worked", "working"))
             text = f"{subj} {neg}{verb} at {obj_surface}{end}"
             subj_canon = subj.lower()
             person_slot = subj
@@ -451,7 +483,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         elif pred == "uses":
             subj = _pick_person(rng)
             obj_surface = obj_canon = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
-            verb = _tense(rng, "uses", "used")
+            verb = (_tense(rng, "uses", "used") if neg
+                    else _aspect_verb(rng, "uses", "used", "using"))
             text = f"{subj} {neg}{verb} {obj_surface} daily{end}"
             subj_canon = subj.lower()
             person_slot = subj
@@ -467,7 +500,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                         (obj_surface, "org", obj_canon)])
         elif pred in ("met", "manages"):
             verb = ("met with" if pred == "met"
-                    else _tense(rng, "manages", "managed"))
+                    else _aspect_verb(rng, "manages", "managed",
+                                      "managing"))
             subj = _pick_person(rng)
             obj_surface = _pick_person(rng)
             while obj_surface == subj:
@@ -490,7 +524,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         elif pred == "maintains":
             subj = _pick_person(rng)
             obj_surface = obj_canon = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
-            verb = _tense(rng, "maintains", "maintained")
+            verb = _aspect_verb(rng, "maintains", "maintained",
+                                "maintaining")
             text = f"{subj} {verb} {obj_surface}{end}"
             subj_canon = subj.lower()
             person_slot = subj
@@ -762,12 +797,15 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             neg = "no longer " if rng.random() < 0.08 else ""
             if obj_kind == "org":
                 obj_surface, obj_canon = _pick_org(rng)
-                verb = _tense(rng, "works", "worked")
+                verb = (_tense(rng, "works", "worked") if neg
+                        else _aspect_verb(rng, "works", "worked",
+                                          "working"))
                 text = f"{pronoun} {neg}{verb} at {obj_surface}."
                 pred = "works_at"
             else:
                 obj_surface = obj_canon = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
-                verb = _tense(rng, "uses", "used")
+                verb = (_tense(rng, "uses", "used") if neg
+                        else _aspect_verb(rng, "uses", "used", "using"))
                 text = f"{pronoun} {neg}{verb} {obj_surface} daily."
                 pred = "uses"
             add_row(t, role, text)
@@ -1037,6 +1075,52 @@ def ensure_corpus_parallel(n_convs: int, name: str) -> str:
 
 def transcripts_path(sf_dir: str) -> str:
     return os.path.join(ensure_corpus(sf_dir), "transcripts.parquet")
+
+
+PARTITION_BUCKETS = 8
+
+
+def ensure_corpus_partitioned(sf_dir: str,
+                              n_buckets: int = PARTITION_BUCKETS) -> str:
+    """Hash-partitioned multi-file transcript layout (r5): one directory
+    per conv-hash bucket (``bucket=<i>/part.parquet``, Hive layout), the
+    100-TB resumable-output shape — a reader that knows its bucket (or a
+    conv-prefix predicate mapped to buckets) SKIPS whole files instead
+    of scanning one monolith.  Reference analog: the filtered source
+    discovery of ``SourceFiles.determine``
+    (``x2cpg/.../SourceFiles.scala:67-96``) — prune at enumeration, not
+    after the read.  Same rows as the flat corpus (pytest-asserted)."""
+    import pandas as pd
+
+    d = corpus_dir(sf_dir)
+    pdir = os.path.join(d, f"transcripts_part{n_buckets}")
+    done = os.path.join(pdir, "_SUCCESS")
+    if os.path.exists(done):
+        return pdir
+    t = pq.read_table(transcripts_path(sf_dir))
+    h = pd.util.hash_array(
+        t.column("conv_id").to_numpy(zero_copy_only=False)) % n_buckets
+    for b in range(n_buckets):
+        sub = t.filter(pa.array(h == b))
+        bdir = os.path.join(pdir, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        pq.write_table(sub, os.path.join(bdir, "part-0.parquet"),
+                       row_group_size=64 * 1024)
+    with open(done, "w") as f:
+        f.write("ok")
+    return pdir
+
+
+def conv_bucket(conv_id: str, n_buckets: int = PARTITION_BUCKETS) -> int:
+    """The bucket a conversation's rows live in (pure function of the
+    key — the reader-side half of the partitioning contract).  NB: the
+    modulo runs on a Python int — a numpy uint64 SCALAR % python-int
+    silently converts to float64 and mangles large hashes (array %
+    python-int stays uint64; the writer path is unaffected)."""
+    import numpy as np
+    import pandas as pd
+    return int(int(pd.util.hash_array(
+        np.asarray([conv_id], dtype=object))[0]) % n_buckets)
 
 
 def gt_path(sf_dir: str) -> str:

@@ -109,3 +109,38 @@ def test_http_server_queries_and_run(ray_session, sf_small):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_console_stage_runner(ray_session, sf_small, tmp_path):
+    """The run.<overlay> analog (``console/Run.scala:1-104``): invoke a
+    registered Stage by name from the console — deps toposort+execute;
+    a workspace dir checkpoints each stage through the Manifest so a
+    re-run SKIPS completed stages (the overlays-ledger discipline)."""
+    con = _console(sf_small)
+
+    out, _ = con.execute("stages")
+    for name in ("triples_surface", "entities", "triples_canonical",
+                 "nodes", "edges"):
+        assert name in out
+    assert "deps:" in out
+
+    out, _ = con.execute("stage entities '' 5")
+    assert "stage entities @" in out and "row(s)" in out
+    assert "kind" in out          # entities schema column
+
+    # unknown stage is a user error, not an exception
+    out, _ = con.execute("stage nope")
+    assert "unknown stage" in out
+
+    # workspace mode: second run resumes from the manifest checkpoints
+    ws = str(tmp_path / "ws")
+    out1, _ = con.execute(f"stage triples_surface {ws} 3")
+    assert "3 row(s)" in out1
+    import os
+    ledger = os.path.join(ws, "_manifest", "triples_surface.json")
+    assert os.path.exists(ledger)
+    before = os.path.getmtime(ledger)
+    out2, _ = con.execute(f"stage triples_surface {ws} 3")
+    assert "3 row(s)" in out2
+    # skip-completed: the ledger record was not rewritten on re-run
+    assert os.path.getmtime(ledger) == before
