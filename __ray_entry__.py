@@ -149,7 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.compute as pc
         from joern_ray.functions import rules as R
         vs = pa.array([R.DESC_CLAUSE, R.DESC_QUOTED_CLAUSE,
-                       R.DESC_OBJ_CLAUSE])
+                       R.DESC_OBJ_CLAUSE, R.DESC_ORG_CLAUSE])
         return X.extract_triples(_transcripts(sf_dir)).map_batches(
             lambda t: t.filter(pc.is_in(t.column("clause"), value_set=vs))
                        .select(["conv_id", "turn_idx", "subj", "pred",
@@ -443,7 +443,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, subj, pred, obj, clause "
             f"FROM ({G.resolved_triples_sql(tr)}) "
             "WHERE clause IN ('definite', 'quoted_definite', "
-            "'definite_obj')"),
+            "'definite_obj', 'definite_org')"),
         "kg_list_coordination": (
             "SELECT conv_id, turn_idx, subj, pred, obj, slot_idx "
             f"FROM ({G.resolved_triples_sql(tr)}) "

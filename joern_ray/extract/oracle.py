@@ -85,16 +85,23 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                 if p is not None and (cur_person is None or p > cur_person):
                     cur_person = p
 
-            def _commit_maint(subj, pred, obj):
+            def _commit_maint(subj, pred, obj, obj_kind=None):
                 """Explicit maintains/manages rows feed the key-keyed
                 descriptor state (definite-description resolution;
                 pronoun-resolved rows never reach here — resolution stays
                 a pure function of the committed stream).  Key spaces are
-                disjoint by surface shape, one dict serves every family."""
+                disjoint by surface shape, one dict serves every family.
+                v28: explicit works_at(person, org) rows feed the
+                ORG-keyed family under the NORMALIZED org surface."""
                 if pred in R.DESC_STATE_PREDS:
-                    m = cur_maint.get(obj)
-                    if m is None or subj > m:
-                        cur_maint[obj] = subj
+                    key = obj
+                elif pred == R.ORG_STATE_PRED and obj_kind == "org":
+                    key = R.normalize_surface("org", obj)
+                else:
+                    return
+                m = cur_maint.get(key)
+                if m is None or subj > m:
+                    cur_maint[key] = subj
 
             # object-pronoun templates ("Alice met with her."): the
             # explicit subject anchors the relation AND feeds referent
@@ -158,7 +165,7 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                 # turn take the lexicographic max (rules.py contract)
                 _commit(obj if ok == "person"
                         else subj if sk == "person" else None)
-                _commit_maint(subj, pred, obj)
+                _commit_maint(subj, pred, obj, ok)
                 break
             # multi-relation templates (disjoint from single templates by
             # anchors): every emitted slot feeds referent state per-row
@@ -201,7 +208,7 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                                     slot_idx=slot, clause=clause))
                     _commit(obj if ok == "person"
                             else subj if sk == "person" else None)
-                    _commit_maint(subj, pred, obj)
+                    _commit_maint(subj, pred, obj, ok)
                 break
             # LIST templates (open-ended coordination, v12): split the
             # captured head on the shared separator; one emission per
@@ -228,6 +235,7 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                                     slot_idx=slot, clause=clause))
                     _commit(obj if ok == "person"
                             else mem if mk == "person" else None)
+                    _commit_maint(mem, pred, obj, ok)
                 break
             # definite-description templates (v12): the descriptor resolves
             # against the committed module-keyed maintainer state; the
@@ -238,6 +246,24 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                 if m is None:
                     continue
                 ref = last_maint.get(m.group("key"))
+                obj = m.group("obj")
+                if ref is not None:
+                    out.append(dict(conv_id=conv_id, turn_idx=t, subj=ref,
+                                    pred=pred, obj=obj, subj_kind="person",
+                                    obj_kind=ok, **attrs,
+                                    slot_idx=R.DEFAULT_SLOT_IDX,
+                                    clause=clause))
+                if ok == "person":
+                    _commit(obj)
+                break
+            # ORG-keyed descriptors (v28): key = lowercased org base,
+            # resolved against the normalized-surface works_at state;
+            # the explicit person object feeds referent state as usual
+            for pred, rx, ok, clause in R.COMPILED_DESC_ORG_TEMPLATES:
+                m = rx.match(sent)
+                if m is None:
+                    continue
+                ref = last_maint.get(m.group("key").lower())
                 obj = m.group("obj")
                 if ref is not None:
                     out.append(dict(conv_id=conv_id, turn_idx=t, subj=ref,

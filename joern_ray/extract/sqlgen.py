@@ -263,6 +263,20 @@ def events_sql(rel: str) -> str:
                regexp_extract(sent, '{rxs}', {nums["key"]})
         FROM {sents}
         WHERE regexp_matches(sent, '{rxs}') AND NOT ({pron_any})""")
+    # ORG-keyed descriptors (v28): etype 'desc', desc_key = the
+    # LOWERCASED org base — resolved in the shared module-state window
+    # against the normalized-surface works_at state (mm CTE)
+    for pred, rx, ok, clause in R.DESC_ORG_TEMPLATES:
+        rxs = _plain(rx)
+        nums = R.named_group_numbers(rx)
+        parts.append(f"""
+        SELECT conv_id, turn_idx, 'desc', CAST(NULL AS VARCHAR), '{pred}',
+               regexp_extract(sent, '{rxs}', {nums["obj"]}),
+               'person', '{ok}', {_attr_cols()},
+               {R.DEFAULT_SLOT_IDX}, '{clause}',
+               lower(regexp_extract(sent, '{rxs}', {nums["key"]}))
+        FROM {sents}
+        WHERE regexp_matches(sent, '{rxs}') AND NOT ({pron_any})""")
     # OBJECT-side definite descriptions (v15): explicit subject captured,
     # obj NULL until the module-state window fills it; pronoun subjects
     # skip (the plain-template rule)
@@ -325,11 +339,20 @@ def resolved_triples_sql(rel: str) -> str:
     -- committed = latest strictly-earlier turn's max EXPLICIT maintainer
     -- of the descriptor's module (pronoun-resolved rows never feed it)
     mm AS (
-      SELECT conv_id, obj AS mkey, turn_idx, max(subj) AS turn_m
-      FROM ev
-      WHERE etype = 'triple'
-        AND pred IN ({", ".join(f"'{p}'" for p in R.DESC_STATE_PREDS)})
-        AND subj IS NOT NULL AND obj IS NOT NULL
+      SELECT conv_id, mkey, turn_idx, max(subj) AS turn_m FROM (
+        SELECT conv_id, obj AS mkey, turn_idx, subj
+        FROM ev
+        WHERE etype = 'triple'
+          AND pred IN ({", ".join(f"'{p}'" for p in R.DESC_STATE_PREDS)})
+          AND subj IS NOT NULL AND obj IS NOT NULL
+        UNION ALL
+        -- v28 org-keyed family: explicit works_at(person, org) commits
+        -- under the NORMALIZED org surface (the typo'd-org contract)
+        SELECT conv_id, {_norm_expr("obj", "obj_kind")}, turn_idx, subj
+        FROM ev
+        WHERE etype = 'triple' AND pred = '{R.ORG_STATE_PRED}'
+          AND obj_kind = 'org'
+          AND subj IS NOT NULL AND obj IS NOT NULL)
       GROUP BY 1, 2, 3),
     mdom AS (
       SELECT DISTINCT conv_id, mkey, turn_idx FROM (

@@ -165,6 +165,16 @@ for line in sys.stdin:
                 evs.append([None, pred, m.group("obj"), "person", ok,
                             *attrs, 0, clause, m.group("key")])
                 break
+            # ORG-keyed descriptors (v28): desc event, key = lowercased
+            # org base — resolved downstream against the normalized
+            # works_at state
+            for pred, rx, ok, clause in R.COMPILED_DESC_ORG_TEMPLATES:
+                m = rx.match(sent)
+                if m is None:
+                    continue
+                evs.append([None, pred, m.group("obj"), "person", ok,
+                            *attrs, 0, clause, m.group("key").lower()])
+                break
             # OBJECT-side definite descriptions (v15): explicit subject,
             # NULL obj, desc_key — Stage B fills the object; pronoun
             # subjects skip (rules.py contract)

@@ -70,7 +70,8 @@ _ANY_LITERAL_RE = "|".join(
         + list(R.MULTI_TEMPLATE_LITERALS.values())
         + list(R.LIST_TEMPLATE_LITERALS.values())
         + [R.MENTIONED_LITERAL, R.DESC_LITERAL, R.DESC_OBJ_LITERAL,
-           R.MGR_DESC_LITERAL, R.MGR_DESC_OBJ_LITERAL]))
+           R.MGR_DESC_LITERAL, R.MGR_DESC_OBJ_LITERAL,
+           R.DESC_ORG_LITERAL]))
 
 
 def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
@@ -584,6 +585,35 @@ def extract_events(batch: pa.Table,
                 clause,
                 pc.struct_field(ex, "key").take(local)))
 
+    # ORG-keyed descriptor family (v28): same event class as the
+    # maintainer/manager descriptors (subj NULL + desc_key); the key is
+    # the LOWERCASED org base, which matches the normalized key the
+    # works_at state rows commit under (rules.py v28 contract) — Stage B
+    # resolution rides the generic descriptor machinery unchanged.
+    if n_cand:
+        pre = pc.match_substring(cand_text, R.DESC_ORG_LITERAL)
+        idx0 = cand_idx.take(pc.indices_nonzero(pc.fill_null(pre, False)))
+        for pred, rx, ok, clause in (R.DESC_ORG_TEMPLATES
+                                     if len(idx0) else []):
+            ex = pc.extract_regex(text.take(idx0), rx)
+            mask = pc.is_valid(ex)
+            not_pm = pc.invert(pa.array(
+                pron_matched_np[idx0.to_numpy(zero_copy_only=False)]))
+            mask = pc.and_(mask, not_pm)
+            if not pc.any(mask).as_py():
+                continue
+            local = pc.indices_nonzero(mask)
+            idx = idx0.take(local)
+            neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
+                               past_all.take(idx), asp_all.take(idx))
+            outs.append(_events_table(
+                len(idx), conv.take(idx), tidx.take(idx),
+                pa.array([None] * len(idx), pa.string()), pred,
+                pc.struct_field(ex, "obj").take(local), "person", ok,
+                sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
+                clause,
+                pc.utf8_lower(pc.struct_field(ex, "key").take(local))))
+
     # OBJECT-side definite descriptions (v15): emit an event with the
     # explicit subject, NULL obj and desc_key (the module) — the
     # subj∧¬obj∧desc_key store class.  Stage B fills the object from the
@@ -729,6 +759,13 @@ def _resolve_group(group: pa.Table) -> pa.Table:
             m = cur_maint.get(r["obj"])
             if m is None or r["subj"] > m:
                 cur_maint[r["obj"]] = r["subj"]
+        elif r["pred"] == R.ORG_STATE_PRED and r["obj_kind"] == "org":
+            # v28 org-keyed family: key = normalized org surface (the
+            # typo'd-surface contract in rules.py)
+            key = R.normalize_surface("org", r["obj"])
+            m = cur_maint.get(key)
+            if m is None or r["subj"] > m:
+                cur_maint[key] = r["subj"]
     if not keep:
         return S.TRIPLES_SURFACE.empty_table()
     return pa.Table.from_pylist(keep, schema=S.TRIPLES_SURFACE)
@@ -1153,6 +1190,39 @@ def _resolve_subset_plain(t: pa.Table) -> pa.Table:
         "clause": nulls,
         "desc_key": obj_s,
     }).filter(is_state_ev)
+    # v28 org-keyed descriptor state: explicit works_at(person, org)
+    # rows ship ONE extra narrow state row keyed by the NORMALIZED org
+    # surface (normalize runs over just this subset, not the batch)
+    is_org_state = pc.and_(
+        pc.and_(pc.is_valid(subj_s), pc.is_valid(obj_s)),
+        pc.and_(pc.equal(pred_s, R.ORG_STATE_PRED),
+                pc.equal(ok_s, "org")))
+    org_idx = pc.indices_nonzero(pc.fill_null(is_org_state, False))
+    if len(org_idx):
+        from .link import normalize_arrays
+        o_obj = obj_s.take(org_idx)
+        okey = normalize_arrays(
+            pa.array(["org"] * len(org_idx)), o_obj)
+        n_o = len(org_idx)
+        onull = pa.nulls(n_o, pa.string())
+        ost_rows = pa.table({
+            "conv_id": t.column("conv_id").take(org_idx),
+            "turn_idx": t.column("turn_idx").take(org_idx),
+            "person": subj_s.take(org_idx),
+            "pred": onull,
+            "obj": onull,
+            "obj_kind": onull,
+            "sent_idx": t.column("sent_idx").take(org_idx),
+            "negated": t.column("negated").take(org_idx),
+            "in_question": t.column("in_question").take(org_idx),
+            "is_past": t.column("is_past").take(org_idx),
+            "aspect": onull,
+            "slot_idx": pa.nulls(n_o, pa.int32()),
+            "clause": onull,
+            "desc_key": okey,
+        })
+    else:
+        ost_rows = None
     narrow = pa.table({
         "conv_id": t.column("conv_id"),
         "turn_idx": t.column("turn_idx"),
@@ -1176,7 +1246,10 @@ def _resolve_subset_plain(t: pa.Table) -> pa.Table:
                              nulls),
         "desc_key": dk_val,
     }).filter(mask)
-    return pa.concat_tables([narrow, mst_rows])
+    parts = [narrow, mst_rows]
+    if ost_rows is not None:
+        parts.append(ost_rows)
+    return pa.concat_tables(parts)
 
 
 def extract_triples(transcripts_ds, *, num_partitions: int | None = None,

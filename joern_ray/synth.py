@@ -23,7 +23,20 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v27"  # v27: ASPECT attribute (simple | progressive |
+CORPUS_VERSION = "v28"  # v28: ORG-keyed cross-sentence appositive
+#                         descriptors ("The Acme engineer met with Bob.")
+#                         — the third descriptor-state family: every
+#                         explicit works_at(person, org) commits state
+#                         under the NORMALIZED org surface (typo'd
+#                         surfaces commit under THEIR normalized key —
+#                         the surface-keyed contract; fuzzy unification
+#                         stays canonicalization's job); descriptors
+#                         resolve lower(<base>) against it, clause
+#                         'definite_org'.  synth tracks the state with a
+#                         turn-level scan over the SHARED works_at
+#                         templates (_works_at_commits), so generated
+#                         descriptors always agree with the engine.
+#                         v27: ASPECT attribute (simple | progressive |
 #                         perfect) — the fourth relation attribute: the
 #                         four alternating verb families (works_at / uses
 #                         / maintains / manages, incl. their pronoun
@@ -197,6 +210,57 @@ def _pick_org(rng) -> tuple[str, str]:
     return f"{variant} {suffix}", base.lower()
 
 
+def _works_at_commits(text: str) -> dict[str, str]:
+    """Turn-level org-engineer state commits (v28): scan the turn's text
+    with the SHARED works_at templates (single / multi / list arms) and
+    return {normalized org surface -> max explicit subject} — exactly the
+    engine contract, so descriptor generation can never disagree with
+    resolution.  Pronoun subjects never commit (the standard rule)."""
+    out: dict[str, str] = {}
+
+    def upd(subj: str, obj_surface: str) -> None:
+        if subj in R.SUBJ_PRONOUNS:
+            return
+        key = R.normalize_surface("org", obj_surface)
+        m = out.get(key)
+        if m is None or subj > m:
+            out[key] = subj
+
+    for sent in R.split_sentences(text):
+        matched = False
+        for pred, rx, sk, ok in R.COMPILED_TEMPLATES:
+            m = rx.match(sent)
+            if m is None:
+                continue
+            if pred == "works_at":
+                upd(m.group("subj"), m.group("obj"))
+            matched = True
+            break
+        if matched:
+            continue
+        for name, rx, emissions in R.COMPILED_MULTI_TEMPLATES:
+            m = rx.match(sent)
+            if m is None:
+                continue
+            for pred, sg, sk, og, ok, slot, clause in emissions:
+                if pred == "works_at" and ok == "org":
+                    upd(m.group(sg), m.group(og))
+            matched = True
+            break
+        if matched:
+            continue
+        for name, rx, pred, mk, ok, clause in R.COMPILED_LIST_TEMPLATES:
+            m = rx.match(sent)
+            if m is None:
+                continue
+            if pred == "works_at" and ok == "org":
+                for mem in (m.group("list").split(R.LIST_SEP)
+                            + [m.group("last")]):
+                    upd(mem, m.group("obj"))
+            break
+    return out
+
+
 def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
     """Pure per-conversation generator → (transcript rows, ground-truth triples)."""
     rng = np.random.default_rng((SEED, conv_idx))
@@ -210,11 +274,22 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
     # SAMPLE of the conv's evidence, not an exhaustive mirror
     conv_ev: list[tuple[str, str, str]] = []   # (surface, kind, canonical)
 
+    # committed normalized-org-surface -> engineer (v28 descriptor state);
+    # updated at add_row via the shared-template scan, so it can never
+    # disagree with the engine's works_at-derived state
+    last_eng: dict[str, str] = {}
+
     def add_row(t, role, text, tool=None):
         rows.append(dict(
             conv_id=conv_id, turn_idx=t, role=role, text=text, tool=tool,
             ts=(BASE_EPOCH + conv_idx * 3600 + t * 7) * 1_000_000,
         ))
+        # ' work' is implied by every works_at verb form (works / worked /
+        # is|was working / has|had worked) — cheap gate before the scan
+        if role != "tool" and " work" in text:
+            c = _works_at_commits(text)
+            if c:
+                last_eng.update(c)
 
     def add_gt(t, sk, s, p, ok, o):
         gts.append(dict(conv_id=conv_id, turn_idx=t, subj_kind=sk, subj=s,
@@ -957,6 +1032,26 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 add_gt(t, "person", subj.lower(), pred2,
                        "person", last_maint[mod])
                 last_person = subj
+        elif last_eng and rng.random() < 0.12:
+            # ORG-keyed descriptor turn (v28): "The <Base> engineer met
+            # with X." — resolves against the committed normalized-surface
+            # works_at state of strictly-earlier turns; the explicit
+            # person object commits referent state (kind-conditional feed)
+            keys = sorted(last_eng)
+            key = keys[int(rng.integers(0, len(keys)))]
+            ks = key.capitalize()
+            if rng.random() < 0.55:
+                other = _pick_person(rng)
+                add_row(t, role, f"The {ks} engineer met with {other}.")
+                add_gt(t, "person", last_eng[key].lower(), "met",
+                       "person", other.lower())
+                last_person = other
+            else:
+                obj_surface, obj_canon = _pick_org(rng)
+                add_row(t, role,
+                        f"The {ks} engineer joined {obj_surface}.")
+                add_gt(t, "person", last_eng[key].lower(), "joined",
+                       "org", obj_canon)
         elif rng.random() < 0.12:
             # untyped-mention turn (kind recovery's input, v10): three
             # regimes — same-conv evidence (round 1), global person

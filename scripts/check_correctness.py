@@ -3,7 +3,12 @@
 Runs every __ray_entry__.queries() callable at sf0.01 and compares against
 oracle_sql() via DuckDB (row count + schema + order-insensitive values).
 
-Usage: python scripts/check_correctness.py [query ...]
+Usage: python scripts/check_correctness.py [--artifact PATH] [query ...]
+
+--artifact PATH writes the per-query results as a JSON artifact (the
+checked-in ``CORRECTNESS_local_r{N}.json`` — the inspectable record of
+the local gate over EVERY oracle-backed entry, including the ones past
+the driver's 50-slot window).
 """
 
 from __future__ import annotations
@@ -55,8 +60,15 @@ def main() -> int:
 
     qs = E.queries()
     oracles = E.oracle_sql()
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    artifact = None
+    if "--artifact" in args:
+        i = args.index("--artifact")
+        artifact = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -66,6 +78,7 @@ def main() -> int:
         except Exception as ex:
             print(f"[FAIL-run ] {name}: {type(ex).__name__}: {ex}")
             failures.append(name)
+            results[name] = {"kind": "error", "err": f"{type(ex).__name__}: {ex}"}
             continue
         dt = time.perf_counter() - t0
         if name not in oracles:
@@ -73,6 +86,9 @@ def main() -> int:
                   f"{len(got.columns)} cols ({dt:.1f}s)")
             if len(got) == 0 and name != "embedding_neardup":
                 print(f"           WARNING: zero rows")
+            results[name] = {"kind": "rows-only", "rows": len(got),
+                             "cols": len(got.columns),
+                             "secs": round(dt, 2)}
             continue
         try:
             try:
@@ -88,6 +104,8 @@ def main() -> int:
         except Exception as ex:
             print(f"[FAIL-sql ] {name}: {type(ex).__name__}: {ex}")
             failures.append(name)
+            results[name] = {"kind": "error",
+                             "err": f"sql: {type(ex).__name__}: {ex}"}
             continue
         g, w = normalize(got), normalize(want)
         ok_rows = len(g) == len(w)
@@ -101,6 +119,10 @@ def main() -> int:
             except AssertionError as ex:
                 ok_vals = False
                 detail = str(ex).splitlines()[:6]
+        results[name] = {"kind": "oracle", "rows": len(g),
+                         "oracle_rows": len(w), "rows_match": ok_rows,
+                         "schema_match": ok_cols, "values_match": ok_vals,
+                         "secs": round(dt, 2)}
         if ok_rows and ok_cols and ok_vals:
             print(f"[OK       ] {name}: {len(g)} rows match ({dt:.1f}s)")
         else:
@@ -110,6 +132,12 @@ def main() -> int:
                 print("            " + " / ".join(detail))
             failures.append(name)
     print("\nFAILURES:", failures if failures else "none")
+    if artifact:
+        import json
+        with open(artifact, "w") as f:
+            json.dump({"sf": SF, "failures": failures,
+                       "results": results}, f, indent=1, sort_keys=True)
+        print(f"artifact -> {artifact}")
     return 1 if failures else 0
 
 

@@ -24,6 +24,7 @@ def _triples(rows):
         "negated": [False] * n,
         "in_question": [False] * n,
         "is_past": [False] * n,
+        "aspect": ["simple"] * n,
         "slot_idx": pa.array([0] * n, pa.int32()),
         "clause": ["main"] * n,
     }).cast(S.TRIPLES_SURFACE))
@@ -106,6 +107,7 @@ def test_pagerank_excludes_nonlink_conv_nodes(ray_session):
         "negated": [False] * n,
         "in_question": [False] * n,
         "is_past": [False] * n,
+        "aspect": ["simple"] * n,
         "slot_idx": pa.array([0] * n, pa.int32()),
         "clause": ["main"] * n,
     }).cast(S.TRIPLES_SURFACE))
