@@ -143,13 +143,21 @@ def split_sentences(text: str) -> list[str]:
 # left un-alternated simply never match a past-form sentence, so the
 # contract stays total.
 #
+# v29 extends both alternations for the ditransitive / reciprocal /
+# quoted aspect families: 'were' joins PAST_RE (past progressive of a
+# PLURAL subject — 'Alice and Bob were meeting'; no other construct can
+# produce the token), and PRES_PERFECT_RE gains the 'have' auxiliary
+# (plural present perfect — 'have met') plus the one irregular
+# participle the grammar produces ('met', which '[a-z]+ed' cannot
+# cover).  'has/have introduced' rides the existing '[a-z]+ed' arm.
+#
 #   is_past(sent) = matches(PAST_RE)
 #                   AND NOT matches(PRES_PASSIVE_RE)
 #                   AND NOT matches(PRES_PERFECT_RE)
-PAST_RE = (r"\b(?:worked|used|maintained|managed|was|reported|acquired|"
-           r"met|joined|left|partnered|introduced|mentioned)\b")
+PAST_RE = (r"\b(?:worked|used|maintained|managed|was|were|reported|"
+           r"acquired|met|joined|left|partnered|introduced|mentioned)\b")
 PRES_PASSIVE_RE = r"\bis [a-z]+ed\b"
-PRES_PERFECT_RE = r"\bhas [a-z]+ed\b"
+PRES_PERFECT_RE = r"\b(?:has|have) (?:[a-z]+ed|met)\b"
 
 # Aspect attribute (v27) — the fourth relation attribute, completing the
 # fork's 3+-attribute structural family
@@ -172,8 +180,22 @@ PRES_PERFECT_RE = r"\bhas [a-z]+ed\b"
 # progressive (PAST_RE via 'was'), 'is working' present progressive,
 # 'had worked' past perfect, 'has worked' present perfect (the
 # PRES_PERFECT_RE carve-out above keeps it non-past).
-PROG_RE = r"\b(?:is|was) (?:working|using|maintaining|managing)\b"
-PERF_RE = r"\b(?:has|had) (?:worked|used|maintained|managed)\b"
+#
+# v29 extends BOTH alternations to the three non-simple multi-template
+# families the v27 pass left at simple aspect: the ditransitive
+# ('is/was introducing' / 'has/had introduced' — plain and
+# quoted-nested), the reciprocal ('are/were meeting' / 'have/had met' —
+# plural subject, hence the are/were/have auxiliaries), and quoted
+# speech ('X said "Alice is using vim daily."' — the inner verb group
+# is the uses family, already covered lexically; only the TEMPLATE
+# regex needed extending).  Disjointness arguments are unchanged: one
+# verb group per relation family per sentence, and no participle here
+# can follow a bare copula in a passive ('introducing'/'meeting' are
+# not '-ed' forms).
+PROG_RE = (r"\b(?:is|was|are|were) "
+           r"(?:working|using|maintaining|managing|introducing|meeting)\b")
+PERF_RE = (r"\b(?:has|had|have) "
+           r"(?:worked|used|maintained|managed|introduced|met)\b")
 ASPECT_SIMPLE = "simple"
 ASPECT_PROG = "progressive"
 ASPECT_PERF = "perfect"
@@ -266,8 +288,13 @@ MULTI_TEMPLATES = [
      r'(?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
      [("manages", "subj", "person", "rel", "person", 0, "relative"),
       ("joined", "subj", "person", "obj", "org", 0, "main")]),
+    # v29: the quoted inner verb group gains the uses family's full
+    # aspect alternation ('X said "Alice is using vim daily."') — the
+    # sentence-level aspect kernel sees the inner group lexically, so no
+    # kernel change was needed, only this regex.
     ("quoted_uses",
-     r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) use(?:s|d) '
+     r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) '
+     r'(?:use(?:s|d)|is using|was using|has used|had used) '
      r'(?P<obj>[a-z0-9_]+) daily\."$',
      [("uses", "subj", "person", "obj", "tool", 0, "quoted")]),
     # passive voice: the agent (grammatical subject of the relation) appears
@@ -349,9 +376,14 @@ MULTI_TEMPLATES = [
     # generic multi-template pronoun arm and resolves ONCE for both
     # emissions (both rows share the subj group).  Disjointness is by
     # literal: no other template anchors ' introduced '.
+    # v29: the ditransitive admits progressive ('is/was introducing')
+    # and perfect ('has/had introduced') verb groups — the aspect kernel
+    # (PROG_RE/PERF_RE) classifies the sentence; simple stays the bare
+    # past ('introduced', an intrinsically-past verb in this grammar).
     ("ditrans_introduced",
-     r'^(?P<subj>[A-Z][a-z]+) introduced (?P<obj>[A-Z][a-z]+) to '
-     r'(?P<obj2>[A-Z][a-z]+)[.?]$',
+     r'^(?P<subj>[A-Z][a-z]+) (?:introduced|is introducing|'
+     r'was introducing|has introduced|had introduced) '
+     r'(?P<obj>[A-Z][a-z]+) to (?P<obj2>[A-Z][a-z]+)[.?]$',
      [("introduced", "subj", "person", "obj", "person", 0, "ditransitive"),
       ("introduced", "subj", "person", "obj2", "person", 1,
        "ditransitive")]),
@@ -366,8 +398,14 @@ MULTI_TEMPLATES = [
     # only Bob (the object-pronoun row's explicit subject) feeds state.
     # Disjointness: no other template anchors ' met[.?]$' (the single
     # 'met' template requires ' met with ').
+    # v29: the reciprocal admits progressive ('are/were meeting') and
+    # perfect ('have/had met') — the PLURAL coordinated subject selects
+    # the are/were/have auxiliaries, which is why PROG_RE/PAST_RE/
+    # PRES_PERFECT_RE carry them (no singular construct can produce
+    # those tokens, so the kernels stay collision-free).
     ("recip_met",
-     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) met[.?]$',
+     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) '
+     r'(?:met|are meeting|were meeting|have met|had met)[.?]$',
      [("met", "subj", "person", "subj2", "person", 0, "reciprocal"),
       ("met", "subj2", "person", "subj", "person", 1, "reciprocal")]),
     # v22: DITRANSITIVE nested in QUOTED speech ('X said "Alice
@@ -378,7 +416,9 @@ MULTI_TEMPLATES = [
     # per-row.  Turn-final only (the '."' terminator carries no sentence
     # boundary, like quoted_uses).
     ("quoted_ditrans_introduced",
-     r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) introduced '
+     r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) '
+     r'(?:introduced|is introducing|was introducing|has introduced|'
+     r'had introduced) '
      r'(?P<obj>[A-Z][a-z]+) to (?P<obj2>[A-Z][a-z]+)\."$',
      [("introduced", "subj", "person", "obj", "person", 0, "quoted"),
       ("introduced", "subj", "person", "obj2", "person", 1, "quoted")]),
@@ -711,12 +751,15 @@ MULTI_TEMPLATE_LITERALS = {
     "quoted_coord_uses": ' said "',
     "vp_coord_maintains_uses": " and uses ",
     "postposed_quoted_uses": '," said ',
-    "ditrans_introduced": " introduced ",
-    # tuple = conjunction of literal prefilters (ALL must hit): " met"
+    # v29: the aspect-alternated verb group keeps the longest literal
+    # common to ALL forms (' introduc' ⊂ 'introduced'/'is introducing')
+    "ditrans_introduced": " introduc",
+    # tuple = conjunction of literal prefilters (ALL must hit): " me"
+    # (⊂ 'met'/'meeting', the longest form-common literal after v29)
     # alone also hits every "met with" sentence — requiring " and " too
     # keeps the reciprocal regex off the hot met-with path
-    "recip_met": (" and ", " met"),
-    "quoted_ditrans_introduced": " introduced ",
+    "recip_met": (" and ", " me"),
+    "quoted_ditrans_introduced": " introduc",
     # conjunction: ' daily. ' requires an in-turn boundary right after a
     # uses-sentence, ' maintains ' the second inner relation — together
     # they keep the regex off both the quoted_uses and maintains paths

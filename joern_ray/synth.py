@@ -23,7 +23,19 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v28"  # v28: ORG-keyed cross-sentence appositive
+CORPUS_VERSION = "v29"  # v29: ASPECT over the ditransitive / reciprocal
+#                         / quoted families — 'is/was introducing' +
+#                         'has/had introduced' (plain AND quoted-nested
+#                         ditransitive), 'are/were meeting' + 'have/had
+#                         met' (reciprocal; plural auxiliaries join
+#                         PROG_RE/PAST_RE/PRES_PERFECT_RE), and the full
+#                         uses-family alternation inside quoted speech.
+#                         Generation: _aspect_past_verb(_pl) realize the
+#                         progressive/perfect groups at ~7% each; the
+#                         aspect/tense kernels stay sentence-level
+#                         lexical contracts shared by all four
+#                         implementations.
+#                         v28: ORG-keyed cross-sentence appositive
 #                         descriptors ("The Acme engineer met with Bob.")
 #                         — the third descriptor-state family: every
 #                         explicit works_at(person, org) commits state
@@ -199,6 +211,32 @@ def _aspect_verb(rng, present: str, past: str, part_ing: str) -> str:
     if u < 0.29:
         return ("had " if rng.random() < 0.5 else "has ") + past
     return present
+
+
+def _aspect_past_verb(rng, past: str, part_ing: str) -> str:
+    """v29: aspect forms for an intrinsically-past verb family (the
+    ditransitive 'introduced'): ~7% progressive (is/was + V-ing), ~7%
+    perfect (has/had + V-ed), rest the bare past — there is no simple
+    present in these families."""
+    u = rng.random()
+    if u < 0.07:
+        return ("was " if rng.random() < 0.5 else "is ") + part_ing
+    if u < 0.14:
+        return ("had " if rng.random() < 0.5 else "has ") + past
+    return past
+
+
+def _aspect_past_verb_pl(rng, past: str, part_ing: str) -> str:
+    """v29: the PLURAL-subject variant (the reciprocal 'met' under a
+    coordinated subject) — the progressive copula is are/were and the
+    perfect auxiliary have/had, which is why rules.PROG_RE / PAST_RE /
+    PRES_PERFECT_RE carry those tokens."""
+    u = rng.random()
+    if u < 0.07:
+        return ("were " if rng.random() < 0.5 else "are ") + part_ing
+    if u < 0.14:
+        return ("had " if rng.random() < 0.5 else "have ") + past
+    return past
 
 
 def _pick_org(rng) -> tuple[str, str]:
@@ -441,7 +479,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             c = _pick_person(rng)
             while c in (a, b):
                 c = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
-            text = f"{a} introduced {b} to {c}{end}"
+            verb = _aspect_past_verb(rng, "introduced", "introducing")
+            text = f"{a} {verb} {b} to {c}{end}"
             gts = [("person", a.lower(), "introduced", "person", b.lower()),
                    ("person", a.lower(), "introduced", "person", c.lower())]
             return text, gts, max(b, c)
@@ -475,7 +514,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             c = _pick_person(rng)
             while c in (a, b):
                 c = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
-            text = f'{speaker} said "{a} introduced {b} to {c}."'
+            verb = _aspect_past_verb(rng, "introduced", "introducing")
+            text = f'{speaker} said "{a} {verb} {b} to {c}."'
             gts = [("person", a.lower(), "introduced", "person", b.lower()),
                    ("person", a.lower(), "introduced", "person", c.lower())]
             return text, gts, max(b, c)
@@ -488,7 +528,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             b = _pick_person(rng)
             while b == a:
                 b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
-            text = f"{a} and {b} met{end}"
+            verb = _aspect_past_verb_pl(rng, "met", "meeting")
+            text = f"{a} and {b} {verb}{end}"
             gts = [("person", a.lower(), "met", "person", b.lower()),
                    ("person", b.lower(), "met", "person", a.lower())]
             return text, gts, max(a, b)
@@ -515,7 +556,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         speaker = _pick_person(rng)
         d = _pick_person(rng)
         tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
-        verb = _tense(rng, "uses", "used")
+        verb = _aspect_verb(rng, "uses", "used", "using")
         text = f'{speaker} said "{d} {verb} {tool} daily."'
         gts = [("person", d.lower(), "uses", "tool", tool)]
         return text, gts, d

@@ -188,6 +188,7 @@ def test_resolve_bucket_fast_equals_slow(rows):
         "negated": [False] * len(rows),
         "in_question": [False] * len(rows),
         "is_past": [False] * len(rows),
+        "aspect": ["simple"] * len(rows),
         "slot_idx": pa.array([0] * len(rows), pa.int32()),
         "clause": ["main"] * len(rows),
         "desc_key": pa.array([None] * len(rows), pa.string()),

@@ -112,7 +112,8 @@ def test_aspect_four_way_lockstep(ray_session):
         # person of the latest earlier turn)
         "She is working at Globex Corp.",
         "He has used browser daily.",
-        # quoted speech stays simple (no aspect alternants inside quotes)
+        # a simple-aspect quoted construct (v29 adds quoted aspect
+        # alternants; their lockstep lives in test_v29_grammar)
         'Grace said "Heidi uses compiler daily."'])
     o = _resolved(rows)
     r = _resolved_ray(rows)
