@@ -306,11 +306,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis + dedup (training-data ops)
         "text_quality": T.text_quality,
         "dedup_snapshot": T.snapshot_dedup,
-        "text_clean_corpus": T.clean_corpus,
         "conv_line_dedup": (lambda sf_dir: T.line_dedup(_transcripts(sf_dir))),
         "text_sample_stratified": T.sample_stratified,
         "text_sample_weighted": T.sample_weighted,
-        "text_redact_persons": T.redact_persons,
         "text_repetition": T.repetition_stats,
         "text_familiarity": T.familiarity,
         "text_bigram_lm": T.bigram_lm,
@@ -341,6 +339,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": GS.kcore_query,
         "dedup_ngram_pairs": T.ngram_jaccard_pairs,
         "text_bpe_token_counts": T.bpe_token_counts,
+        # r5 rotation (2nd wave): the planted-corpus SimHash family gains
+        # integer-exact SQL oracles (embedded 256-token blake2b
+        # dictionary + xorshift token arithmetic; the cluster oracle is
+        # all-pairs hamming, independently verifying the banding recall
+        # AND the verify kernel) — they take the slots of
+        # text_clean_corpus / text_redact_persons (driver-confirmed r3
+        # AND r4 with unchanged code, demoted below)
+        "dedup_simhash_planted": T.dedup_simhash_planted,
+        "dedup_simhash_clusters_planted": T.dedup_simhash_clusters_planted,
         # ---- oracle-backed but OUTSIDE the driver's 50-entry window
         # (every window slot is already oracle-backed); all are
         # multiply-driver-confirmed in r1-r3 with unchanged code —
@@ -362,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": T.dedup_exact,
         "events_sliding_counts": EV.sliding_window_counts,
         "text_token_bins": T.token_bins,
+        "text_clean_corpus": T.clean_corpus,
+        "text_redact_persons": T.redact_persons,
         "kg_triples_surface_exttool": kg_triples_surface_exttool,
         "kg_next_turn_edges": kg_next_turn_edges,
         "kg_post_dominators": kg_post_dominators,
@@ -573,4 +582,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_pairs": T.ngram_jaccard_pairs_sql(),
         "text_bpe_token_counts": T.bpe_token_counts_sql(
             T.train_bpe_merges(SF_ORACLE)),
+        "dedup_simhash_planted": T.dedup_simhash_planted_sql(),
+        "dedup_simhash_clusters_planted":
+            T.dedup_simhash_clusters_planted_sql(),
     }

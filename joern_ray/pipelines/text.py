@@ -3048,9 +3048,20 @@ def simhash_clusters(sf_dir: str):
     bands (pigeonhole: hamming ≤ 3 pairs share ≥1 band), bucket-groupby per
     band value, verify hamming distance within capped buckets, union-find
     to min-doc-id cluster labels."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
+    return _simhash_clusters_core(ds)
+
+
+def _simhash_clusters_core(ds):
+    """Clustering core over any (doc_id, text) Dataset — shared by the
+    natural-corpus entry above and the planted-oracle entry below.
+    Banding recall is EXACT, not probabilistic: 4 disjoint 16-bit bands
+    and a hamming-≤3 verify mean any qualifying pair has ≥1 identical
+    band (pigeonhole), so the output is the exact connected components
+    of the hamming-≤3 graph (subject to SIMHASH_BUCKET_CAP on
+    pathological band collisions)."""
     from ..stages.cc import connected_components
 
-    ds = ray.data.read_parquet(_p(sf_dir), columns=["doc_id", "text"])
     sims = ds.map_batches(simhash_batch, batch_format="pyarrow") \
              .materialize()
 
@@ -3107,6 +3118,201 @@ def simhash_clusters(sf_dir: str):
                    pa.schema([("doc_id", pa.int64()),
                               ("cluster", pa.string())]).empty_table()),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Planted-corpus SimHash oracle family (r5): the natural-corpus simhash
+# entries stay rows-only because blake2b is not SQL-expressible over an
+# unbounded vocabulary — but over a PLANTED corpus with a small FIXED
+# vocabulary the whole operator becomes SQL-mirrorable: the oracle embeds
+# the 256-entry token→hash dictionary as literal VALUES (computed from
+# the same blake2b at SQL-generation time, a pure function of the
+# constants below), regenerates each doc's token multiset with the same
+# integer arithmetic, and reproduces the signature bit-for-bit in
+# integer-only SQL.  Clusters are then checkable because the Ray side's
+# banding recall is EXACT (pigeonhole, see _simhash_clusters_core): both
+# sides compute the exact connected components of the hamming-≤3 graph.
+# The single-hop min-label the SQL uses is valid because the planted
+# graph has no chains (pytest-asserted exhaustively — deterministic
+# corpus, so one check holds forever).
+#
+# Corpus shape: SIMPLANT_N_BASE arithmetic base docs; the first
+# SIMPLANT_N_PAIR of them get a planted partner at doc_id + OFFSET —
+# even-indexed partners are exact token-set copies (hamming 0), odd ones
+# carry one appended token (hamming small but nonzero — wherever it
+# lands, BOTH sides compute it, so no tuning is required).
+# ---------------------------------------------------------------------------
+
+SIMPLANT_V = 256          # fixed vocabulary size (tok000..tok255)
+SIMPLANT_L = 200          # tokens per doc (with multiplicity)
+SIMPLANT_N_BASE = 400
+SIMPLANT_N_PAIR = 120
+SIMPLANT_OFFSET = 100000
+SIMPLANT_C = 7919         # appended-token index for odd pairs: (31*d+C) % V
+
+
+def _simplant_vocab() -> list[str]:
+    return [f"tok{i:03d}" for i in range(SIMPLANT_V)]
+
+
+def _simplant_token_idx(d: int) -> np.ndarray:
+    """Token indices of base doc ``d`` — a 24-bit multiply-xorshift mix
+    over (d, j).  The XOR rounds are load-bearing: any PURELY additive /
+    linear map makes every doc's token set a cyclic shift of one base
+    set (docs then collide at hamming ≤3 by the thousands — measured);
+    with this mix the planted corpus has exactly the planted near-dup
+    edges, max node degree 1, and min non-edge hamming 4 (exhaustively
+    asserted in tests/test_simplant.py).  All ops stay in int64 and are
+    reproduced verbatim by the SQL oracle (xor()/>>/% on BIGINT)."""
+    j = np.arange(SIMPLANT_L, dtype=np.int64)
+    x = (d * 100003 + j * 65537 + 12345) % 16777216
+    x = (x * 40503) % 16777216
+    x = np.bitwise_xor(x, x >> 11)
+    x = (x * 48271) % 16777216
+    x = np.bitwise_xor(x, x >> 9)
+    return x % SIMPLANT_V
+
+
+def simplant_docs():
+    """The planted (doc_id, text) corpus as a Dataset — a pure function
+    of the SIMPLANT_* constants (no input tables; the oracle SQL
+    regenerates the identical token multisets arithmetically).  The
+    per-row loop is fine here: the corpus is a fixed few hundred rows of
+    oracle scaffolding, not a data path."""
+    vocab = _simplant_vocab()
+
+    def build(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for r in t.column("id").to_pylist():
+            if r < SIMPLANT_N_BASE:
+                d, doc_id, extra = r, r, None
+            else:
+                d = r - SIMPLANT_N_BASE
+                doc_id = d + SIMPLANT_OFFSET
+                extra = (vocab[(31 * d + SIMPLANT_C) % SIMPLANT_V]
+                         if d % 2 == 1 else None)
+            toks = [vocab[i] for i in _simplant_token_idx(d)]
+            if extra is not None:
+                toks.append(extra)
+            ids.append(doc_id)
+            texts.append(" ".join(toks))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return ray.data.range(SIMPLANT_N_BASE + SIMPLANT_N_PAIR) \
+                   .map_batches(build, batch_format="pyarrow")
+
+
+def dedup_simhash_planted(sf_dir: str):
+    """doc_id → simhash over the planted corpus — the signature kernel
+    under a driver-checkable integer-exact SQL oracle."""
+    return simplant_docs().map_batches(simhash_batch,
+                                       batch_format="pyarrow")
+
+
+def dedup_simhash_clusters_planted(sf_dir: str):
+    """Full banded clustering over the planted corpus — same code path
+    as the natural-corpus entry (_simhash_clusters_core)."""
+    return _simhash_clusters_core(simplant_docs())
+
+
+def _simplant_tokhash_values() -> str:
+    """(idx, hash) VALUES rows — blake2b-64 of each vocab token, stored
+    as the signed-BIGINT two's-complement view (DuckDB bit ops work on
+    the raw bit pattern, so bit extraction matches uint64 exactly)."""
+    rows = []
+    for i, tok in enumerate(_simplant_vocab()):
+        h = int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        if h >= 1 << 63:
+            h -= 1 << 64
+        rows.append(f"({i},{h})")
+    return ",".join(rows)
+
+
+_I64_MIN = "(-9223372036854775807 - 1)"
+
+
+def _simplant_sig_ctes() -> str:
+    """Shared CTE chain ending in spl_sig(doc_id, simhash): regenerate
+    token multisets arithmetically, DISTINCT to token sets (the kernel's
+    set(text.split())), join the embedded hash dictionary, accumulate
+    ±1 per bit lane, reassemble the signed signature (bit 63 maps to
+    -(2**63), matching numpy's wrapping-subtract int64 view)."""
+    nb, np_, off = SIMPLANT_N_BASE, SIMPLANT_N_PAIR, SIMPLANT_OFFSET
+    c, v, ell = SIMPLANT_C, SIMPLANT_V, SIMPLANT_L
+    return f"""
+    spl_th(idx, h) AS (VALUES {_simplant_tokhash_values()}),
+    spl_dj AS (
+      SELECT d AS doc_id, d AS dd, j
+        FROM generate_series(0, {nb - 1}) t(d),
+             generate_series(0, {ell - 1}) s(j)
+      UNION ALL
+      SELECT d + {off}, d, j
+        FROM generate_series(0, {np_ - 1}) t(d),
+             generate_series(0, {ell - 1}) s(j)),
+    spl_x1 AS (
+      SELECT doc_id,
+             (((dd*100003 + j*65537 + 12345) % 16777216) * 40503)
+               % 16777216 AS x
+      FROM spl_dj),
+    spl_x2 AS (
+      SELECT doc_id, (xor(x, x >> 11) * 48271) % 16777216 AS x
+      FROM spl_x1),
+    spl_toks AS (
+      SELECT doc_id, idx FROM (
+        SELECT doc_id, xor(x, x >> 9) % {v} AS idx FROM spl_x2
+        UNION ALL
+        SELECT d + {off}, (31*d + {c}) % {v}
+          FROM generate_series(0, {np_ - 1}) t(d) WHERE d % 2 = 1
+      ) GROUP BY doc_id, idx),
+    spl_acc AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+      FROM spl_toks JOIN spl_th USING (idx),
+           generate_series(0, 63) bits(i)
+      GROUP BY doc_id, i),
+    spl_sig AS (
+      SELECT doc_id, CAST(SUM(
+        CASE WHEN i = 63
+             THEN CASE WHEN acc > 0 THEN 0 ELSE {_I64_MIN} END
+             ELSE CASE WHEN acc > 0 THEN (1::BIGINT << i) ELSE 0 END
+        END) AS BIGINT) AS simhash
+      FROM spl_acc GROUP BY doc_id)"""
+
+
+def dedup_simhash_planted_sql() -> str:
+    return f"""
+    WITH {_simplant_sig_ctes()}
+    SELECT doc_id, simhash FROM spl_sig
+    """
+
+
+def dedup_simhash_clusters_planted_sql() -> str:
+    """Exact all-pairs hamming over the SQL-computed signatures (no LSH
+    in the oracle — it independently verifies the banding recall AND the
+    verify kernel, the dedup_ngram_pairs discipline), then single-hop
+    lexicographic min-label (valid: the planted hamming-≤3 graph has no
+    chains, asserted exhaustively in tests/test_simplant.py; labels are
+    VARCHAR because connected_components' min-label is lexicographic
+    over string node ids)."""
+    return f"""
+    WITH {_simplant_sig_ctes()},
+    spl_pairs AS (
+      SELECT s1.doc_id AS a, s2.doc_id AS b
+      FROM spl_sig s1, spl_sig s2
+      WHERE s1.doc_id < s2.doc_id
+        AND bit_count(xor(s1.simhash, s2.simhash)) <= {SIMHASH_MAX_HAMMING}),
+    spl_nb AS (
+      SELECT a AS v, CAST(b AS VARCHAR) AS u FROM spl_pairs
+      UNION ALL
+      SELECT b AS v, CAST(a AS VARCHAR) AS u FROM spl_pairs)
+    SELECT s.doc_id,
+           LEAST(CAST(s.doc_id AS VARCHAR),
+                 COALESCE(MIN(n.u), CAST(s.doc_id AS VARCHAR))) AS cluster
+    FROM spl_sig s LEFT JOIN spl_nb n ON n.v = s.doc_id
+    GROUP BY s.doc_id
+    """
 
 
 NGRAM_K = 3
