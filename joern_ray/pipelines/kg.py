@@ -101,12 +101,21 @@ def conversation_nodes(transcripts_ds: "ray.data.Dataset") -> "ray.data.Dataset"
 
 def build_graph(transcripts_ds: "ray.data.Dataset", *,
                 turn_keys_ds: "ray.data.Dataset | None" = None,
-                turn_text_ds: "ray.data.Dataset | None" = None) -> dict:
+                turn_text_ds: "ray.data.Dataset | None" = None,
+                fused_recovery: bool = False) -> dict:
     """In-memory (lazy) build; returns the dict of result Datasets.
 
     turn_keys_ds / turn_text_ds: optional column-pruned reads of the same
     table (see read_turn_keys/read_turn_text) so text is decoded once per
-    text-consuming sink; both default to the full Dataset."""
+    text-consuming sink; both default to the full Dataset.
+
+    fused_recovery: route extraction through the fused resolver +
+    kind-recovery-stage-1 exchange (``kindrec.extract_with_recovery`` —
+    semantically identical, equivalence-tested; two fewer events passes
+    and one fewer keyed exchange).  Off by default: the r4 sf0.1 A/B
+    measured it 25% SLOWER on this box (commit 0886cb3) — wired behind a
+    flag so the A/B can be re-run at the 32M scaling scale where the
+    sf0.1 comparison was too noisy to credit."""
     if turn_keys_ds is None:
         turn_keys_ds = transcripts_ds
     if turn_text_ds is None:
@@ -114,7 +123,13 @@ def build_graph(transcripts_ds: "ray.data.Dataset", *,
     # events (inside extract_triples) + the small resolved branch are
     # materialized; triples stays lazy — re-consumers only replay the
     # cheap passthrough map over stored events, never the shuffle
-    triples, events = X.extract_triples_and_events(transcripts_ds)
+    rec_surface = None
+    if fused_recovery:
+        from ..stages import kindrec as _KR
+        triples, events, rec_surface = _KR.extract_with_recovery(
+            transcripts_ds)
+    else:
+        triples, events = X.extract_triples_and_events(transcripts_ds)
     mentions = triples.map_batches(L.mentions_from_triples,
                                    batch_format="pyarrow")
     vocab = L.vocab_from_mentions(mentions)
@@ -126,7 +141,9 @@ def build_graph(transcripts_ds: "ray.data.Dataset", *,
     # requires an already-typed mention of the same surface, so the
     # (kind, norm) key is guaranteed present in the directory)
     from ..stages import kindrec as KR
-    canon_input = triples.union(KR.recovered_triples(transcripts_ds, events))
+    canon_input = triples.union(
+        rec_surface if rec_surface is not None
+        else KR.recovered_triples(transcripts_ds, events))
     # canonical triples are narrow (ids + kinds, no text): one store copy
     # here saves a full chain replay for each of its two consumers.  The
     # store copy is dictionary-encoded (vocabulary-sized columns as int32

@@ -63,3 +63,20 @@ def test_fused_equals_separate_on_synth_corpus(ray_session, sf_small):
         X.extract_triples(ray.data.read_parquet(tp)))
     assert _multiset(rec_f) == _multiset(
         KR.recovered_triples(ray.data.read_parquet(tp)))
+
+
+def test_build_graph_fused_flag_equivalence(ray_session, sf_small):
+    """kg.build_graph(fused_recovery=True) produces the identical
+    canonical-triple multiset — the flag only swaps the exchange plan
+    (r4 A/B found the fusion slower at sf0.1 and reverted; the flag
+    keeps it wired for scale-level A/Bs)."""
+    from joern_ray.pipelines import kg
+
+    synth.ensure_corpus(sf_small)
+    tp = synth.transcripts_path(sf_small)
+
+    def canon_multiset(fused):
+        g = kg.build_graph(ray.data.read_parquet(tp), fused_recovery=fused)
+        return _multiset(g["triples_canonical"])
+
+    assert canon_multiset(True) == canon_multiset(False)
