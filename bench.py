@@ -65,7 +65,11 @@ def headline(sf_dir: str) -> dict:
     shutil.rmtree(out, ignore_errors=True)
 
     t0 = time.perf_counter()
-    res = kg.build_from_path(tp)
+    # GRAFT_FUSED_RECOVERY=1 routes the build through the fused
+    # resolver+kindrec-stage-1 exchange for scale-level A/Bs
+    res = kg.build_from_path(
+        tp, fused_recovery=bool(int(os.environ.get(
+            "GRAFT_FUSED_RECOVERY", "0"))))
     n_triples = res["triples_canonical"].count()
     # snappy: measured 4x faster sink than zstd on these tables (the sink
     # is compression-CPU-bound, not disk-bound: zstd 40.6s vs snappy 10.9s

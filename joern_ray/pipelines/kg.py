@@ -170,11 +170,12 @@ def build_graph(transcripts_ds: "ray.data.Dataset", *,
                 triples_canonical=canon, nodes=nodes, edges=edges)
 
 
-def build_from_path(path: str) -> dict:
+def build_from_path(path: str, *, fused_recovery: bool = False) -> dict:
     """Column-pruned wiring of build_graph for a parquet path."""
     return build_graph(read_transcripts(path),
                        turn_keys_ds=read_turn_keys(path),
-                       turn_text_ds=read_turn_text(path))
+                       turn_text_ds=read_turn_text(path),
+                       fused_recovery=fused_recovery)
 
 
 def build_checkpointed(input_path: str, out_dir: str) -> Manifest:
