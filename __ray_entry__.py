@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from joern_ray.pipelines import ann as A
     from joern_ray.pipelines import events as EV
     from joern_ray.pipelines import findings as FND
+    from joern_ray.pipelines import incremental as INC
     from joern_ray.pipelines import kg
     from joern_ray.pipelines import relational as REL
     from joern_ray.pipelines import text as T
@@ -402,6 +403,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": A.embedding_pca,
         "ann_kmeans": A.kmeans,
         "dedup_simhash_clusters": T.simhash_clusters,
+        # incremental append (frozen-directory continuous-crawl overlay;
+        # full-vs-incremental equivalence pytest-asserted both ways)
+        "kg_build_incremental": INC.incremental_check_query,
         "multimodal_features": multimodal_features,
         "multimodal_resized_features": MM.resized_features,
         "multimodal_sampled_frames": MM.sampled_frames,

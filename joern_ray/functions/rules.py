@@ -267,13 +267,19 @@ TEMPLATES = [
 #   * all capture groups in these regexes must be NAMED (group numbers in
 #     the SQL mirror are derived from the order of appearance).
 MULTI_TEMPLATES = [
+    # v30: coordinated subjects are PLURAL, so their aspect alternation
+    # uses the are/were/have auxiliaries the v29 reciprocal already put
+    # into PROG_RE / PAST_RE / PRES_PERFECT_RE — extending coordination
+    # is a pure template change, no kernel edits
     ("coord_works_at",
-     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) work(?:ed)? at '
-     r'(?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
+     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) '
+     r'(?:work(?:ed)?|are working|were working|have worked|had worked)'
+     r' at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
      [("works_at", "subj", "person", "obj", "org", 0, "main"),
       ("works_at", "subj2", "person", "obj", "org", 1, "main")]),
     ("coord_uses",
-     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) use(?:d)? '
+     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) '
+     r'(?:use(?:d)?|are using|were using|have used|had used) '
      r'(?P<obj>[a-z0-9_]+) daily[.?]$',
      [("uses", "subj", "person", "obj", "tool", 0, "main"),
       ("uses", "subj2", "person", "obj", "tool", 1, "main")]),
@@ -326,7 +332,9 @@ MULTI_TEMPLATES = [
     # comma — the lists are disjoint by anchor, not by precedence.
     ("coord3_works_at",
      r'^(?P<subj>[A-Z][a-z]+), (?P<subj2>[A-Z][a-z]+) and '
-     r'(?P<subj3>[A-Z][a-z]+) work at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
+     r'(?P<subj3>[A-Z][a-z]+) '
+     r'(?:work(?:ed)?|are working|were working|have worked|had worked)'
+     r' at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
      [("works_at", "subj", "person", "obj", "org", 0, "main"),
       ("works_at", "subj2", "person", "obj", "org", 1, "main"),
       ("works_at", "subj3", "person", "obj", "org", 2, "main")]),
@@ -335,7 +343,9 @@ MULTI_TEMPLATES = [
     # The inner " and ... use " keeps plain quoted_uses from matching.
     ("quoted_coord_uses",
      r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) and '
-     r'(?P<subj2>[A-Z][a-z]+) use (?P<obj>[a-z0-9_]+) daily\."$',
+     r'(?P<subj2>[A-Z][a-z]+) '
+     r'(?:use(?:d)?|are using|were using|have used|had used) '
+     r'(?P<obj>[a-z0-9_]+) daily\."$',
      [("uses", "subj", "person", "obj", "tool", 0, "quoted"),
       ("uses", "subj2", "person", "obj", "tool", 1, "quoted")]),
     # v19: VERB-PHRASE coordination — ONE subject, TWO different
@@ -513,11 +523,16 @@ LIST_SEP = ", "
 LIST_TEMPLATES = [
     ("coordN_works_at",
      r'^(?P<list>[A-Z][a-z]+(?:, [A-Z][a-z]+){2,}) and (?P<last>[A-Z][a-z]+)'
-     r' work at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
+     r' (?:work(?:ed)?|are working|were working|have worked|had worked)'
+     r' at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
      "works_at", "person", "org", "main"),
 ]
+# v30: the aspect-alternated list verb keeps the conjunction of the
+# longest form-common literals (the MULTI_TEMPLATE_LITERALS tuple
+# discipline — ' work' ⊂ 'work'/'worked'/'working'; requiring ' and '
+# too keeps the list regex off the hot single-works_at path)
 LIST_TEMPLATE_LITERALS = {
-    "coordN_works_at": " work at ",
+    "coordN_works_at": (" and ", " work"),
 }
 
 # ---------------------------------------------------------------------------
@@ -740,14 +755,17 @@ MULTI_TEMPLATE_LITERALS = {
     # BOTH verb forms (' work' ⊂ 'work at'/'worked at') — a prefilter must
     # be implied by its regex
     "coord_works_at": (" and ", " work"),
-    "coord_uses": (" and ", " use"),
+    # ' us' ⊂ 'use'/'used'/'using' (v30 — ' use' is NOT a prefix of
+    # ' using'); the ' and ' conjunct keeps the false-positive surface
+    # negligible
+    "coord_uses": (" and ", " us"),
     "appos_maintainer": ", the maintainer of ",
     "relative_manages": ", who manages ",
     "quoted_uses": ' said "',
     "passive_maintains": " maintained by ",
     "possessive_manager": "'s manager ",
     "coord_orgs": " works at both ",
-    "coord3_works_at": " work at ",
+    "coord3_works_at": (" and ", " work"),
     "quoted_coord_uses": ' said "',
     "vp_coord_maintains_uses": " and uses ",
     "postposed_quoted_uses": '," said ',

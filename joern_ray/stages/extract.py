@@ -493,10 +493,18 @@ def extract_events(batch: pa.Table,
         lit = R.LIST_TEMPLATE_LITERALS.get(name)
         if lit is not None and not n_cand:
             continue
-        idx0 = (cand_idx.take(pc.indices_nonzero(pc.fill_null(
-                    pc.match_substring(cand_text, lit), False)))
-                if lit is not None
-                else pa.array(range(len(text)), pa.int64()))
+        if lit is None:
+            idx0 = pa.array(range(len(text)), pa.int64())
+        else:
+            # tuple literal = conjunction of memchr prefilters, the
+            # MULTI_TEMPLATE_LITERALS discipline (v30)
+            lits = lit if isinstance(lit, tuple) else (lit,)
+            pre = pc.fill_null(pc.match_substring(cand_text, lits[0]),
+                               False)
+            for extra in lits[1:]:
+                pre = pc.and_(pre, pc.fill_null(
+                    pc.match_substring(cand_text, extra), False))
+            idx0 = cand_idx.take(pc.indices_nonzero(pre))
         if len(idx0) == 0:
             continue
         ex = pc.extract_regex(text.take(idx0), rx)

@@ -23,7 +23,12 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v29"  # v29: ASPECT over the ditransitive / reciprocal
+CORPUS_VERSION = "v30"  # v30: PLURAL coordination aspect — the
+#                         coord / coord3 / coordN / quoted-coord verb
+#                         groups alternate are/were V-ing and have/had
+#                         V-ed (the v29 plural auxiliaries; template +
+#                         synth change only, zero kernel edits).
+#                         v29: ASPECT over the ditransitive / reciprocal
 #                         / quoted families — 'is/was introducing' +
 #                         'has/had introduced' (plain AND quoted-nested
 #                         ditransitive), 'are/were meeting' + 'have/had
@@ -226,6 +231,21 @@ def _aspect_past_verb(rng, past: str, part_ing: str) -> str:
     return past
 
 
+def _aspect_verb_pl(rng, present: str, past: str, part_ing: str) -> str:
+    """v30: full plural aspect alternation for coordinated subjects
+    ('Alice and Bob are working at X' / 'have worked at X') — the
+    plural analog of _aspect_verb, using the are/were/have auxiliaries
+    the v29 reciprocal added to the kernels."""
+    u = rng.random()
+    if u < 0.15:
+        return past
+    if u < 0.22:
+        return ("were " if rng.random() < 0.5 else "are ") + part_ing
+    if u < 0.29:
+        return ("had " if rng.random() < 0.5 else "have ") + past
+    return present
+
+
 def _aspect_past_verb_pl(rng, past: str, part_ing: str) -> str:
     """v29: the PLURAL-subject variant (the reciprocal 'met' under a
     coordinated subject) — the progressive copula is are/were and the
@@ -361,7 +381,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             while b == a:
                 b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             obj_surface, obj_canon = _pick_org(rng)
-            verb = _tense(rng, "work", "worked")
+            verb = _aspect_verb_pl(rng, "work", "worked", "working")
             text = f"{a} and {b} {verb} at {obj_surface}{end}"
             gts = [("person", a.lower(), "works_at", "org", obj_canon),
                    ("person", b.lower(), "works_at", "org", obj_canon)]
@@ -372,7 +392,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             while b == a:
                 b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
-            verb = _tense(rng, "use", "used")
+            verb = _aspect_verb_pl(rng, "use", "used", "using")
             text = f"{a} and {b} {verb} {tool} daily{end}"
             gts = [("person", a.lower(), "uses", "tool", tool),
                    ("person", b.lower(), "uses", "tool", tool)]
@@ -424,7 +444,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 if q not in names:
                     names.append(q)
             obj_surface, obj_canon = _pick_org(rng)
-            text = (f"{', '.join(names[:-1])} and {names[-1]} work at "
+            verb = _aspect_verb_pl(rng, "work", "worked", "working")
+            text = (f"{', '.join(names[:-1])} and {names[-1]} {verb} at "
                     f"{obj_surface}{end}")
             gts = [("person", nm.lower(), "works_at", "org", obj_canon)
                    for nm in names]
@@ -438,7 +459,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             while c in (a, b):
                 c = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             obj_surface, obj_canon = _pick_org(rng)
-            text = f"{a}, {b} and {c} work at {obj_surface}{end}"
+            verb = _aspect_verb_pl(rng, "work", "worked", "working")
+            text = f"{a}, {b} and {c} {verb} at {obj_surface}{end}"
             gts = [("person", a.lower(), "works_at", "org", obj_canon),
                    ("person", b.lower(), "works_at", "org", obj_canon),
                    ("person", c.lower(), "works_at", "org", obj_canon)]
@@ -452,7 +474,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             while b == a:
                 b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
-            text = f'{speaker} said "{a} and {b} use {tool} daily."'
+            verb = _aspect_verb_pl(rng, "use", "used", "using")
+            text = f'{speaker} said "{a} and {b} {verb} {tool} daily."'
             gts = [("person", a.lower(), "uses", "tool", tool),
                    ("person", b.lower(), "uses", "tool", tool)]
             return text, gts, max(a, b)
