@@ -157,6 +157,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "obj", "clause"]),
             batch_format="pyarrow")
 
+    def kg_triples_plural(sf_dir):
+        """Plural-pronoun anaphora (v32): "They ..." expands to one
+        triple per DISTINCT member of the anchor turn's committed person
+        set — slot_idx = lexicographic rank, clause 'plural' (the
+        variable-fan-out resolution construct; aspect rides the plural
+        auxiliaries)."""
+        import pyarrow.compute as pc
+        return X.extract_triples(_transcripts(sf_dir)).map_batches(
+            lambda t: t.filter(pc.equal(t.column("clause"), "plural"))
+                       .select(["conv_id", "turn_idx", "subj", "pred",
+                                "obj", "slot_idx", "aspect"]),
+            batch_format="pyarrow")
+
     def kg_list_coordination(sf_dir):
         """Open-ended coordination lists (v12): members at slot_idx >= 3
         exist ONLY in 4+-way lists (the list-capture split path)."""
@@ -273,6 +286,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # v12 constructs: definite-description anaphora + 4+-way lists
         "kg_triples_definite": kg_triples_definite,
         "kg_list_coordination": kg_list_coordination,
+        # r5 third-wave rotation: the v32 plural-pronoun construct gains
+        # a dedicated oracle-backed row (set expansion, lexicographic
+        # slot ranks, aspect composition) — takes the slot of
+        # rel_price_quantiles (driver-confirmed r3 AND r4 with unchanged
+        # code, demoted below)
+        "kg_triples_plural": kg_triples_plural,
         # r4 window rotation: text_top_tokens (corpus heavy-hitters, new
         # this round, never driver-confirmed) takes the slot of
         # kg_dominators (driver-confirmed r2 AND r3, code unchanged)
@@ -301,7 +320,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_counts": FND.entity_mention_counts,
         "kg_conv_tools": FND.conv_tools,
         # relational layer (SURVEY.md §2.4/2.5/2.7/2.8)
-        "rel_price_quantiles": REL.price_quantiles_by_segment,
         "rel_running_order_total": REL.running_order_total,
         "rel_order_gaps": REL.order_gaps,
         # text analysis + dedup (training-data ops)
@@ -367,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # code); all demoted entries stay verified by the local
         # dtype-strict gate (scripts/check_correctness.py) ----
         "kg_turns": kg_turns,
+        "rel_price_quantiles": REL.price_quantiles_by_segment,
         "dedup_exact": T.dedup_exact,
         "events_sliding_counts": EV.sliding_window_counts,
         "text_token_bins": T.token_bins,
@@ -461,6 +480,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, subj, pred, obj, slot_idx "
             f"FROM ({G.resolved_triples_sql(tr)}) "
             "WHERE slot_idx >= 3"),
+        "kg_triples_plural": (
+            "SELECT conv_id, turn_idx, subj, pred, obj, slot_idx, aspect "
+            f"FROM ({G.resolved_triples_sql(tr)}) "
+            "WHERE clause = 'plural'"),
         "kg_findings": FND.findings_sql(tr),
         "kg_snippets": FND.snippets_sql(tr),
         "kg_mention_counts": G.mention_counts_sql(tr),

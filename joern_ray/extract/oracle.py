@@ -27,19 +27,24 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
     import re as _re
     turns = sorted(turns, key=lambda r: r["turn_idx"])
     out: list[dict] = []
-    last_person: str | None = None   # committed from strictly-earlier turns
+    # committed person contributions of the latest person-bearing turn:
+    # the singular referent is max(last_persons); the v32 plural pronoun
+    # expands over the WHOLE set (one state stream serves both rules)
+    last_persons: set[str] = set()
+    last_person: str | None = None   # == max(last_persons) or None
     cur_turn: int | None = None
-    cur_person: str | None = None    # max person slot in the current turn
+    cur_persons: set[str] = set()    # person contributions this turn
     last_maint: dict[str, str] = {}  # committed module -> maintainer
     cur_maint: dict[str, str] = {}   # this turn's max maintainer per module
     for row in turns:
         conv_id, t = row["conv_id"], row["turn_idx"]
         if t != cur_turn:
-            if cur_person is not None:
-                last_person = cur_person
+            if cur_persons:
+                last_persons = cur_persons
+                last_person = max(last_persons)
             if cur_maint:
                 last_maint.update(cur_maint)
-            cur_turn, cur_person, cur_maint = t, None, {}
+            cur_turn, cur_persons, cur_maint = t, set(), {}
         if row.get("role") == "tool" and row.get("tool"):
             out.append(dict(conv_id=conv_id, turn_idx=t, subj=conv_id,
                             pred=R.INVOKED_PRED, obj=row["tool"],
@@ -80,10 +85,29 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
             if matched:
                 continue
 
+            # PLURAL-pronoun templates (v32): "They ..." expands to one
+            # triple per distinct member of the anchor turn's committed
+            # person set, slot_idx = lexicographic rank, clause 'plural';
+            # resolved rows feed no state (so plural chains co-refer)
+            for pred, rx, ok in R.COMPILED_PLURAL_PRONOUN_TEMPLATES:
+                m = rx.match(sent)
+                if m:
+                    matched = True
+                    for slot, mem in enumerate(sorted(last_persons)):
+                        out.append(dict(conv_id=conv_id, turn_idx=t,
+                                        subj=mem, pred=pred,
+                                        obj=m.group("obj"),
+                                        subj_kind="person",
+                                        obj_kind=ok, **attrs,
+                                        slot_idx=slot,
+                                        clause=R.PLURAL_CLAUSE))
+                    break
+            if matched:
+                continue
+
             def _commit(p):
-                nonlocal cur_person
-                if p is not None and (cur_person is None or p > cur_person):
-                    cur_person = p
+                if p is not None:
+                    cur_persons.add(p)
 
             def _commit_maint(subj, pred, obj, obj_kind=None):
                 """Explicit maintains/manages rows feed the key-keyed

@@ -81,9 +81,12 @@ def events_sql(rel: str) -> str:
     # the same sentence (mirrors extract_events' pron_matched mask exactly —
     # a broad '^(She|He) ' prefix test would over-exclude e.g. a subject
     # surface of 'She Devices')
+    # v32: plural-pronoun matches join the suppression alternation (the
+    # SQL mirror of the engine's pron_matched mask)
     pron_any = " OR ".join(
         f"regexp_matches(sent, '{_plain(rx)}')"
-        for _, rx, _ in R.PRONOUN_TEMPLATES)
+        for _, rx, _ in (R.PRONOUN_TEMPLATES
+                         + R.PLURAL_PRONOUN_TEMPLATES))
     # the shared subject-pronoun surface set (rules.SUBJ_PRONOUNS) and the
     # object-slot set (rules.OBJ_PRONOUNS — adds lowercase forms, v25)
     pron_in = ", ".join(f"'{p}'" for p in R.SUBJ_PRONOUNS)
@@ -98,6 +101,20 @@ def events_sql(rel: str) -> str:
                'person' AS subj_kind, '{ok}' AS obj_kind, {_attr_cols()},
                {R.DEFAULT_SLOT_IDX} AS slot_idx,
                '{R.DEFAULT_CLAUSE}' AS clause,
+               CAST(NULL AS VARCHAR) AS desc_key
+        FROM {sents} WHERE regexp_matches(sent, '{rxs}')""")
+    # plural-pronoun templates (v32): etype 'plural' — subj NULL until
+    # the set expansion in resolved_triples_sql fans it out over the
+    # anchor turn's distinct committed persons
+    for pred, rx, ok in R.PLURAL_PRONOUN_TEMPLATES:
+        rxs = _plain(rx)
+        parts.append(f"""
+        SELECT conv_id, turn_idx, 'plural' AS etype,
+               CAST(NULL AS VARCHAR) AS subj, '{pred}' AS pred,
+               regexp_extract(sent, '{rxs}', 1) AS obj,
+               'person' AS subj_kind, '{ok}' AS obj_kind, {_attr_cols()},
+               {R.DEFAULT_SLOT_IDX} AS slot_idx,
+               '{R.PLURAL_CLAUSE}' AS clause,
                CAST(NULL AS VARCHAR) AS desc_key
         FROM {sents} WHERE regexp_matches(sent, '{rxs}')""")
     # object-pronoun templates ("Alice met with her."): subject captured,
@@ -335,6 +352,20 @@ def resolved_triples_sql(rel: str) -> str:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS prev_person
       FROM tp),
+    -- v32 plural-pronoun machinery: the anchor turn (latest strictly-
+    -- earlier person-bearing turn — the same state stream tr reads its
+    -- max from) and the per-turn DISTINCT person set it expands over
+    ps AS (
+      SELECT DISTINCT conv_id, turn_idx, person FROM st
+      WHERE person IS NOT NULL),
+    tra AS (
+      SELECT conv_id, turn_idx,
+             last_value(CASE WHEN turn_person IS NOT NULL
+                             THEN turn_idx END IGNORE NULLS) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS anchor_turn
+      FROM tp),
     -- module-keyed maintainer state (definite-description resolution):
     -- committed = latest strictly-earlier turn's max EXPLICIT maintainer
     -- of the descriptor's module (pronoun-resolved rows never feed it)
@@ -369,6 +400,12 @@ def resolved_triples_sql(rel: str) -> str:
       FROM mdom d LEFT JOIN mm
         ON mm.conv_id = d.conv_id AND mm.mkey = d.mkey
        AND mm.turn_idx = d.turn_idx)
+    -- the union below is wrapped in a derived table so the CTE body's
+    -- top level stays ONE select: consumers embed this query inside
+    -- WITH RECURSIVE (reach/paths oracles), where a top-level UNION ALL
+    -- would be parsed as an anchor/recursive-part split and lose the
+    -- inner CTE scope ("Table st does not exist")
+    SELECT * FROM (
     SELECT st.conv_id, st.turn_idx,
            CASE WHEN etype = 'pronoun' THEN tr.prev_person
                 WHEN etype = 'desc' THEN mtr.prev_m
@@ -388,6 +425,25 @@ def resolved_triples_sql(rel: str) -> str:
        OR (etype IN ('pronoun', 'pronoun_obj')
            AND tr.prev_person IS NOT NULL)
        OR (etype IN ('desc', 'desc_obj') AND mtr.prev_m IS NOT NULL)
+    UNION ALL
+    -- v32 plural expansion: one row per DISTINCT person of the anchor
+    -- turn, slot_idx = lexicographic rank (row_number over the set);
+    -- no anchor turn ⇒ the JOIN drops the event (unresolvable rule)
+    SELECT pl.conv_id, pl.turn_idx, ps.person AS subj, pl.pred,
+           pl.obj, pl.subj_kind, pl.obj_kind, pl.sent_idx, pl.negated,
+           pl.in_question, pl.is_past, pl.aspect,
+           CAST(row_number() OVER (
+             PARTITION BY pl.conv_id, pl.turn_idx, pl.sent_idx,
+                          pl.pred, pl.obj
+             ORDER BY ps.person) - 1 AS INTEGER) AS slot_idx,
+           pl.clause
+    FROM (SELECT st.*, tra.anchor_turn
+          FROM st JOIN tra ON st.conv_id = tra.conv_id
+                          AND st.turn_idx = tra.turn_idx
+          WHERE etype = 'plural') pl
+    JOIN ps ON ps.conv_id = pl.conv_id
+           AND ps.turn_idx = pl.anchor_turn
+    ) AS resolved_u
     """
 
 

@@ -64,10 +64,21 @@ PRONOUNS = ("She", "He")
 # possessive pronouns open the managed_by pronoun template; kept separate
 # because synth uses PRONOUNS for subject-pronoun turns
 POSS_PRONOUNS = ("Her", "His")
-# the shared subject-surface pronoun test (one source of truth for all three
-# implementations — engine kernel, Python oracle, SQL mirror): a captured
-# person-slot surface equal to any of these is a pronoun, never a name
-SUBJ_PRONOUNS = PRONOUNS + POSS_PRONOUNS
+# the PLURAL subject pronoun (v32): "They" opens the plural-pronoun
+# template family below, whose resolution expands to the full committed
+# person SET of the anchor turn (see the plural resolution contract).
+# It also joins SUBJ_PRONOUNS so that a "They" captured by any OTHER
+# template's person-subject slot is treated as a pronoun surface —
+# dropped from explicit emission and from referent state — keeping the
+# contract total on dirty input (a plural pronoun in a coordination
+# slot falls back to SINGULAR resolution, the max-person rule, a
+# documented simplification; synth never generates that shape).
+PLURAL_PRONOUN = "They"
+# the shared subject-surface pronoun test (one source of truth for all
+# FOUR implementations — engine kernel, Python oracle, subprocess
+# worker, SQL mirror): a captured person-slot surface equal to any of
+# these is a pronoun, never a name
+SUBJ_PRONOUNS = PRONOUNS + POSS_PRONOUNS + (PLURAL_PRONOUN,)
 # OBJECT-slot pronoun surface test (v25): object slots can additionally
 # capture the LOWERCASE mid-sentence forms ("Bob, her manager, ..."), which
 # subject slots never can (every subject group requires a leading capital).
@@ -154,10 +165,21 @@ def split_sentences(text: str) -> list[str]:
 #   is_past(sent) = matches(PAST_RE)
 #                   AND NOT matches(PRES_PASSIVE_RE)
 #                   AND NOT matches(PRES_PERFECT_RE)
+#
+# v31 composes ASPECT with the PASSIVE: 'is/was being maintained by'
+# (progressive passive) and 'has/had been maintained by' (perfect
+# passive).  Two carve-out extensions keep the tense contract total:
+# PRES_PASSIVE_RE admits the optional 'being ' ('is being maintained'
+# is PRESENT progressive passive; 'was being' stays past via 'was'),
+# and PRES_PERFECT_RE gains the 'been' participle ('has been
+# maintained' is a PRESENT perfect passive, exactly like 'has worked';
+# 'had been' stays past via its 'maintained' participle with no
+# carve-out).  'being'/'been' are tokens no other construct can
+# produce, so the kernels stay collision-free.
 PAST_RE = (r"\b(?:worked|used|maintained|managed|was|were|reported|"
            r"acquired|met|joined|left|partnered|introduced|mentioned)\b")
-PRES_PASSIVE_RE = r"\bis [a-z]+ed\b"
-PRES_PERFECT_RE = r"\b(?:has|have) (?:[a-z]+ed|met)\b"
+PRES_PASSIVE_RE = r"\bis (?:being )?[a-z]+ed\b"
+PRES_PERFECT_RE = r"\b(?:has|have) (?:[a-z]+ed|met|been)\b"
 
 # Aspect attribute (v27) — the fourth relation attribute, completing the
 # fork's 3+-attribute structural family
@@ -192,10 +214,19 @@ PRES_PERFECT_RE = r"\b(?:has|have) (?:[a-z]+ed|met)\b"
 # verb group per relation family per sentence, and no participle here
 # can follow a bare copula in a passive ('introducing'/'meeting' are
 # not '-ed' forms).
+# v31 extends both alternations to the PASSIVE family: the passive
+# progressive auxiliary chain is copula + 'being' ('is being
+# maintained'), so 'being' joins the PROG_RE participle set; the
+# passive perfect is have-auxiliary + 'been' ('has been maintained'),
+# so 'been' joins PERF_RE.  Disjointness holds as before: a sentence
+# carries one verb group per relation family, and neither kernel can
+# match the other's chain ('being' never follows has/had/have,
+# 'been' never follows a bare copula in this grammar).
 PROG_RE = (r"\b(?:is|was|are|were) "
-           r"(?:working|using|maintaining|managing|introducing|meeting)\b")
+           r"(?:working|using|maintaining|managing|introducing|meeting|"
+           r"being)\b")
 PERF_RE = (r"\b(?:has|had|have) "
-           r"(?:worked|used|maintained|managed|introduced|met)\b")
+           r"(?:worked|used|maintained|managed|introduced|met|been)\b")
 ASPECT_SIMPLE = "simple"
 ASPECT_PROG = "progressive"
 ASPECT_PERF = "perfect"
@@ -308,8 +339,15 @@ MULTI_TEMPLATES = [
     # position-based) capture-group contract end-to-end.  'is maintained'
     # is PRESENT (the PRES_PASSIVE_RE carve-out of the v24 tense
     # contract); 'was maintained' is the past alternant.
+    # v31: the passive composes with ASPECT — the auxiliary chain
+    # alternates simple (is/was), progressive (is/was being) and
+    # perfect (has/had been); tense composes independently ('is being'
+    # present, 'was being' past, 'has been' present via the v31
+    # PRES_PERFECT carve-out, 'had been' past).  Longer alternants come
+    # first so the leftmost-alternative submatch stays unambiguous.
     ("passive_maintains",
-     r'^(?P<obj>[a-z_]+(?:\.[a-z_]+)*) (?:is|was) maintained by '
+     r'^(?P<obj>[a-z_]+(?:\.[a-z_]+)*) '
+     r'(?:is being|was being|has been|had been|is|was) maintained by '
      r'(?P<subj>[A-Z][a-z]+)[.?]$',
      [("maintains", "subj", "person", "obj", "module", 0, "passive")]),
     # possessive construct: "<B>'s manager is <A>" ⇒ manages(A, B); the
@@ -818,6 +856,50 @@ PRONOUN_TEMPLATES = [
     ("managed_by",
      r"^(?:Her|His) manager (?:is|was) (?P<obj>[A-Z][a-z]+)[.?]$",
      "person"),
+]
+
+# ---------------------------------------------------------------------------
+# PLURAL-pronoun templates (v32): the subject is the plural pronoun "They",
+# which resolves to the full committed person SET — the first construct
+# whose resolution EXPANDS one event into a variable number of triples
+# (the reference analog: closure over a coordinated definition site, the
+# way XTypeRecovery fans one unresolved symbol out to every candidate).
+# Shared resolution contract (all four implementations):
+#
+#   * anchor turn: the LATEST strictly-earlier turn of the same
+#     conversation carrying any committed person contribution — exactly
+#     the singular anchor (the singular referent is max(set), so the two
+#     rules share one state stream; per-row contributions stay the
+#     standard rule: obj person shadows subj person, resolved rows
+#     contribute nothing);
+#   * expansion: one triple per DISTINCT person in the anchor turn's
+#     contribution set, subj = the member, slot_idx = the member's rank
+#     in LEXICOGRAPHIC order (0-based — deterministic, set-derived),
+#     clause = 'plural'; a single-member set expands to one triple at
+#     slot 0;
+#   * no anchor turn ⇒ no emission (the unresolvable-pronoun rule);
+#   * plural-RESOLVED rows feed NO state of any family (the resolved-row
+#     discipline), so consecutive plural turns co-refer to the same set.
+#
+# Event-store discriminator: subj IS NULL ∧ desc_key IS NULL ∧
+# clause = 'plural' (singular subject-pronoun events keep clause 'main'
+# or their construct clause).  The verb groups are the v30 PLURAL aspect
+# alternations (are/were/have auxiliaries — already in PROG_RE /
+# PAST_RE / PRES_PERFECT_RE, so the attribute kernels need no edits).
+# ---------------------------------------------------------------------------
+PLURAL_CLAUSE = "plural"
+PLURAL_PRONOUN_TEMPLATES = [
+    ("works_at",
+     r"^They (?:no longer )?(?:work(?:ed)?|are working|were working|"
+     r"have worked|had worked) at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     "org"),
+    ("uses",
+     r"^They (?:no longer )?(?:use(?:d)?|are using|were using|"
+     r"have used|had used) (?P<obj>[a-z0-9_]+) daily[.?]$",
+     "tool"),
+]
+COMPILED_PLURAL_PRONOUN_TEMPLATES = [
+    (pred, re.compile(rx), ok) for pred, rx, ok in PLURAL_PRONOUN_TEMPLATES
 ]
 
 # OBJECT-pronoun templates (v9): the pronoun fills the OBJECT slot

@@ -80,6 +80,18 @@ for line in sys.stdin:
                     break
             if matched:
                 continue
+            # plural-pronoun templates (v32): unresolved plural event —
+            # subj null, clause 'plural'; Stage B expands it over the
+            # anchor turn's committed person set
+            for pred, rx, ok in R.COMPILED_PLURAL_PRONOUN_TEMPLATES:
+                m = rx.match(sent)
+                if m:
+                    evs.append([None, pred, m.group("obj"), "person", ok,
+                                *attrs, 0, R.PLURAL_CLAUSE, None])
+                    matched = True
+                    break
+            if matched:
+                continue
             for pred, rx, ok in R.COMPILED_PRONOUN_OBJECT_TEMPLATES:
                 m = rx.match(sent)
                 if m is None:

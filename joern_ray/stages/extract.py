@@ -22,7 +22,10 @@ import pyarrow.compute as pc
 from .. import schema as S
 from ..functions import rules as R
 
-_PRONOUN_SET = pa.array(list(R.PRONOUNS) + list(R.POSS_PRONOUNS))
+# the shared subject-slot pronoun surface set (rules.SUBJ_PRONOUNS —
+# includes the v32 plural "They", so a plural pronoun captured by any
+# non-plural template's person-subject slot stays a pronoun surface)
+_PRONOUN_SET = pa.array(list(R.SUBJ_PRONOUNS))
 # OBJECT-slot pronoun test (v25): adds the lowercase mid-sentence forms —
 # subject slots never capture lowercase, so this set is object-only
 _OBJ_PRONOUN_SET = pa.array(list(R.OBJ_PRONOUNS))
@@ -291,6 +294,32 @@ def extract_events(batch: pa.Table,
             pa.array([None] * len(idx), pa.string()), pred,
             pc.struct_field(ex, "obj").take(local), "person", ok,
             sidx.take(idx), neg, inq, past, asp))
+
+    # PLURAL-pronoun templates (v32): "They ..." — one event (subj NULL,
+    # clause 'plural'); Stage B expands it over the anchor turn's
+    # committed person SET.  Matched sentences join pron_matched so the
+    # single/multi/list arms skip them (the pronoun-precedence rule).
+    plu_idx = pc.indices_nonzero(pc.fill_null(
+        pc.starts_with(text, R.PLURAL_PRONOUN + " "), False))
+    plu_text = (text.take(plu_idx).combine_chunks()
+                if len(plu_idx) else pa.array([], pa.string()))
+    for pred, rx, ok in ([] if not len(plu_idx)
+                         else R.PLURAL_PRONOUN_TEMPLATES):
+        ex = pc.extract_regex(plu_text, rx)
+        mask = pc.is_valid(ex)
+        if not pc.any(mask).as_py():
+            continue
+        local = pc.indices_nonzero(mask)
+        idx = plu_idx.take(local)
+        pron_matched_np[idx.to_numpy(zero_copy_only=False)] = True
+        neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
+                               past_all.take(idx), asp_all.take(idx))
+        outs.append(_events_table(
+            len(idx), conv.take(idx), tidx.take(idx),
+            pa.array([None] * len(idx), pa.string()), pred,
+            pc.struct_field(ex, "obj").take(local), "person", ok,
+            sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
+            R.PLURAL_CLAUSE))
 
     cand_idx = pc.indices_nonzero(pc.fill_null(
         pc.match_substring_regex(text, _ANY_LITERAL_RE), False))
@@ -708,21 +737,39 @@ def _resolve_group(group: pa.Table) -> pa.Table:
                 .cast(S.TRIPLES_SURFACE))   # decode dict categoricals
     rows = group.to_pylist()
     keep: list[dict] = []
-    last_person: str | None = None   # committed: from strictly-earlier turns
+    # committed person contributions of the latest person-bearing turn —
+    # the singular referent is max(last_persons); the v32 plural pronoun
+    # expands over the whole set (one state stream, two read rules)
+    last_persons: set[str] = set()
+    last_person: str | None = None   # == max(last_persons) or None
     cur_turn: int | None = None
-    cur_person: str | None = None    # max person seen in the current turn
+    cur_persons: set[str] = set()    # person contributions this turn
     last_maint: dict[str, str] = {}  # committed module -> maintainer
     cur_maint: dict[str, str] = {}   # current turn's max maintainer / module
+
+    def _commit(p):
+        nonlocal cur_persons
+        if p is not None:
+            cur_persons.add(p)
+
     for r in rows:
         if r["turn_idx"] != cur_turn:
-            if cur_person is not None:
-                last_person = cur_person
+            if cur_persons:
+                last_persons = cur_persons
+                last_person = max(last_persons)
             if cur_maint:
                 last_maint.update(cur_maint)
             cur_turn = r["turn_idx"]
-            cur_person = None
+            cur_persons = set()
             cur_maint = {}
         if r["subj"] is None:
+            if r.get("clause") == R.PLURAL_CLAUSE:
+                # v32 plural pronoun: expand over the anchor turn's
+                # committed person set, slot_idx = lexicographic rank;
+                # resolved rows feed no state
+                for slot, mem in enumerate(sorted(last_persons)):
+                    keep.append(dict(r, subj=mem, slot_idx=slot))
+                continue
             if r.get("desc_key") is not None:
                 # definite-description event: resolve against the committed
                 # module-keyed maintainer state; the explicit person object
@@ -732,8 +779,7 @@ def _resolve_group(group: pa.Table) -> pa.Table:
                 if ref is not None:
                     keep.append(dict(r, subj=ref))
                 p = r["obj"] if r["obj_kind"] == "person" else None
-                if p is not None and (cur_person is None or p > cur_person):
-                    cur_person = p
+                _commit(p)
                 continue
             if last_person is not None:
                 keep.append(dict(r, subj=last_person))
@@ -748,21 +794,18 @@ def _resolve_group(group: pa.Table) -> pa.Table:
                 if ref is not None:
                     keep.append(dict(r, obj=ref))
                 p = r["subj"] if r["subj_kind"] == "person" else None
-                if p is not None and (cur_person is None or p > cur_person):
-                    cur_person = p
+                _commit(p)
                 continue
             # object-pronoun event
             if last_person is not None:
                 keep.append(dict(r, obj=last_person))
             p = r["subj"] if r["subj_kind"] == "person" else None
-            if p is not None and (cur_person is None or p > cur_person):
-                cur_person = p
+            _commit(p)
             continue
         keep.append(r)
         p = (r["obj"] if r["obj_kind"] == "person"
              else r["subj"] if r["subj_kind"] == "person" else None)
-        if p is not None and (cur_person is None or p > cur_person):
-            cur_person = p
+        _commit(p)
         if r["pred"] in R.DESC_STATE_PREDS:  # explicit state-family event
             m = cur_maint.get(r["obj"])
             if m is None or r["subj"] > m:
@@ -819,8 +862,14 @@ def _resolve_bucket(group: pa.Table,
         zero_copy_only=False)
     # narrow-schema row classes (see _resolve_subset): pronoun rows carry
     # pred without desc_key; descriptor rows carry both; maintainer-state
-    # rows carry desc_key without pred
+    # rows carry desc_key without pred.  The v32 plural-pronoun rows are
+    # the clause='plural' subclass of the pronoun class — they expand
+    # over the anchor turn's person SET instead of taking its max.
     is_pron = has_pred & ~has_dk
+    clause_np = g.column("clause").cast(pa.string()).to_numpy(
+        zero_copy_only=False)
+    is_plural = is_pron & (clause_np == R.PLURAL_CLAUSE)
+    is_pron = is_pron & ~is_plural
     is_desc = has_pred & has_dk
     is_mst = ~has_pred & has_dk
     # descriptor-state rows are NOT person-referent state (v16: a manages
@@ -881,16 +930,71 @@ def _resolve_bucket(group: pa.Table,
         return ok, tp_vals[safe[ok]]
 
     parts: list[pa.Table] = []
-    if is_state.any() and is_pron.any():
+    if is_state.any() and (is_pron.any() or is_plural.any()):
         # per-turn max person, fully vectorized: sorted factorize gives
         # person codes order-isomorphic to the lexicographic strings
         # (pandas object groupby.max would fall back to per-group Python)
         pcodes, puniq = pd.factorize(person[is_state], sort=True)
-        ok, referent = _latest_earlier(
-            key[is_state], pcodes, puniq, key[is_pron])
-        pron_rows = np.nonzero(is_pron)[0][ok]
-        if len(pron_rows):  # empty-take guard (pyarrow 16 flake class)
-            parts.append(_emit(pron_rows, referent, False))
+        if is_pron.any():
+            ok, referent = _latest_earlier(
+                key[is_state], pcodes, puniq, key[is_pron])
+            pron_rows = np.nonzero(is_pron)[0][ok]
+            if len(pron_rows):  # empty-take guard (pyarrow 16 flakes)
+                parts.append(_emit(pron_rows, referent, False))
+        if is_plural.any():
+            # v32 plural expansion: dedupe state to DISTINCT (turn-key,
+            # person) pairs sorted by person code, then one searchsorted
+            # to the latest strictly-earlier person-bearing turn and an
+            # offset-arithmetic fan-out — one output row per member,
+            # slot_idx = lexicographic rank (pcodes are sort=True, so
+            # code order IS lexicographic order)
+            skeys = key[is_state]
+            order = np.lexsort((pcodes, skeys))
+            sk = skeys[order]
+            pcs = pcodes[order]
+            keep = np.ones(len(sk), dtype=bool)
+            keep[1:] = (sk[1:] != sk[:-1]) | (pcs[1:] != pcs[:-1])
+            sk2, pcs2 = sk[keep], pcs[keep]
+            tstart = np.nonzero(np.concatenate(
+                ([True], sk2[1:] != sk2[:-1])))[0].astype(np.int64)
+            tkeys = sk2[tstart]
+            tend = np.concatenate((tstart[1:], [len(sk2)])).astype(
+                np.int64)
+            qk = key[is_plural]
+            pos = np.searchsorted(tkeys, qk, side="left") - 1
+            ok = pos >= 0
+            safe = np.where(ok, pos, 0)
+            ok &= (tkeys[safe] >> 32) == (qk >> 32)  # same conversation
+            plu_rows = np.nonzero(is_plural)[0][ok]
+            if len(plu_rows):
+                s = tstart[pos[ok]]
+                e = tend[pos[ok]]
+                counts = e - s
+                total = int(counts.sum())
+                out_rows = np.repeat(plu_rows, counts)
+                cum = np.concatenate(([0], np.cumsum(counts[:-1])))
+                intra = (np.arange(total, dtype=np.int64)
+                         - np.repeat(cum, counts))
+                member_idx = np.repeat(s, counts) + intra
+                members = np.asarray(puniq, dtype=object)[
+                    pcs2[member_idx]]
+                sub = g.take(pa.array(out_rows, pa.int64()))
+                parts.append(pa.Table.from_arrays(
+                    [sub.column("conv_id").cast(pa.string()),
+                     sub.column("turn_idx").cast(pa.int32()),
+                     pa.array(members, pa.string()),
+                     sub.column("pred").cast(pa.string()),
+                     sub.column("obj").cast(pa.string()),
+                     pa.array(["person"] * len(out_rows), pa.string()),
+                     sub.column("obj_kind").cast(pa.string()),
+                     sub.column("sent_idx").cast(pa.int32()),
+                     sub.column("negated").cast(pa.bool_()),
+                     sub.column("in_question").cast(pa.bool_()),
+                     sub.column("is_past").cast(pa.bool_()),
+                     sub.column("aspect").cast(pa.string()),
+                     pa.array(intra.astype("int32"), pa.int32()),
+                     sub.column("clause").cast(pa.string())],
+                    schema=S.TRIPLES_SURFACE))
     if is_desc.any() and is_mst.any():
         # module-keyed maintainer state: composite (conv, module) entity
         # codes from one factorize over the SMALL desc-relevant subset
@@ -976,6 +1080,10 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
 
     has_dk = df["desc_key"].notna().to_numpy()
     is_pron = df["pred"].notna().to_numpy() & ~has_dk
+    # v32 plural-pronoun rows: the clause='plural' subclass (expand over
+    # the anchor turn's person set instead of taking its max)
+    is_plural = is_pron & (df["clause"] == R.PLURAL_CLAUSE).to_numpy()
+    is_pron = is_pron & ~is_plural
     is_desc = df["pred"].notna().to_numpy() & has_dk
     is_mst = ~df["pred"].notna().to_numpy() & has_dk
     parts: list[pa.Table] = []
@@ -983,6 +1091,34 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
     # person-referent state (v16) — exclude them here
     state = df.loc[df["person"].notna() & ~is_mst,
                    ["conv_id", "turn_idx", "person"]]
+    if len(state) and is_plural.any():
+        # anchor = latest strictly-earlier person-bearing turn; expand
+        # over its DISTINCT persons, slot_idx = lexicographic rank
+        turn_set = state.drop_duplicates()
+        pturns = (turn_set[["conv_id", "turn_idx"]].drop_duplicates()
+                  .assign(anchor_turn=lambda d: d["turn_idx"])
+                  .sort_values("turn_idx", kind="mergesort",
+                               ignore_index=True))
+        plu = _payload(df.loc[is_plural]).reset_index(drop=True)
+        plu["_rid"] = np.arange(len(plu))
+        plu = plu.sort_values("turn_idx", kind="mergesort",
+                              ignore_index=True)
+        out = pd.merge_asof(plu, pturns, on="turn_idx", by="conv_id",
+                            direction="backward",
+                            allow_exact_matches=False)
+        out = out[out["anchor_turn"].notna()]
+        if len(out):
+            out = out.assign(anchor_turn=out["anchor_turn"].astype(
+                turn_set["turn_idx"].dtype))
+            exp = out.merge(
+                turn_set.rename(columns={"turn_idx": "anchor_turn"}),
+                on=["conv_id", "anchor_turn"])
+            exp = exp.sort_values(["_rid", "person"], kind="mergesort",
+                                  ignore_index=True)
+            exp["slot_idx"] = exp.groupby(
+                "_rid", sort=False).cumcount().astype("int32")
+            parts.append(_table(exp, exp["person"].to_numpy(object),
+                                exp["obj"].to_numpy(object)))
     pron = _payload(df.loc[is_pron])
     if len(state) and len(pron):
         turn_person = (state.groupby(["conv_id", "turn_idx"], sort=False)

@@ -23,7 +23,29 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v30"  # v30: PLURAL coordination aspect — the
+CORPUS_VERSION = "v32"  # v32: PLURAL-PRONOUN anaphora — "They ..."
+#                         resolves to the FULL committed person set of
+#                         the anchor turn (one triple per member,
+#                         slot_idx = lexicographic rank, clause
+#                         'plural'); the singular referent is max(set),
+#                         so both rules read one state stream.  The
+#                         first construct whose resolution EXPANDS one
+#                         event into a variable number of triples.
+#                         Generation: atomic coordination+plural pairs
+#                         (the set is known by construction); ~30%
+#                         chain a second plural turn (co-reference —
+#                         resolved rows feed no state).
+#                         v31: ASPECT over the PASSIVE — the passive
+#                         auxiliary chain alternates simple (is/was),
+#                         progressive (is/was being) and perfect
+#                         (has/had been) before 'maintained by'; the
+#                         tense contract gains the 'is being' and
+#                         'has been' carve-outs (PRES_PASSIVE_RE
+#                         optional 'being ', PRES_PERFECT_RE 'been'),
+#                         and 'being'/'been' join PROG_RE/PERF_RE.
+#                         Generation: _passive_cop realizes the six
+#                         forms (~15% was, ~7% being, ~7% been).
+#                         v30: PLURAL coordination aspect — the
 #                         coord / coord3 / coordN / quoted-coord verb
 #                         groups alternate are/were V-ing and have/had
 #                         V-ed (the v29 plural auxiliaries; template +
@@ -231,6 +253,22 @@ def _aspect_past_verb(rng, past: str, part_ing: str) -> str:
     return past
 
 
+def _passive_cop(rng) -> str:
+    """v31: the passive auxiliary chain — ~15% simple past ('was'),
+    ~7% progressive ('is/was being'), ~7% perfect ('has/had been'),
+    rest simple present ('is').  Composes with the participle already
+    in the template text ('... maintained by <person>'); tense rides
+    the auxiliary exactly as in the active families."""
+    u = rng.random()
+    if u < 0.15:
+        return "was"
+    if u < 0.22:
+        return ("was being" if rng.random() < 0.5 else "is being")
+    if u < 0.29:
+        return ("had been" if rng.random() < 0.5 else "has been")
+    return "is"
+
+
 def _aspect_verb_pl(rng, present: str, past: str, part_ing: str) -> str:
     """v30: full plural aspect alternation for coordinated subjects
     ('Alice and Bob are working at X' / 'have worked at X') — the
@@ -420,7 +458,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         if kind == "passive_maintains":
             a = _pick_person(rng)
             mod = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
-            cop = _tense(rng, "is", "was")
+            cop = _passive_cop(rng)
             text = f"{mod} {cop} maintained by {a}{end}"
             gts = [("person", a.lower(), "maintains", "module", mod)]
             return text, gts, a   # subj person commits (obj not a person)
@@ -949,6 +987,56 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 pred = "uses"
             add_row(t, role, text)
             add_gt(t, "person", last_person.lower(), pred, obj_kind, obj_canon)
+        elif r < 0.145 and t + 1 < n:
+            # v32 PLURAL-PRONOUN pair: a coordination turn establishing a
+            # KNOWN person set, then an adjacent "They ..." turn that
+            # resolves to exactly that set (the anchor turn is the
+            # immediately-preceding turn by construction, so the tracked
+            # set can never disagree with the engine).  ~30% of pairs
+            # chain a SECOND plural turn — resolved rows feed no state,
+            # so the set carries over (the co-reference contract).
+            k = int(rng.integers(2, 5))   # 2-4 coordinated members
+            members: list[str] = []
+            while len(members) < k:
+                q = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
+                if q not in members:
+                    members.append(q)
+            org_surface, org_canon = _pick_org(rng)
+            verb = _aspect_verb_pl(rng, "work", "worked", "working")
+            head = (f"{members[0]} and {members[1]}" if k == 2
+                    else ", ".join(members[:-1]) + f" and {members[-1]}")
+            add_row(t, role, f"{head} {verb} at {org_surface}.")
+            for mem in members:
+                add_gt(t, "person", mem.lower(), "works_at",
+                       "org", org_canon)
+            t += 1
+            n_plu = 2 if rng.random() < 0.3 else 1
+            for _ in range(n_plu):
+                if t >= n:
+                    break
+                role2 = "user" if t % 2 == 0 else "assistant"
+                neg = "no longer " if rng.random() < 0.08 else ""
+                if rng.random() < 0.5:
+                    tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
+                    verb2 = (_tense(rng, "use", "used") if neg
+                             else _aspect_verb_pl(rng, "use", "used",
+                                                  "using"))
+                    add_row(t, role2, f"They {neg}{verb2} {tool} daily.")
+                    for mem in members:
+                        add_gt(t, "person", mem.lower(), "uses",
+                               "tool", tool)
+                else:
+                    o2s, o2c = _pick_org(rng)
+                    verb2 = (_tense(rng, "work", "worked") if neg
+                             else _aspect_verb_pl(rng, "work", "worked",
+                                                  "working"))
+                    add_row(t, role2, f"They {neg}{verb2} at {o2s}.")
+                    for mem in members:
+                        add_gt(t, "person", mem.lower(), "works_at",
+                               "org", o2c)
+                t += 1
+            last_person = max(members)
+            continue
         elif r < 0.40:
             text, gts2, slot = gen_sentence(rng)
             add_row(t, role, text)

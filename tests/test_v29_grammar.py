@@ -212,7 +212,10 @@ def test_v29_synth_corpus_carries_new_cells():
     """The v29 corpus generates real positives for every new family ×
     aspect cell (presence; corpus-wide P/R is asserted in
     test_kg_pipeline)."""
-    rows, _gts = synth.generate_corpus(400)
+    # 1500 convs: the rarest cell (reciprocal × perfect, ~7% of ~0.4%
+    # of turns) needs a larger draw after the v32 plural-pair branch
+    # shifted the per-conversation RNG stream
+    rows, _gts = synth.generate_corpus(1500)
     o = oracle.extract_all(rows.to_pylist())
     cells = {(d["pred"], d.get("clause"), d.get("aspect")) for d in o}
     for want in [("introduced", "ditransitive", "progressive"),
