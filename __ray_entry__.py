@@ -129,13 +129,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_triples_attributed(sf_dir):
         """Resolved triples WITH relation attributes (sent_idx / negated /
-        in_question / is_past / aspect — the v24 tense + v27 aspect
-        attributes) — the DependencyJsonGenerator attributed-relation
-        analog (``DependencyJsonGenerator.scala:278-292``)."""
+        in_question / is_past / aspect / since_year — the v24 tense, v27
+        aspect and v33 temporal-adjunct attributes) — the
+        DependencyJsonGenerator attributed-relation analog
+        (``DependencyJsonGenerator.scala:278-292``)."""
         return X.extract_triples(_transcripts(sf_dir)).map_batches(
             lambda t: t.select(["conv_id", "turn_idx", "sent_idx", "subj",
                                 "pred", "obj", "negated", "in_question",
-                                "is_past", "aspect", "slot_idx", "clause"]),
+                                "is_past", "aspect", "since_year",
+                                "slot_idx", "clause"]),
             batch_format="pyarrow")
 
     def kg_triples_definite(sf_dir):
@@ -166,6 +168,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.compute as pc
         return X.extract_triples(_transcripts(sf_dir)).map_batches(
             lambda t: t.filter(pc.equal(t.column("clause"), "plural"))
+                       .select(["conv_id", "turn_idx", "subj", "pred",
+                                "obj", "slot_idx", "aspect"]),
+            batch_format="pyarrow")
+
+    def kg_triples_plural_recip(sf_dir):
+        """Plural-reciprocal anaphora (v34): "They met." expands to one
+        triple per ORDERED PAIR of distinct members of the anchor
+        turn's committed person set (k members => k*(k-1) rows,
+        slot_idx = the subject's lexicographic rank, clause
+        'plural_recip') — the quadratic fan-out construct; aspect rides
+        the plural auxiliaries."""
+        import pyarrow.compute as pc
+        return X.extract_triples(_transcripts(sf_dir)).map_batches(
+            lambda t: t.filter(pc.equal(t.column("clause"),
+                                        "plural_recip"))
                        .select(["conv_id", "turn_idx", "subj", "pred",
                                 "obj", "slot_idx", "aspect"]),
             batch_format="pyarrow")
@@ -292,6 +309,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rel_price_quantiles (driver-confirmed r3 AND r4 with unchanged
         # code, demoted below)
         "kg_triples_plural": kg_triples_plural,
+        # r5 fourth-wave rotation: the v34 plural-reciprocal construct
+        # (ordered-pair set expansion — the quadratic fan-out) gains an
+        # oracle-backed row; takes the slot of conv_line_dedup
+        # (driver-confirmed r3 AND r4 with unchanged code, demoted below)
+        "kg_triples_plural_recip": kg_triples_plural_recip,
         # r4 window rotation: text_top_tokens (corpus heavy-hitters, new
         # this round, never driver-confirmed) takes the slot of
         # kg_dominators (driver-confirmed r2 AND r3, code unchanged)
@@ -325,7 +347,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis + dedup (training-data ops)
         "text_quality": T.text_quality,
         "dedup_snapshot": T.snapshot_dedup,
-        "conv_line_dedup": (lambda sf_dir: T.line_dedup(_transcripts(sf_dir))),
         "text_sample_stratified": T.sample_stratified,
         "text_sample_weighted": T.sample_weighted,
         "text_repetition": T.repetition_stats,
@@ -386,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dtype-strict gate (scripts/check_correctness.py) ----
         "kg_turns": kg_turns,
         "rel_price_quantiles": REL.price_quantiles_by_segment,
+        "conv_line_dedup": (lambda sf_dir: T.line_dedup(_transcripts(sf_dir))),
         "dedup_exact": T.dedup_exact,
         "events_sliding_counts": EV.sliding_window_counts,
         "text_token_bins": T.token_bins,
@@ -469,7 +491,8 @@ def oracle_sql() -> dict[str, str]:
                                 f"FROM ({G.resolved_triples_sql(tr)})"),
         "kg_triples_attributed": (
             "SELECT conv_id, turn_idx, sent_idx, subj, pred, obj, "
-            "negated, in_question, is_past, aspect, slot_idx, clause "
+            "negated, in_question, is_past, aspect, since_year, "
+            "slot_idx, clause "
             f"FROM ({G.resolved_triples_sql(tr)})"),
         "kg_triples_definite": (
             "SELECT conv_id, turn_idx, subj, pred, obj, clause "
@@ -484,6 +507,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, subj, pred, obj, slot_idx, aspect "
             f"FROM ({G.resolved_triples_sql(tr)}) "
             "WHERE clause = 'plural'"),
+        "kg_triples_plural_recip": (
+            "SELECT conv_id, turn_idx, subj, pred, obj, slot_idx, aspect "
+            f"FROM ({G.resolved_triples_sql(tr)}) "
+            "WHERE clause = 'plural_recip'"),
         "kg_findings": FND.findings_sql(tr),
         "kg_snippets": FND.snippets_sql(tr),
         "kg_mention_counts": G.mention_counts_sql(tr),

@@ -50,13 +50,15 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                             pred=R.INVOKED_PRED, obj=row["tool"],
                             subj_kind="conv", obj_kind="tool",
                             sent_idx=0, negated=False, in_question=False,
-                            is_past=False, aspect=R.ASPECT_SIMPLE))
+                            is_past=False, aspect=R.ASPECT_SIMPLE,
+                            since_year=None))
             continue
         text = row.get("text") or ""
         # shared segmentation contract (rules.split_sentences):
         # mark + split + quote-parity repair
         sents = R.split_sentences(text)
         for si, sent in enumerate(sents):
+            since_m = _re.search(R.SINCE_RE, sent)
             attrs = dict(sent_idx=si, negated=R.NEGATION_MARK in sent,
                          in_question=sent.endswith(R.QUESTION_MARK),
                          is_past=bool(
@@ -67,7 +69,9 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                                  if _re.search(R.PROG_RE, sent)
                                  else R.ASPECT_PERF
                                  if _re.search(R.PERF_RE, sent)
-                                 else R.ASPECT_SIMPLE))
+                                 else R.ASPECT_SIMPLE),
+                         since_year=(int(since_m.group("year"))
+                                     if since_m else None))
             matched = False
             for pred, rx, obj_kind in R.COMPILED_PRONOUN_TEMPLATES:
                 m = rx.match(sent)
@@ -101,6 +105,29 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                                         obj_kind=ok, **attrs,
                                         slot_idx=slot,
                                         clause=R.PLURAL_CLAUSE))
+                    break
+            if matched:
+                continue
+
+            # PLURAL-RECIPROCAL templates (v34): "They met." expands to
+            # one triple per ORDERED PAIR of distinct anchor-set
+            # members; slot_idx = the subject's lexicographic rank;
+            # resolved rows feed no state (so the set carries over)
+            for pred, rx in R.COMPILED_PLURAL_RECIP_TEMPLATES:
+                m = rx.match(sent)
+                if m:
+                    matched = True
+                    mems = sorted(last_persons)
+                    for i, a in enumerate(mems):
+                        for b in mems:
+                            if b != a:
+                                out.append(dict(
+                                    conv_id=conv_id, turn_idx=t,
+                                    subj=a, pred=pred, obj=b,
+                                    subj_kind="person",
+                                    obj_kind="person", **attrs,
+                                    slot_idx=i,
+                                    clause=R.PLURAL_RECIP_CLAUSE))
                     break
             if matched:
                 continue

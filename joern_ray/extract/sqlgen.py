@@ -61,6 +61,7 @@ def _attr_cols() -> str:
     pperf = R.PRES_PERFECT_RE.replace("'", "''")
     prog = R.PROG_RE.replace("'", "''")
     perf = R.PERF_RE.replace("'", "''")
+    since = _plain(R.SINCE_RE)
     return ("sent_idx, contains(sent, 'no longer ') AS negated, "
             "ends_with(sent, '?') AS in_question, "
             f"(regexp_matches(sent, '{past}') AND NOT "
@@ -70,7 +71,12 @@ def _attr_cols() -> str:
             f"THEN '{R.ASPECT_PROG}' "
             f"WHEN regexp_matches(sent, '{perf}') "
             f"THEN '{R.ASPECT_PERF}' "
-            f"ELSE '{R.ASPECT_SIMPLE}' END AS aspect")
+            f"ELSE '{R.ASPECT_SIMPLE}' END AS aspect, "
+            # v33 temporal adjunct: int year of a sentence-final
+            # 'since <year>', NULL when absent (the shared SINCE_RE)
+            f"CASE WHEN regexp_matches(sent, '{since}') "
+            f"THEN CAST(regexp_extract(sent, '{since}', 1) AS INTEGER) "
+            f"END AS since_year")
 
 
 def events_sql(rel: str) -> str:
@@ -84,9 +90,12 @@ def events_sql(rel: str) -> str:
     # v32: plural-pronoun matches join the suppression alternation (the
     # SQL mirror of the engine's pron_matched mask)
     pron_any = " OR ".join(
-        f"regexp_matches(sent, '{_plain(rx)}')"
-        for _, rx, _ in (R.PRONOUN_TEMPLATES
-                         + R.PLURAL_PRONOUN_TEMPLATES))
+        [f"regexp_matches(sent, '{_plain(rx)}')"
+         for _, rx, _ in (R.PRONOUN_TEMPLATES
+                          + R.PLURAL_PRONOUN_TEMPLATES)]
+        # v34 plural-reciprocal matches join the suppression alternation
+        + [f"regexp_matches(sent, '{_plain(rx)}')"
+           for _, rx in R.PLURAL_RECIP_TEMPLATES])
     # the shared subject-pronoun surface set (rules.SUBJ_PRONOUNS) and the
     # object-slot set (rules.OBJ_PRONOUNS — adds lowercase forms, v25)
     pron_in = ", ".join(f"'{p}'" for p in R.SUBJ_PRONOUNS)
@@ -115,6 +124,20 @@ def events_sql(rel: str) -> str:
                'person' AS subj_kind, '{ok}' AS obj_kind, {_attr_cols()},
                {R.DEFAULT_SLOT_IDX} AS slot_idx,
                '{R.PLURAL_CLAUSE}' AS clause,
+               CAST(NULL AS VARCHAR) AS desc_key
+        FROM {sents} WHERE regexp_matches(sent, '{rxs}')""")
+    # plural-reciprocal templates (v34): etype 'plural_pair' — BOTH
+    # slots NULL until the ordered-pair expansion in
+    # resolved_triples_sql fans the event out over the anchor set
+    for pred, rx in R.PLURAL_RECIP_TEMPLATES:
+        rxs = _plain(rx)
+        parts.append(f"""
+        SELECT conv_id, turn_idx, 'plural_pair' AS etype,
+               CAST(NULL AS VARCHAR) AS subj, '{pred}' AS pred,
+               CAST(NULL AS VARCHAR) AS obj,
+               'person' AS subj_kind, 'person' AS obj_kind, {_attr_cols()},
+               {R.DEFAULT_SLOT_IDX} AS slot_idx,
+               '{R.PLURAL_RECIP_CLAUSE}' AS clause,
                CAST(NULL AS VARCHAR) AS desc_key
         FROM {sents} WHERE regexp_matches(sent, '{rxs}')""")
     # object-pronoun templates ("Alice met with her."): subject captured,
@@ -221,7 +244,7 @@ def events_sql(rel: str) -> str:
         ln, an, on = nums["list"], nums["last"], nums["obj"]
         inner = f"""(
           SELECT conv_id, turn_idx, sent_idx, negated, in_question,
-                 is_past, aspect,
+                 is_past, aspect, since_year,
                  unnest(ml) AS member,
                  CAST(unnest(range(len(ml))) AS INTEGER) AS slot, obj0
           FROM (SELECT conv_id, turn_idx, {_attr_cols()},
@@ -234,7 +257,8 @@ def events_sql(rel: str) -> str:
         parts.append(f"""
         SELECT conv_id, turn_idx, 'triple', member, '{pred}', obj0,
                '{mk}', '{ok}', sent_idx, negated, in_question, is_past,
-               aspect, slot, '{clause}', CAST(NULL AS VARCHAR)
+               aspect, since_year, slot, '{clause}',
+               CAST(NULL AS VARCHAR)
         FROM {inner} WHERE member NOT IN ({pron_in})""")
         parts.append(f"""
         SELECT conv_id, turn_idx, 'triple',
@@ -253,7 +277,7 @@ def events_sql(rel: str) -> str:
         SELECT conv_id, turn_idx, 'pronoun', CAST(NULL AS VARCHAR),
                '{pred}', obj0, '{mk}', '{ok}',
                sent_idx, negated, in_question, is_past, aspect,
-               slot, '{clause}', CAST(NULL AS VARCHAR)
+               since_year, slot, '{clause}', CAST(NULL AS VARCHAR)
         FROM {inner} WHERE member IN ({pron_in})""")
             parts.append(f"""
         SELECT conv_id, turn_idx, 'pronoun', CAST(NULL AS VARCHAR),
@@ -315,7 +339,7 @@ def events_sql(rel: str) -> str:
     parts.append(f"""
         SELECT conv_id, turn_idx, 'triple', conv_id, '{R.INVOKED_PRED}',
                tool, 'conv', 'tool', 0, FALSE, FALSE, FALSE,
-               '{R.ASPECT_SIMPLE}',
+               '{R.ASPECT_SIMPLE}', CAST(NULL AS INTEGER),
                {R.DEFAULT_SLOT_IDX}, '{R.DEFAULT_CLAUSE}',
                CAST(NULL AS VARCHAR)
         FROM {rel} WHERE role = 'tool' AND tool IS NOT NULL""")
@@ -415,7 +439,7 @@ def resolved_triples_sql(rel: str) -> str:
                 WHEN etype = 'desc_obj' THEN mtr.prev_m
                 ELSE obj END AS obj,
            subj_kind, obj_kind, sent_idx, negated, in_question, is_past,
-           aspect, slot_idx, clause
+           aspect, since_year, slot_idx, clause
     FROM st JOIN tr
       ON st.conv_id = tr.conv_id AND st.turn_idx = tr.turn_idx
     LEFT JOIN mtr
@@ -431,7 +455,7 @@ def resolved_triples_sql(rel: str) -> str:
     -- no anchor turn ⇒ the JOIN drops the event (unresolvable rule)
     SELECT pl.conv_id, pl.turn_idx, ps.person AS subj, pl.pred,
            pl.obj, pl.subj_kind, pl.obj_kind, pl.sent_idx, pl.negated,
-           pl.in_question, pl.is_past, pl.aspect,
+           pl.in_question, pl.is_past, pl.aspect, pl.since_year,
            CAST(row_number() OVER (
              PARTITION BY pl.conv_id, pl.turn_idx, pl.sent_idx,
                           pl.pred, pl.obj
@@ -443,6 +467,29 @@ def resolved_triples_sql(rel: str) -> str:
           WHERE etype = 'plural') pl
     JOIN ps ON ps.conv_id = pl.conv_id
            AND ps.turn_idx = pl.anchor_turn
+    UNION ALL
+    -- v34 plural-reciprocal expansion: one row per ORDERED PAIR of
+    -- distinct anchor-set members (members × members, diagonal
+    -- dropped); slot_idx = the SUBJECT member's lexicographic rank
+    -- (dense_rank collapses the k-1 b-partners of one a — and keeps
+    -- duplicate-event copies rank-stable, unlike row_number)
+    SELECT pl.conv_id, pl.turn_idx, a.person AS subj, pl.pred,
+           b.person AS obj, pl.subj_kind, pl.obj_kind, pl.sent_idx,
+           pl.negated, pl.in_question, pl.is_past, pl.aspect,
+           pl.since_year,
+           CAST(dense_rank() OVER (
+             PARTITION BY pl.conv_id, pl.turn_idx, pl.sent_idx, pl.pred
+             ORDER BY a.person) - 1 AS INTEGER) AS slot_idx,
+           pl.clause
+    FROM (SELECT st.*, tra.anchor_turn
+          FROM st JOIN tra ON st.conv_id = tra.conv_id
+                          AND st.turn_idx = tra.turn_idx
+          WHERE etype = 'plural_pair') pl
+    JOIN ps a ON a.conv_id = pl.conv_id
+             AND a.turn_idx = pl.anchor_turn
+    JOIN ps b ON b.conv_id = pl.conv_id
+             AND b.turn_idx = pl.anchor_turn
+             AND b.person <> a.person
     ) AS resolved_u
     """
 

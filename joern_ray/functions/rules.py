@@ -231,21 +231,53 @@ ASPECT_SIMPLE = "simple"
 ASPECT_PROG = "progressive"
 ASPECT_PERF = "perfect"
 
+# Temporal-adjunct attribute (v33) — the FIFTH relation attribute
+# (after negated / in_question / is_past / aspect; the fork's structural
+# attribute family keeps growing per
+# ``DependencyJsonGenerator.scala:278-292``).  A sentence-final
+# ``since <year>`` adjunct ("Alice has worked at Acme since 2019.")
+# yields an int32 ``since_year``; sentences without the adjunct carry
+# NULL.  Shared LEXICAL contract (sentence-level, like every attribute
+# kernel — all four implementations run the identical RE2 extract):
+#
+#   since_year(sent) = int(group 'year') if matches(SINCE_RE) else NULL
+#
+# The adjunct is anchored to the sentence END ("... since 2019." /
+# "...?"), so a quoted sentence ('X said "... since 2019."' ends '."')
+# never carries it — by design: the templates that ACCEPT the adjunct
+# are exactly the non-quoted alternating families below (works_at /
+# uses / maintains / manages and the singular+plural pronoun variants);
+# their regexes gain an optional non-capturing ``(?: since [12][0-9]{3})?``
+# before the terminator.  Generation pairs the adjunct with the PERFECT
+# verb groups only ('has/had worked ... since 2019' — natural English);
+# the kernel is lexical, so a since-suffixed simple form would still
+# classify, keeping the contract total on dirty input.
+SINCE_RE = r" since (?P<year>[12][0-9]{3})[.?]$"
+# the optional template suffix (kept as ONE shared fragment so every
+# since-accepting template regex is extended identically)
+SINCE_OPT = r"(?: since [12][0-9]{3})?"
+
 TEMPLATES = [
     # v27: the four alternating families admit progressive (is/was V-ing)
     # and perfect (has/had V-ed) verb groups alongside the v24 simple
     # present/past pair; the aspect attribute kernel (PROG_RE/PERF_RE
     # above) classifies the matched sentence
+    # v33: the four alternating families additionally accept the optional
+    # sentence-final temporal adjunct (SINCE_OPT) — the obj groups stay
+    # non-greedy and cannot swallow ' since <year>' because their
+    # character classes admit no digits
     ("works_at",
      r"^(?P<subj>[A-Z][a-z]+) (?:no longer )?(?:work(?:s|ed)|is working|"
-     r"was working|has worked|had worked) at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     r"was working|has worked|had worked) at (?P<obj>[A-Z][A-Za-z ]+?)"
+     + SINCE_OPT + r"[.?]$",
      "person", "org"),
     ("reported_bug",
      r"^(?P<subj>[A-Z][a-z]+) reported a bug in (?P<obj>[a-z_]+(?:\.[a-z_]+)*)[.?]$",
      "person", "module"),
     ("uses",
      r"^(?P<subj>[A-Z][a-z]+) (?:no longer )?(?:use(?:s|d)|is using|"
-     r"was using|has used|had used) (?P<obj>[a-z0-9_]+) daily[.?]$",
+     r"was using|has used|had used) (?P<obj>[a-z0-9_]+) daily"
+     + SINCE_OPT + r"[.?]$",
      "person", "tool"),
     ("acquired",
      r"^(?P<subj>[A-Z][A-Za-z ]+?) acquired (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
@@ -261,12 +293,14 @@ TEMPLATES = [
      "person", "org"),
     ("manages",
      r"^(?P<subj>[A-Z][a-z]+) (?:manage(?:s|d)|is managing|was managing|"
-     r"has managed|had managed) (?P<obj>[A-Z][a-z]+)[.?]$",
+     r"has managed|had managed) (?P<obj>[A-Z][a-z]+)"
+     + SINCE_OPT + r"[.?]$",
      "person", "person"),
     ("maintains",
      r"^(?P<subj>[A-Z][a-z]+) (?:maintain(?:s|ed)|is maintaining|"
      r"was maintaining|has maintained|had maintained) "
-     r"(?P<obj>[a-z_]+(?:\.[a-z_]+)*)[.?]$",
+     r"(?P<obj>[a-z_]+(?:\.[a-z_]+)*)"
+     + SINCE_OPT + r"[.?]$",
      "person", "module"),
     ("partnered",
      r"^(?P<subj>[A-Z][A-Za-z ]+?) partnered with (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
@@ -840,13 +874,17 @@ def named_group_numbers(rx: str) -> dict[str, int]:
 # Pronoun templates: subject is an unresolved pronoun; it resolves to the most
 # recently mentioned person (see resolution rule below).
 PRONOUN_TEMPLATES = [
+    # v33: the pronoun variants of the since-accepting families carry the
+    # same optional temporal adjunct (SINCE_OPT)
     ("works_at",
      r"^(?:She|He) (?:no longer )?(?:work(?:s|ed)|is working|was working|"
-     r"has worked|had worked) at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     r"has worked|had worked) at (?P<obj>[A-Z][A-Za-z ]+?)"
+     + SINCE_OPT + r"[.?]$",
      "org"),
     ("uses",
      r"^(?:She|He) (?:no longer )?(?:use(?:s|d)|is using|was using|"
-     r"has used|had used) (?P<obj>[a-z0-9_]+) daily[.?]$",
+     r"has used|had used) (?P<obj>[a-z0-9_]+) daily"
+     + SINCE_OPT + r"[.?]$",
      "tool"),
     # possessive pronoun ("Her manager is Erin"): the REFERENT is the
     # managee, so the relation is the inverse predicate managed_by —
@@ -888,14 +926,56 @@ PRONOUN_TEMPLATES = [
 # PAST_RE / PRES_PERFECT_RE, so the attribute kernels need no edits).
 # ---------------------------------------------------------------------------
 PLURAL_CLAUSE = "plural"
+
+# ---------------------------------------------------------------------------
+# PLURAL-RECIPROCAL templates (v34): "They met." — BOTH slots of the
+# symmetric relation come from the committed person set, so resolution
+# expands one event into one triple per ORDERED PAIR of distinct members
+# (k members ⇒ k·(k-1) triples) — the quadratic analog of the v32 linear
+# fan-out (reference precedent: the pairwise closure a symmetric relation
+# induces over a coordinated definition site, the recip_met construct
+# lifted to anaphora).  Shared resolution contract (all four
+# implementations):
+#
+#   * anchor turn: the v32 rule verbatim (latest strictly-earlier
+#     committed person-bearing turn; one state stream serves the
+#     singular max-rule, the v32 set rule and this pair rule);
+#   * expansion: one triple per ordered pair (a, b), a ≠ b, of the
+#     anchor turn's DISTINCT person set — subj = a, obj = b,
+#     slot_idx = a's rank in LEXICOGRAPHIC order (the v21 reciprocal's
+#     "position of the row's subject" discipline), clause
+#     'plural_recip'; a single-member set emits NOTHING (no partner —
+#     unlike v32, where one member still yields one triple);
+#   * no anchor turn ⇒ no emission; resolved rows feed NO state.
+#
+# Event-store discriminator: subj IS NULL ∧ obj IS NULL ∧ desc_key IS
+# NULL ∧ clause = 'plural_recip' — the first event class with BOTH
+# entity slots unresolved (v32 plural rows keep their explicit object).
+# The verb alternation is the v29 reciprocal's plural aspect set; no
+# other construct anchors '^They (met|...)[.?]$'.
+# ---------------------------------------------------------------------------
+PLURAL_RECIP_CLAUSE = "plural_recip"
+PLURAL_RECIP_TEMPLATES = [
+    ("met",
+     r"^They (?:met|are meeting|were meeting|have met|had met)[.?]$"),
+]
+COMPILED_PLURAL_RECIP_TEMPLATES = [
+    (pred, re.compile(rx)) for pred, rx in PLURAL_RECIP_TEMPLATES
+]
+
 PLURAL_PRONOUN_TEMPLATES = [
+    # v33: the plural variants accept the temporal adjunct too — the
+    # since_year value is a PAYLOAD attribute, so it must survive the
+    # plural set expansion unchanged on every fanned-out row
     ("works_at",
      r"^They (?:no longer )?(?:work(?:ed)?|are working|were working|"
-     r"have worked|had worked) at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     r"have worked|had worked) at (?P<obj>[A-Z][A-Za-z ]+?)"
+     + SINCE_OPT + r"[.?]$",
      "org"),
     ("uses",
      r"^They (?:no longer )?(?:use(?:d)?|are using|were using|"
-     r"have used|had used) (?P<obj>[a-z0-9_]+) daily[.?]$",
+     r"have used|had used) (?P<obj>[a-z0-9_]+) daily"
+     + SINCE_OPT + r"[.?]$",
      "tool"),
 ]
 COMPILED_PLURAL_PRONOUN_TEMPLATES = [

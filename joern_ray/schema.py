@@ -52,6 +52,8 @@ EVENTS = pa.schema([
     ("in_question", pa.bool_()),     # sentence ends with '?'
     ("is_past", pa.bool_()),         # v24 tense attribute (rules.PAST_RE)
     ("aspect", EVENTS_DICT),         # v27: simple | progressive | perfect
+    ("since_year", pa.int32()),      # v33: sentence-final 'since <year>'
+                                     # temporal adjunct; NULL when absent
     ("slot_idx", pa.int32()),        # subject position in a coordinated list
     ("clause", EVENTS_DICT),         # main | appositive | relative | quoted
     # definite-description events ONLY (v12): the module key the descriptor
@@ -75,6 +77,7 @@ TRIPLES_SURFACE = pa.schema([
     ("in_question", pa.bool_()),
     ("is_past", pa.bool_()),
     ("aspect", pa.string()),
+    ("since_year", pa.int32()),
     ("slot_idx", pa.int32()),
     ("clause", pa.string()),
 ])

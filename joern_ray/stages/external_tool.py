@@ -56,12 +56,13 @@ for line in sys.stdin:
     evs = []
     if row.get("role") == "tool" and row.get("tool"):
         evs.append([row["conv_id"], R.INVOKED_PRED, row["tool"],
-                    "conv", "tool", 0, False, False, False, "simple", 0,
-                    R.DEFAULT_CLAUSE, None])
+                    "conv", "tool", 0, False, False, False, "simple",
+                    None, 0, R.DEFAULT_CLAUSE, None])
     else:
         text = row.get("text") or ""
         sents = R.split_sentences(text)
         for si, sent in enumerate(sents):
+            since_m = re.search(R.SINCE_RE, sent)
             attrs = [si, R.NEGATION_MARK in sent,
                      sent.endswith(R.QUESTION_MARK),
                      bool(re.search(R.PAST_RE, sent)
@@ -69,7 +70,8 @@ for line in sys.stdin:
                           and not re.search(R.PRES_PERFECT_RE, sent)),
                      (R.ASPECT_PROG if re.search(R.PROG_RE, sent)
                       else R.ASPECT_PERF if re.search(R.PERF_RE, sent)
-                      else R.ASPECT_SIMPLE)]
+                      else R.ASPECT_SIMPLE),
+                     int(since_m.group("year")) if since_m else None]
             matched = False
             for pred, rx, ok in R.COMPILED_PRONOUN_TEMPLATES:
                 m = rx.match(sent)
@@ -88,6 +90,17 @@ for line in sys.stdin:
                 if m:
                     evs.append([None, pred, m.group("obj"), "person", ok,
                                 *attrs, 0, R.PLURAL_CLAUSE, None])
+                    matched = True
+                    break
+            if matched:
+                continue
+            # plural-reciprocal templates (v34): both slots null —
+            # Stage B expands over every ordered anchor-set pair
+            for pred, rx in R.COMPILED_PLURAL_RECIP_TEMPLATES:
+                m = rx.match(sent)
+                if m:
+                    evs.append([None, pred, None, "person", "person",
+                                *attrs, 0, R.PLURAL_RECIP_CLAUSE, None])
                     matched = True
                     break
             if matched:
@@ -278,9 +291,10 @@ class ExternalToolExtractor:
             "in_question": pa.array(cols[7], pa.bool_()),
             "is_past": pa.array(cols[8], pa.bool_()),
             "aspect": pa.array(cols[9], pa.string()),
-            "slot_idx": pa.array(cols[10], pa.int32()),
-            "clause": pa.array(cols[11], pa.string()),
-            "desc_key": pa.array(cols[12], pa.string()),
+            "since_year": pa.array(cols[10], pa.int32()),
+            "slot_idx": pa.array(cols[11], pa.int32()),
+            "clause": pa.array(cols[12], pa.string()),
+            "desc_key": pa.array(cols[13], pa.string()),
         }).cast(S.EVENTS)
 
     def __del__(self):

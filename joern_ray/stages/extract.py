@@ -81,7 +81,7 @@ def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
                   sent_idx=0, negated=False, in_question=False,
                   is_past=False, aspect=R.ASPECT_SIMPLE,
                   slot_idx=0, clause=R.DEFAULT_CLAUSE,
-                  desc_key=None) -> pa.Table:
+                  desc_key=None, since=None) -> pa.Table:
     """One template's matches as an EVENTS table.  subj=None rows are
     pronoun events (schema invariant — there is no etype column); the
     categorical pred/kind columns are dictionary-encoded so the
@@ -114,6 +114,8 @@ def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
          col(sent_idx, pa.int32()), col(negated, pa.bool_()),
          col(in_question, pa.bool_()), col(is_past, pa.bool_()),
          dcol(aspect),
+         (pa.nulls(n, pa.int32()) if since is None
+          else col(since, pa.int32())),
          col(slot_idx, pa.int32()), dcol(clause), dcol(desc_key)],
         schema=S.EVENTS)
 
@@ -204,12 +206,30 @@ def _explode_sentences(batch: pa.Table) -> pa.Table:
 
 
 def _attrs(sent) -> tuple:
-    """(negated, in_question, is_past, aspect) attribute kernels over
-    matched sentences.  is_past is the v24 lexical tense contract
-    (rules.py): a word-bounded past-form verb token, minus the
+    """(negated, in_question, is_past, aspect, since_year) attribute
+    kernels over matched sentences.  is_past is the v24 lexical tense
+    contract (rules.py): a word-bounded past-form verb token, minus the
     present-passive ('is maintained by') and present-perfect ('has
     worked', v27) carve-outs.  aspect is the v27 contract: progressive
-    if PROG_RE, perfect if PERF_RE, else simple."""
+    if PROG_RE, perfect if PERF_RE, else simple.  since_year is the v33
+    temporal-adjunct contract: the int year of a sentence-final
+    'since <year>', NULL when absent — the RE2 extract runs only on
+    the ' since '-bearing subset (memchr prefilter, the
+    template-literal discipline: almost no sentence carries the
+    adjunct, so the hot path pays one substring scan, not a regex)."""
+    if isinstance(sent, pa.ChunkedArray):
+        sent = sent.combine_chunks()
+    n = len(sent)
+    s_mask = pc.fill_null(pc.match_substring(sent, " since "), False)
+    s_idx = pc.indices_nonzero(s_mask)
+    if len(s_idx):
+        yr = pc.struct_field(
+            pc.extract_regex(sent.take(s_idx), R.SINCE_RE),
+            "year").cast(pa.int32())
+        since_all = pc.replace_with_mask(pa.nulls(n, pa.int32()),
+                                         s_mask, yr)
+    else:
+        since_all = pa.nulls(n, pa.int32())
     return (pc.match_substring(sent, R.NEGATION_MARK),
             pc.ends_with(sent, R.QUESTION_MARK),
             pc.and_(pc.and_(
@@ -224,7 +244,8 @@ def _attrs(sent) -> tuple:
                 pc.if_else(
                     pc.match_substring_regex(sent, R.PERF_RE),
                     pa.scalar(R.ASPECT_PERF, pa.string()),
-                    pa.scalar(R.ASPECT_SIMPLE, pa.string()))))
+                    pa.scalar(R.ASPECT_SIMPLE, pa.string()))),
+            since_all)
 
 
 def extract_events(batch: pa.Table,
@@ -263,7 +284,7 @@ def extract_events(batch: pa.Table,
     # attribute kernels ONCE over the whole sentence column; every
     # emission below takes its subset (previously recomputed per
     # emission — ~2x per multi-template with the pronoun branch)
-    neg_all, inq_all, past_all, asp_all = _attrs(text)
+    neg_all, inq_all, past_all, asp_all, snc_all = _attrs(text)
 
     # pronoun templates first (their sentences also match the person-subject
     # shape; the oracle applies the same precedence, per sentence)
@@ -287,13 +308,14 @@ def extract_events(batch: pa.Table,
         local = pc.indices_nonzero(mask)
         idx = pron_idx.take(local)
         pron_matched_np[idx.to_numpy(zero_copy_only=False)] = True
-        neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
-                               past_all.take(idx), asp_all.take(idx))
+        neg, inq, past, asp, snc = (
+            neg_all.take(idx), inq_all.take(idx),
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             pa.array([None] * len(idx), pa.string()), pred,
             pc.struct_field(ex, "obj").take(local), "person", ok,
-            sidx.take(idx), neg, inq, past, asp))
+            sidx.take(idx), neg, inq, past, asp, since=snc))
 
     # PLURAL-pronoun templates (v32): "They ..." — one event (subj NULL,
     # clause 'plural'); Stage B expands it over the anchor turn's
@@ -312,14 +334,37 @@ def extract_events(batch: pa.Table,
         local = pc.indices_nonzero(mask)
         idx = plu_idx.take(local)
         pron_matched_np[idx.to_numpy(zero_copy_only=False)] = True
-        neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
-                               past_all.take(idx), asp_all.take(idx))
+        neg, inq, past, asp, snc = (
+            neg_all.take(idx), inq_all.take(idx),
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             pa.array([None] * len(idx), pa.string()), pred,
             pc.struct_field(ex, "obj").take(local), "person", ok,
             sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
-            R.PLURAL_CLAUSE))
+            R.PLURAL_CLAUSE, since=snc))
+
+    # PLURAL-RECIPROCAL templates (v34): "They met." — BOTH slots null
+    # (the subj∧obj-null event class); Stage B expands it over every
+    # ordered pair of the anchor turn's committed person set.  Shares
+    # the "They " prefilter with the v32 plural loop above.
+    for pred, rx in ([] if not len(plu_idx)
+                     else R.PLURAL_RECIP_TEMPLATES):
+        mask = pc.fill_null(pc.match_substring_regex(plu_text, rx), False)
+        if not pc.any(mask).as_py():
+            continue
+        local = pc.indices_nonzero(mask)
+        idx = plu_idx.take(local)
+        pron_matched_np[idx.to_numpy(zero_copy_only=False)] = True
+        neg, inq, past, asp, snc = (
+            neg_all.take(idx), inq_all.take(idx),
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
+        outs.append(_events_table(
+            len(idx), conv.take(idx), tidx.take(idx),
+            pa.array([None] * len(idx), pa.string()), pred,
+            pa.array([None] * len(idx), pa.string()), "person", "person",
+            sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
+            R.PLURAL_RECIP_CLAUSE, since=snc))
 
     cand_idx = pc.indices_nonzero(pc.fill_null(
         pc.match_substring_regex(text, _ANY_LITERAL_RE), False))
@@ -352,13 +397,14 @@ def extract_events(batch: pa.Table,
             continue
         local = pc.indices_nonzero(mask)
         idx = idx0.take(local)
-        neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
-                               past_all.take(idx), asp_all.take(idx))
+        neg, inq, past, asp, snc = (
+            neg_all.take(idx), inq_all.take(idx),
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             subj.take(local), pred,
             pa.array([None] * len(idx), pa.string()), "person", ok,
-            sidx.take(idx), neg, inq, past, asp))
+            sidx.take(idx), neg, inq, past, asp, since=snc))
 
     # OBJECT pronouns inside quoted speech (v18): same event class as
     # the plain object-pronoun rows (subj + NULL obj, no desc_key) —
@@ -380,14 +426,15 @@ def extract_events(batch: pa.Table,
             continue
         local = pc.indices_nonzero(mask)
         idx = idx0.take(local)
-        neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
-                               past_all.take(idx), asp_all.take(idx))
+        neg, inq, past, asp, snc = (
+            neg_all.take(idx), inq_all.take(idx),
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             subj.take(local), pred,
             pa.array([None] * len(idx), pa.string()), "person", ok,
             sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
-            R.QUOTED_CLAUSE))
+            R.QUOTED_CLAUSE, since=snc))
 
     for pred, rx, sk, ok in R.TEMPLATES + list(extra_templates or []):
         lit = _TEMPLATE_LITERALS.get(pred)
@@ -414,13 +461,14 @@ def extract_events(batch: pa.Table,
             continue
         local = pc.indices_nonzero(mask)
         idx = idx0.take(local)
-        neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
-                               past_all.take(idx), asp_all.take(idx))
+        neg, inq, past, asp, snc = (
+            neg_all.take(idx), inq_all.take(idx),
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             subj.take(local), pred,
             pc.struct_field(ex, "obj").take(local), sk, ok,
-            sidx.take(idx), neg, inq, past, asp))
+            sidx.take(idx), neg, inq, past, asp, since=snc))
 
     # multi-relation templates (coordination / appositive / relative /
     # quoted): ONE RE2 extract per template, N emissions per match — the
@@ -471,13 +519,15 @@ def extract_events(batch: pa.Table,
             if pc.any(mask).as_py():
                 local = pc.indices_nonzero(mask)
                 idx = idx0.take(local)
-                neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
-                               past_all.take(idx), asp_all.take(idx))
+                neg, inq, past, asp, snc = (
+            neg_all.take(idx), inq_all.take(idx),
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
                 outs.append(_events_table(
                     len(idx), conv.take(idx), tidx.take(idx),
                     subj.take(local), pred,
                     obj.take(local), sk, ok,
-                    sidx.take(idx), neg, inq, past, asp, slot, clause))
+                    sidx.take(idx), neg, inq, past, asp, slot, clause,
+                    since=snc))
             # a pronoun in a person subject slot ("She and Bob work at X")
             # becomes a PRONOUN event (subj NULL) carrying the emission's
             # slot/clause — resolved in Stage B like any pronoun turn
@@ -488,13 +538,15 @@ def extract_events(batch: pa.Table,
                 if pc.any(pmask).as_py():
                     local = pc.indices_nonzero(pmask)
                     idx = idx0.take(local)
-                    neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
-                               past_all.take(idx), asp_all.take(idx))
+                    neg, inq, past, asp, snc = (
+            neg_all.take(idx), inq_all.take(idx),
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
                     outs.append(_events_table(
                         len(idx), conv.take(idx), tidx.take(idx),
                         pa.array([None] * len(idx), pa.string()), pred,
                         obj.take(local), sk, ok,
-                        sidx.take(idx), neg, inq, past, asp, slot, clause))
+                        sidx.take(idx), neg, inq, past, asp, slot, clause,
+                    since=snc))
             # a pronoun in a person OBJECT slot ("She and Bob met." —
             # emission met(Bob, She)) becomes an OBJECT-PRONOUN event
             # (explicit subj, NULL obj): Stage B fills the object and the
@@ -505,13 +557,15 @@ def extract_events(batch: pa.Table,
                 if pc.any(omask).as_py():
                     local = pc.indices_nonzero(omask)
                     idx = idx0.take(local)
-                    neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
-                               past_all.take(idx), asp_all.take(idx))
+                    neg, inq, past, asp, snc = (
+            neg_all.take(idx), inq_all.take(idx),
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
                     outs.append(_events_table(
                         len(idx), conv.take(idx), tidx.take(idx),
                         subj.take(local), pred,
                         pa.array([None] * len(idx), pa.string()), sk, ok,
-                        sidx.take(idx), neg, inq, past, asp, slot, clause))
+                        sidx.take(idx), neg, inq, past, asp, slot, clause,
+                    since=snc))
 
     # LIST templates (open-ended coordination, v12): RE2 captures the list
     # head as ONE group; the split into member slots is a vectorized
@@ -568,10 +622,11 @@ def extract_events(batch: pa.Table,
             [slot_head, lens.astype(np.int64)]).astype("int32"), pa.int32())
         m_idx = idx.take(m_sent)   # sentence-row index per member
         m_obj = obj.take(m_sent)
-        m_neg, m_inq, m_past, m_asp = (neg_all.take(m_idx),
-                                       inq_all.take(m_idx),
-                                       past_all.take(m_idx),
-                                       asp_all.take(m_idx))
+        m_neg, m_inq, m_past, m_asp, m_snc = (neg_all.take(m_idx),
+                                              inq_all.take(m_idx),
+                                              past_all.take(m_idx),
+                                              asp_all.take(m_idx),
+                                              snc_all.take(m_idx))
         is_pron = pc.fill_null(
             pc.is_in(members, value_set=_PRONOUN_SET), False)
         npron = pc.indices_nonzero(pc.invert(is_pron))
@@ -582,7 +637,8 @@ def extract_events(batch: pa.Table,
                 members.take(npron), pred, m_obj.take(npron), mk, ok,
                 sidx.take(m_idx.take(npron)), m_neg.take(npron),
                 m_inq.take(npron), m_past.take(npron),
-                m_asp.take(npron), m_slot.take(npron), clause))
+                m_asp.take(npron), m_slot.take(npron), clause,
+                since=m_snc.take(npron)))
         if mk == "person":
             ppron = pc.indices_nonzero(is_pron)
             if len(ppron):
@@ -593,7 +649,8 @@ def extract_events(batch: pa.Table,
                     m_obj.take(ppron), mk, ok,
                     sidx.take(m_idx.take(ppron)), m_neg.take(ppron),
                     m_inq.take(ppron), m_past.take(ppron),
-                    m_asp.take(ppron), m_slot.take(ppron), clause))
+                    m_asp.take(ppron), m_slot.take(ppron), clause,
+                    since=m_snc.take(ppron)))
 
     # definite-description templates (cross-sentence anaphora, v12): emit a
     # DESCRIPTOR event — subj NULL + desc_key (the module) — resolved in
@@ -612,15 +669,16 @@ def extract_events(batch: pa.Table,
                 continue
             local = pc.indices_nonzero(mask)
             idx = idx0.take(local)
-            neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
-                               past_all.take(idx), asp_all.take(idx))
+            neg, inq, past, asp, snc = (
+            neg_all.take(idx), inq_all.take(idx),
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
             outs.append(_events_table(
                 len(idx), conv.take(idx), tidx.take(idx),
                 pa.array([None] * len(idx), pa.string()), pred,
                 pc.struct_field(ex, "obj").take(local), "person", ok,
                 sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
                 clause,
-                pc.struct_field(ex, "key").take(local)))
+                pc.struct_field(ex, "key").take(local), since=snc))
 
     # ORG-keyed descriptor family (v28): same event class as the
     # maintainer/manager descriptors (subj NULL + desc_key); the key is
@@ -641,15 +699,17 @@ def extract_events(batch: pa.Table,
                 continue
             local = pc.indices_nonzero(mask)
             idx = idx0.take(local)
-            neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
-                               past_all.take(idx), asp_all.take(idx))
+            neg, inq, past, asp, snc = (
+            neg_all.take(idx), inq_all.take(idx),
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
             outs.append(_events_table(
                 len(idx), conv.take(idx), tidx.take(idx),
                 pa.array([None] * len(idx), pa.string()), pred,
                 pc.struct_field(ex, "obj").take(local), "person", ok,
                 sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
                 clause,
-                pc.utf8_lower(pc.struct_field(ex, "key").take(local))))
+                pc.utf8_lower(pc.struct_field(ex, "key").take(local)),
+                since=snc))
 
     # OBJECT-side definite descriptions (v15): emit an event with the
     # explicit subject, NULL obj and desc_key (the module) — the
@@ -672,15 +732,16 @@ def extract_events(batch: pa.Table,
                 continue
             local = pc.indices_nonzero(mask)
             idx = idx0.take(local)
-            neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
-                               past_all.take(idx), asp_all.take(idx))
+            neg, inq, past, asp, snc = (
+            neg_all.take(idx), inq_all.take(idx),
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
             outs.append(_events_table(
                 len(idx), conv.take(idx), tidx.take(idx),
                 subj.take(local), pred,
                 pa.array([None] * len(idx), pa.string()), "person",
                 "person", sidx.take(idx), neg, inq, past, asp,
                 R.DEFAULT_SLOT_IDX, clause,
-                pc.struct_field(ex, "key").take(local)))
+                pc.struct_field(ex, "key").take(local), since=snc))
 
     # untyped-mention events (kind-recovery overlay input, rules.MENTIONED_RE,
     # obj_kind='unknown') ride the SAME extraction map and events store —
@@ -701,14 +762,15 @@ def extract_events(batch: pa.Table,
             if pc.any(mask).as_py():
                 local = pc.indices_nonzero(mask)
                 idx = idx0.take(local)
-                neg, inq, past, asp = (neg_all.take(idx), inq_all.take(idx),
-                               past_all.take(idx), asp_all.take(idx))
+                neg, inq, past, asp, snc = (
+            neg_all.take(idx), inq_all.take(idx),
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
                 outs.append(_events_table(
                     len(idx), conv.take(idx), tidx.take(idx),
                     subj.take(local), R.MENTIONED_PRED,
                     pc.struct_field(ex, "obj").take(local),
                     "person", R.UNKNOWN_KIND,
-                    sidx.take(idx), neg, inq, past, asp))
+                    sidx.take(idx), neg, inq, past, asp, since=snc))
 
     if not outs:
         return S.EVENTS.empty_table()
@@ -763,6 +825,18 @@ def _resolve_group(group: pa.Table) -> pa.Table:
             cur_persons = set()
             cur_maint = {}
         if r["subj"] is None:
+            if r.get("clause") == R.PLURAL_RECIP_CLAUSE:
+                # v34 plural reciprocal: expand over every ORDERED PAIR
+                # of distinct members (quadratic fan-out); slot_idx =
+                # the subject's lexicographic rank; resolved rows feed
+                # no state; a single-member set emits nothing
+                mems = sorted(last_persons)
+                for i, a in enumerate(mems):
+                    for b in mems:
+                        if b != a:
+                            keep.append(dict(r, subj=a, obj=b,
+                                             slot_idx=i))
+                continue
             if r.get("clause") == R.PLURAL_CLAUSE:
                 # v32 plural pronoun: expand over the anchor turn's
                 # committed person set, slot_idx = lexicographic rank;
@@ -869,7 +943,10 @@ def _resolve_bucket(group: pa.Table,
     clause_np = g.column("clause").cast(pa.string()).to_numpy(
         zero_copy_only=False)
     is_plural = is_pron & (clause_np == R.PLURAL_CLAUSE)
-    is_pron = is_pron & ~is_plural
+    # v34 plural-reciprocal rows: the clause='plural_recip' subclass —
+    # BOTH slots come from the anchor set (ordered-pair expansion)
+    is_plu_pair = is_pron & (clause_np == R.PLURAL_RECIP_CLAUSE)
+    is_pron = is_pron & ~is_plural & ~is_plu_pair
     is_desc = has_pred & has_dk
     is_mst = ~has_pred & has_dk
     # descriptor-state rows are NOT person-referent state (v16: a manages
@@ -909,6 +986,7 @@ def _resolve_bucket(group: pa.Table,
              sub.column("in_question").cast(pa.bool_()),
              sub.column("is_past").cast(pa.bool_()),
              sub.column("aspect").cast(pa.string()),
+             sub.column("since_year").cast(pa.int32()),
              sub.column("slot_idx").cast(pa.int32()),
              sub.column("clause").cast(pa.string())],
             schema=S.TRIPLES_SURFACE)
@@ -930,7 +1008,8 @@ def _resolve_bucket(group: pa.Table,
         return ok, tp_vals[safe[ok]]
 
     parts: list[pa.Table] = []
-    if is_state.any() and (is_pron.any() or is_plural.any()):
+    if is_state.any() and (is_pron.any() or is_plural.any()
+                           or is_plu_pair.any()):
         # per-turn max person, fully vectorized: sorted factorize gives
         # person codes order-isomorphic to the lexicographic strings
         # (pandas object groupby.max would fall back to per-group Python)
@@ -941,13 +1020,14 @@ def _resolve_bucket(group: pa.Table,
             pron_rows = np.nonzero(is_pron)[0][ok]
             if len(pron_rows):  # empty-take guard (pyarrow 16 flakes)
                 parts.append(_emit(pron_rows, referent, False))
-        if is_plural.any():
-            # v32 plural expansion: dedupe state to DISTINCT (turn-key,
-            # person) pairs sorted by person code, then one searchsorted
-            # to the latest strictly-earlier person-bearing turn and an
-            # offset-arithmetic fan-out — one output row per member,
-            # slot_idx = lexicographic rank (pcodes are sort=True, so
-            # code order IS lexicographic order)
+        if is_plural.any() or is_plu_pair.any():
+            # v32 plural expansion machinery, shared by the v34 pair
+            # rule: dedupe state to DISTINCT (turn-key, person) pairs
+            # sorted by person code, then one searchsorted to the latest
+            # strictly-earlier person-bearing turn and an
+            # offset-arithmetic fan-out — slot_idx = lexicographic rank
+            # (pcodes are sort=True, so code order IS lexicographic
+            # order)
             skeys = key[is_state]
             order = np.lexsort((pcodes, skeys))
             sk = skeys[order]
@@ -960,41 +1040,86 @@ def _resolve_bucket(group: pa.Table,
             tkeys = sk2[tstart]
             tend = np.concatenate((tstart[1:], [len(sk2)])).astype(
                 np.int64)
-            qk = key[is_plural]
-            pos = np.searchsorted(tkeys, qk, side="left") - 1
-            ok = pos >= 0
-            safe = np.where(ok, pos, 0)
-            ok &= (tkeys[safe] >> 32) == (qk >> 32)  # same conversation
-            plu_rows = np.nonzero(is_plural)[0][ok]
-            if len(plu_rows):
-                s = tstart[pos[ok]]
-                e = tend[pos[ok]]
-                counts = e - s
-                total = int(counts.sum())
-                out_rows = np.repeat(plu_rows, counts)
-                cum = np.concatenate(([0], np.cumsum(counts[:-1])))
-                intra = (np.arange(total, dtype=np.int64)
-                         - np.repeat(cum, counts))
-                member_idx = np.repeat(s, counts) + intra
-                members = np.asarray(puniq, dtype=object)[
-                    pcs2[member_idx]]
+
+            def _anchor(mask: np.ndarray):
+                """(resolved event rows, member-range starts, sizes) of
+                the anchor turn for each mask row with one."""
+                qk = key[mask]
+                pos = np.searchsorted(tkeys, qk, side="left") - 1
+                ok = pos >= 0
+                safe = np.where(ok, pos, 0)
+                ok &= (tkeys[safe] >> 32) == (qk >> 32)  # same conv
+                rows = np.nonzero(mask)[0][ok]
+                return rows, tstart[pos[ok]], tend[pos[ok]]
+
+            def _surface(out_rows, subj_members, intra, obj_members=None):
                 sub = g.take(pa.array(out_rows, pa.int64()))
-                parts.append(pa.Table.from_arrays(
+                obj_col = (sub.column("obj").cast(pa.string())
+                           if obj_members is None
+                           else pa.array(obj_members, pa.string()))
+                return pa.Table.from_arrays(
                     [sub.column("conv_id").cast(pa.string()),
                      sub.column("turn_idx").cast(pa.int32()),
-                     pa.array(members, pa.string()),
+                     pa.array(subj_members, pa.string()),
                      sub.column("pred").cast(pa.string()),
-                     sub.column("obj").cast(pa.string()),
+                     obj_col,
                      pa.array(["person"] * len(out_rows), pa.string()),
-                     sub.column("obj_kind").cast(pa.string()),
+                     (sub.column("obj_kind").cast(pa.string())
+                      if obj_members is None
+                      else pa.array(["person"] * len(out_rows),
+                                    pa.string())),
                      sub.column("sent_idx").cast(pa.int32()),
                      sub.column("negated").cast(pa.bool_()),
                      sub.column("in_question").cast(pa.bool_()),
                      sub.column("is_past").cast(pa.bool_()),
                      sub.column("aspect").cast(pa.string()),
+                     sub.column("since_year").cast(pa.int32()),
                      pa.array(intra.astype("int32"), pa.int32()),
                      sub.column("clause").cast(pa.string())],
-                    schema=S.TRIPLES_SURFACE))
+                    schema=S.TRIPLES_SURFACE)
+
+            if is_plural.any():
+                plu_rows, s, e = _anchor(is_plural)
+                if len(plu_rows):
+                    counts = e - s
+                    total = int(counts.sum())
+                    out_rows = np.repeat(plu_rows, counts)
+                    cum = np.concatenate(([0], np.cumsum(counts[:-1])))
+                    intra = (np.arange(total, dtype=np.int64)
+                             - np.repeat(cum, counts))
+                    member_idx = np.repeat(s, counts) + intra
+                    members = np.asarray(puniq, dtype=object)[
+                        pcs2[member_idx]]
+                    parts.append(_surface(out_rows, members, intra))
+            if is_plu_pair.any():
+                # v34 ordered-pair fan-out: k members ⇒ k² grid rows,
+                # diagonal masked off — subj rank i IS the slot_idx
+                pr_rows, s, e = _anchor(is_plu_pair)
+                if len(pr_rows):
+                    kk = e - s
+                    tot2 = kk * kk
+                    total = int(tot2.sum())
+                    if total:
+                        row_rep = np.repeat(
+                            np.arange(len(pr_rows), dtype=np.int64),
+                            tot2)
+                        cum2 = np.concatenate(
+                            ([0], np.cumsum(tot2[:-1])))
+                        gidx = (np.arange(total, dtype=np.int64)
+                                - np.repeat(cum2, tot2))
+                        kkr = kk[row_rep]
+                        i = gidx // kkr
+                        j = gidx % kkr
+                        off = np.nonzero(i != j)[0]
+                        if len(off):
+                            row_rep = row_rep[off]
+                            i, j = i[off], j[off]
+                            uniq_o = np.asarray(puniq, dtype=object)
+                            subj_m = uniq_o[pcs2[s[row_rep] + i]]
+                            obj_m = uniq_o[pcs2[s[row_rep] + j]]
+                            parts.append(_surface(
+                                pr_rows[row_rep], subj_m, i,
+                                obj_members=obj_m))
     if is_desc.any() and is_mst.any():
         # module-keyed maintainer state: composite (conv, module) entity
         # codes from one factorize over the SMALL desc-relevant subset
@@ -1046,7 +1171,8 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
     # sentence differing only in slot_idx
     df = df.sort_values(
         ["conv_id", "turn_idx", "person", "pred", "obj", "sent_idx",
-         "is_past", "aspect", "slot_idx", "clause", "desc_key"],
+         "is_past", "aspect", "since_year", "slot_idx", "clause",
+         "desc_key"],
         kind="mergesort", ignore_index=True)
     within = df.groupby(df["conv_id"].to_numpy(), sort=False).cumcount()
     if (within >= cap).any():
@@ -1056,7 +1182,8 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
     def _payload(sel: pd.DataFrame) -> pd.DataFrame:
         return sel[["conv_id", "turn_idx", "pred", "obj", "obj_kind",
                     "sent_idx", "negated", "in_question", "is_past",
-                    "aspect", "slot_idx", "clause", "person"]] \
+                    "aspect", "since_year", "slot_idx", "clause",
+                    "person"]] \
             .rename(columns={"person": "own_person"})
 
     def _table(out: pd.DataFrame, subj_np, obj_np) -> pa.Table:
@@ -1074,6 +1201,8 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
              pa.array(out["in_question"].to_numpy(bool), pa.bool_()),
              pa.array(out["is_past"].to_numpy(bool), pa.bool_()),
              pa.array(out["aspect"].to_numpy(object), pa.string()),
+             pa.array(out["since_year"].astype("Int32").to_numpy(
+                 na_value=None, dtype=object), pa.int32()),
              pa.array(out["slot_idx"].to_numpy(), pa.int32()),
              pa.array(out["clause"].to_numpy(object), pa.string())],
             schema=S.TRIPLES_SURFACE)
@@ -1083,7 +1212,10 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
     # v32 plural-pronoun rows: the clause='plural' subclass (expand over
     # the anchor turn's person set instead of taking its max)
     is_plural = is_pron & (df["clause"] == R.PLURAL_CLAUSE).to_numpy()
-    is_pron = is_pron & ~is_plural
+    # v34 plural-reciprocal rows: ordered-pair expansion over the set
+    is_plu_pair = (is_pron
+                   & (df["clause"] == R.PLURAL_RECIP_CLAUSE).to_numpy())
+    is_pron = is_pron & ~is_plural & ~is_plu_pair
     is_desc = df["pred"].notna().to_numpy() & has_dk
     is_mst = ~df["pred"].notna().to_numpy() & has_dk
     parts: list[pa.Table] = []
@@ -1119,6 +1251,43 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
                 "_rid", sort=False).cumcount().astype("int32")
             parts.append(_table(exp, exp["person"].to_numpy(object),
                                 exp["obj"].to_numpy(object)))
+    if len(state) and is_plu_pair.any():
+        # v34: anchor like the v32 branch, then the ORDERED-PAIR join —
+        # members × members on the anchor turn, diagonal dropped,
+        # slot_idx = the SUBJECT member's lexicographic rank
+        turn_set = state.drop_duplicates()
+        pturns = (turn_set[["conv_id", "turn_idx"]].drop_duplicates()
+                  .assign(anchor_turn=lambda d: d["turn_idx"])
+                  .sort_values("turn_idx", kind="mergesort",
+                               ignore_index=True))
+        plu = _payload(df.loc[is_plu_pair]).reset_index(drop=True)
+        plu["_rid"] = np.arange(len(plu))
+        plu = plu.sort_values("turn_idx", kind="mergesort",
+                              ignore_index=True)
+        out = pd.merge_asof(plu, pturns, on="turn_idx", by="conv_id",
+                            direction="backward",
+                            allow_exact_matches=False)
+        out = out[out["anchor_turn"].notna()]
+        if len(out):
+            out = out.assign(anchor_turn=out["anchor_turn"].astype(
+                turn_set["turn_idx"].dtype))
+            mem = turn_set.rename(columns={"turn_idx": "anchor_turn"})
+            exp = out.merge(mem, on=["conv_id", "anchor_turn"])
+            exp = exp.sort_values(["_rid", "person"], kind="mergesort",
+                                  ignore_index=True)
+            exp["slot_idx"] = exp.groupby(
+                "_rid", sort=False).cumcount().astype("int32")
+            pairs = exp.merge(
+                mem.rename(columns={"person": "person_y"}),
+                on=["conv_id", "anchor_turn"])
+            pairs = pairs[pairs["person"] != pairs["person_y"]]
+            pairs = pairs.sort_values(
+                ["_rid", "person", "person_y"], kind="mergesort",
+                ignore_index=True)
+            if len(pairs):
+                parts.append(_table(
+                    pairs, pairs["person"].to_numpy(object),
+                    pairs["person_y"].to_numpy(object)))
     pron = _payload(df.loc[is_pron])
     if len(state) and len(pron):
         turn_person = (state.groupby(["conv_id", "turn_idx"], sort=False)
@@ -1330,6 +1499,7 @@ def _resolve_subset_plain(t: pa.Table) -> pa.Table:
         "in_question": t.column("in_question"),
         "is_past": t.column("is_past"),
         "aspect": nulls,
+        "since_year": pa.nulls(t.num_rows, pa.int32()),
         "slot_idx": pa.nulls(t.num_rows, pa.int32()),
         "clause": nulls,
         "desc_key": obj_s,
@@ -1361,6 +1531,7 @@ def _resolve_subset_plain(t: pa.Table) -> pa.Table:
             "in_question": t.column("in_question").take(org_idx),
             "is_past": t.column("is_past").take(org_idx),
             "aspect": onull,
+            "since_year": pa.nulls(n_o, pa.int32()),
             "slot_idx": pa.nulls(n_o, pa.int32()),
             "clause": onull,
             "desc_key": okey,
@@ -1380,6 +1551,10 @@ def _resolve_subset_plain(t: pa.Table) -> pa.Table:
         "is_past": t.column("is_past"),
         "aspect": pc.if_else(needs_res,
                              t.column("aspect").cast(pa.string()), nulls),
+        # v33: the temporal adjunct is a pronoun-row payload attribute
+        # (state rows ship null — bitmap-only, the slot_idx discipline)
+        "since_year": pc.if_else(needs_res, t.column("since_year"),
+                                 pa.nulls(t.num_rows, pa.int32())),
         # pronoun slots inside multi-relation constructs carry their own
         # slot/clause (e.g. "Bob and She use x daily" → slot_idx 1); only
         # PRONOUN rows need them — state rows ship null (bitmap-only), so

@@ -495,9 +495,11 @@ def recovered_to_surface(rec: pa.Table) -> pa.Table:
          pa.array([False] * n, pa.bool_()),
          pa.array([False] * n, pa.bool_()),
          # 'mentioned' is intrinsically past (rules.PAST_RE), simple
-         # aspect (no auxiliary verb group in the template)
+         # aspect (no auxiliary verb group in the template), no
+         # temporal adjunct (v33: the template accepts no since-suffix)
          pa.array([True] * n, pa.bool_()),
          pa.array([R.ASPECT_SIMPLE] * n, pa.string()),
+         pa.nulls(n, pa.int32()),
          pa.array([0] * n, pa.int32()),
          pa.array([R.DEFAULT_CLAUSE] * n, pa.string())],
         schema=S.TRIPLES_SURFACE)
@@ -574,8 +576,8 @@ def _narrow_from_evidence(ev_t: pa.Table) -> pa.Table:
         "obj": ev_t.column("surface").cast(pa.string()),
         "obj_kind": ev_t.column("kind").cast(pa.string()),
         "sent_idx": inull, "negated": bnull, "in_question": bnull,
-        "is_past": bnull, "aspect": snull, "slot_idx": inull,
-        "clause": snull, "desc_key": snull})
+        "is_past": bnull, "aspect": snull, "since_year": inull,
+        "slot_idx": inull, "clause": snull, "desc_key": snull})
 
 
 def _narrow_from_unknowns(unk_t: pa.Table) -> pa.Table:
@@ -595,6 +597,7 @@ def _narrow_from_unknowns(unk_t: pa.Table) -> pa.Table:
         "in_question": unk_t.column("in_question").cast(pa.bool_()),
         "is_past": pa.nulls(n, pa.bool_()),
         "aspect": snull,
+        "since_year": pa.nulls(n, pa.int32()),
         "slot_idx": pa.nulls(n, pa.int32()),
         "clause": snull, "desc_key": snull})
 
@@ -661,6 +664,7 @@ def _fused_shard(g: pa.Table, cap: int | None) -> pa.Table:
              j.column("negated").cast(pa.bool_()),
              j.column("in_question").cast(pa.bool_()),
              pa.nulls(n, pa.bool_()), pa.nulls(n, pa.string()),
+             pa.nulls(n, pa.int32()),                 # since_year (v33)
              pa.nulls(n, pa.int32()), pa.nulls(n, pa.string()),
              pa.array(np.ones(n, dtype=np.int8), pa.int8())],
             schema=out_schema))

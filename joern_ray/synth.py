@@ -23,7 +23,24 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v32"  # v32: PLURAL-PRONOUN anaphora — "They ..."
+CORPUS_VERSION = "v34"  # v34: PLURAL RECIPROCAL — "They met." expands
+#                         to every ORDERED PAIR of distinct anchor-set
+#                         members (k members => k*(k-1) met triples,
+#                         slot_idx = subject's lexicographic rank,
+#                         clause 'plural_recip') — the quadratic analog
+#                         of the v32 linear fan-out; ~30% of plural
+#                         follow-up turns realize it (full v29 plural
+#                         aspect alternation on 'met').
+#                         v33: SINCE-<year> temporal adjunct — the FIFTH
+#                         relation attribute: ~50% of PERFECT verb
+#                         groups in the four alternating singular
+#                         families and BOTH pronoun variants carry a
+#                         sentence-final ' since <year>' ([2005, 2024]);
+#                         the int32 since_year attribute flows through
+#                         events → the narrow resolve exchange → the
+#                         plural set expansion → TRIPLES_SURFACE → the
+#                         exttool pipe (14 → 15 slots) → SQL _attr_cols.
+#                         v32: PLURAL-PRONOUN anaphora — "They ..."
 #                         resolves to the FULL committed person set of
 #                         the anchor turn (one triple per member,
 #                         slot_idx = lexicographic rank, clause
@@ -238,6 +255,18 @@ def _aspect_verb(rng, present: str, past: str, part_ing: str) -> str:
     if u < 0.29:
         return ("had " if rng.random() < 0.5 else "has ") + past
     return present
+
+
+def _since_suffix(rng, verb: str) -> str:
+    """v33: ~50% of PERFECT verb groups ('has/had/have V-ed') carry the
+    sentence-final temporal adjunct (' since <year>') — the adjunct
+    pairs with the perfect aspect only (natural English: 'has worked at
+    Acme since 2019'); the attribute kernels are lexical, so the engine
+    contract stays total on any since-suffixed form.  Years are drawn
+    from [2005, 2024], inside rules.SINCE_RE's [12][0-9]{3} class."""
+    if verb.startswith(("has ", "had ", "have ")) and rng.random() < 0.5:
+        return f" since {2005 + int(rng.integers(0, 20))}"
+    return ""
 
 
 def _aspect_past_verb(rng, past: str, part_ing: str) -> str:
@@ -644,7 +673,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             # match it, so the contract stays total either way)
             verb = (_tense(rng, "works", "worked") if neg
                     else _aspect_verb(rng, "works", "worked", "working"))
-            text = f"{subj} {neg}{verb} at {obj_surface}{end}"
+            text = (f"{subj} {neg}{verb} at {obj_surface}"
+                    f"{_since_suffix(rng, verb)}{end}")
             subj_canon = subj.lower()
             person_slot = subj
             conv_ev.extend([(subj, "person", subj_canon),
@@ -662,7 +692,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             obj_surface = obj_canon = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
             verb = (_tense(rng, "uses", "used") if neg
                     else _aspect_verb(rng, "uses", "used", "using"))
-            text = f"{subj} {neg}{verb} {obj_surface} daily{end}"
+            text = (f"{subj} {neg}{verb} {obj_surface} daily"
+                    f"{_since_suffix(rng, verb)}{end}")
             subj_canon = subj.lower()
             person_slot = subj
             conv_ev.extend([(subj, "person", subj_canon),
@@ -684,7 +715,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             while obj_surface == subj:
                 obj_surface = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             obj_canon = obj_surface.lower()
-            text = f"{subj} {verb} {obj_surface}{end}"
+            text = (f"{subj} {verb} {obj_surface}"
+                    f"{_since_suffix(rng, verb)}{end}")
             subj_canon = subj.lower()
             person_slot = obj_surface  # object is the later person slot
             conv_ev.extend([(subj, "person", subj_canon),
@@ -703,7 +735,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             obj_surface = obj_canon = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
             verb = _aspect_verb(rng, "maintains", "maintained",
                                 "maintaining")
-            text = f"{subj} {verb} {obj_surface}{end}"
+            text = (f"{subj} {verb} {obj_surface}"
+                    f"{_since_suffix(rng, verb)}{end}")
             subj_canon = subj.lower()
             person_slot = subj
             conv_ev.extend([(subj, "person", subj_canon),
@@ -977,13 +1010,15 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 verb = (_tense(rng, "works", "worked") if neg
                         else _aspect_verb(rng, "works", "worked",
                                           "working"))
-                text = f"{pronoun} {neg}{verb} at {obj_surface}."
+                text = (f"{pronoun} {neg}{verb} at {obj_surface}"
+                        f"{_since_suffix(rng, verb)}.")
                 pred = "works_at"
             else:
                 obj_surface = obj_canon = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
                 verb = (_tense(rng, "uses", "used") if neg
                         else _aspect_verb(rng, "uses", "used", "using"))
-                text = f"{pronoun} {neg}{verb} {obj_surface} daily."
+                text = (f"{pronoun} {neg}{verb} {obj_surface} daily"
+                        f"{_since_suffix(rng, verb)}.")
                 pred = "uses"
             add_row(t, role, text)
             add_gt(t, "person", last_person.lower(), pred, obj_kind, obj_canon)
@@ -1016,12 +1051,27 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                     break
                 role2 = "user" if t % 2 == 0 else "assistant"
                 neg = "no longer " if rng.random() < 0.08 else ""
-                if rng.random() < 0.5:
+                u2 = rng.random()
+                if u2 < 0.3:
+                    # v34 plural reciprocal: "They met." — GT is every
+                    # ORDERED pair of distinct members (the quadratic
+                    # fan-out; resolved rows feed no state, so a
+                    # following plural turn still sees the same set)
+                    verb2 = _aspect_past_verb_pl(rng, "met", "meeting")
+                    add_row(t, role2, f"They {verb2}.")
+                    for a in members:
+                        for b in members:
+                            if b != a:
+                                add_gt(t, "person", a.lower(), "met",
+                                       "person", b.lower())
+                elif u2 < 0.65:
                     tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
                     verb2 = (_tense(rng, "use", "used") if neg
                              else _aspect_verb_pl(rng, "use", "used",
                                                   "using"))
-                    add_row(t, role2, f"They {neg}{verb2} {tool} daily.")
+                    add_row(t, role2,
+                            f"They {neg}{verb2} {tool} daily"
+                            f"{_since_suffix(rng, verb2)}.")
                     for mem in members:
                         add_gt(t, "person", mem.lower(), "uses",
                                "tool", tool)
@@ -1030,7 +1080,9 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                     verb2 = (_tense(rng, "work", "worked") if neg
                              else _aspect_verb_pl(rng, "work", "worked",
                                                   "working"))
-                    add_row(t, role2, f"They {neg}{verb2} at {o2s}.")
+                    add_row(t, role2,
+                            f"They {neg}{verb2} at {o2s}"
+                            f"{_since_suffix(rng, verb2)}.")
                     for mem in members:
                         add_gt(t, "person", mem.lower(), "works_at",
                                "org", o2c)
