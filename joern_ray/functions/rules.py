@@ -176,10 +176,22 @@ def split_sentences(text: str) -> list[str]:
 # 'had been' stays past via its 'maintained' participle with no
 # carve-out).  'being'/'been' are tokens no other construct can
 # produce, so the kernels stay collision-free.
+#
+# v35 extends the aspect alternations over the five remaining
+# intrinsically-past SINGULAR families (met-with / joined / left /
+# acquired / partnered): 'is/was meeting with', 'has/had joined',
+# 'is leaving', 'has partnered with', ... — the v29 recipe applied to
+# the singular is/was/has/had auxiliaries.  Tense carve-outs: the new
+# -ed participles (joined / acquired / partnered) already ride the
+# PRES_PERFECT '[a-z]+ed' arm ('has joined' is non-past); the one new
+# IRREGULAR participle 'left' joins it explicitly ('has left'
+# non-past; 'had left' stays past via 'left').  No passive collision:
+# none of the new progressive participles ends in -ed, so
+# PRES_PASSIVE_RE is untouched.
 PAST_RE = (r"\b(?:worked|used|maintained|managed|was|were|reported|"
            r"acquired|met|joined|left|partnered|introduced|mentioned)\b")
 PRES_PASSIVE_RE = r"\bis (?:being )?[a-z]+ed\b"
-PRES_PERFECT_RE = r"\b(?:has|have) (?:[a-z]+ed|met|been)\b"
+PRES_PERFECT_RE = r"\b(?:has|have) (?:[a-z]+ed|met|left|been)\b"
 
 # Aspect attribute (v27) — the fourth relation attribute, completing the
 # fork's 3+-attribute structural family
@@ -222,11 +234,18 @@ PRES_PERFECT_RE = r"\b(?:has|have) (?:[a-z]+ed|met|been)\b"
 # carries one verb group per relation family, and neither kernel can
 # match the other's chain ('being' never follows has/had/have,
 # 'been' never follows a bare copula in this grammar).
+# v35: the five singular intrinsically-past families contribute their
+# participles — joining/leaving/acquiring/partnering to PROG_RE
+# ('meeting' arrived with v29) and joined/left/acquired/partnered to
+# PERF_RE ('met' arrived with v29).  One-verb-group-per-sentence keeps
+# the kernels disjoint, and none of the new progressive participles is
+# an -ed form, so the passive carve-out is unaffected.
 PROG_RE = (r"\b(?:is|was|are|were) "
            r"(?:working|using|maintaining|managing|introducing|meeting|"
-           r"being)\b")
+           r"joining|leaving|acquiring|partnering|being)\b")
 PERF_RE = (r"\b(?:has|had|have) "
-           r"(?:worked|used|maintained|managed|introduced|met|been)\b")
+           r"(?:worked|used|maintained|managed|introduced|met|joined|"
+           r"left|acquired|partnered|been)\b")
 ASPECT_SIMPLE = "simple"
 ASPECT_PROG = "progressive"
 ASPECT_PERF = "perfect"
@@ -279,17 +298,29 @@ TEMPLATES = [
      r"was using|has used|had used) (?P<obj>[a-z0-9_]+) daily"
      + SINCE_OPT + r"[.?]$",
      "person", "tool"),
+    # v35: the five intrinsically-past singular families gain the full
+    # aspect alternation (simple = the bare past) plus the v33 temporal
+    # adjunct (generation pairs it with the perfect groups, as always);
+    # obj groups admit no digits, so SINCE_OPT can never be swallowed
     ("acquired",
-     r"^(?P<subj>[A-Z][A-Za-z ]+?) acquired (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     r"^(?P<subj>[A-Z][A-Za-z ]+?) (?:acquired|is acquiring|"
+     r"was acquiring|has acquired|had acquired) (?P<obj>[A-Z][A-Za-z ]+?)"
+     + SINCE_OPT + r"[.?]$",
      "org", "org"),
     ("met",
-     r"^(?P<subj>[A-Z][a-z]+) met with (?P<obj>[A-Z][a-z]+)[.?]$",
+     r"^(?P<subj>[A-Z][a-z]+) (?:met|is meeting|was meeting|has met|"
+     r"had met) with (?P<obj>[A-Z][a-z]+)"
+     + SINCE_OPT + r"[.?]$",
      "person", "person"),
     ("joined",
-     r"^(?P<subj>[A-Z][a-z]+) joined (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     r"^(?P<subj>[A-Z][a-z]+) (?:joined|is joining|was joining|"
+     r"has joined|had joined) (?P<obj>[A-Z][A-Za-z ]+?)"
+     + SINCE_OPT + r"[.?]$",
      "person", "org"),
     ("left_org",
-     r"^(?P<subj>[A-Z][a-z]+) left (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     r"^(?P<subj>[A-Z][a-z]+) (?:left|is leaving|was leaving|has left|"
+     r"had left) (?P<obj>[A-Z][A-Za-z ]+?)"
+     + SINCE_OPT + r"[.?]$",
      "person", "org"),
     ("manages",
      r"^(?P<subj>[A-Z][a-z]+) (?:manage(?:s|d)|is managing|was managing|"
@@ -303,7 +334,10 @@ TEMPLATES = [
      + SINCE_OPT + r"[.?]$",
      "person", "module"),
     ("partnered",
-     r"^(?P<subj>[A-Z][A-Za-z ]+?) partnered with (?P<obj>[A-Z][A-Za-z ]+?)[.?]$",
+     r"^(?P<subj>[A-Z][A-Za-z ]+?) (?:partnered|is partnering|"
+     r"was partnering|has partnered|had partnered) with "
+     r"(?P<obj>[A-Z][A-Za-z ]+?)"
+     + SINCE_OPT + r"[.?]$",
      "org", "org"),
 ]
 
@@ -479,7 +513,7 @@ MULTI_TEMPLATES = [
     # for met(Bob, ?) — both resolve to the same committed referent;
     # only Bob (the object-pronoun row's explicit subject) feeds state.
     # Disjointness: no other template anchors ' met[.?]$' (the single
-    # 'met' template requires ' met with ').
+    # 'met' template requires ' with ' after its verb group).
     # v29: the reciprocal admits progressive ('are/were meeting') and
     # perfect ('have/had met') — the PLURAL coordinated subject selects
     # the are/were/have auxiliaries, which is why PROG_RE/PAST_RE/

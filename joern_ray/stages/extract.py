@@ -41,13 +41,17 @@ _TEMPLATE_LITERALS = {
     "works_at": " work",
     "reported_bug": " reported a bug in ",
     "uses": " us",
-    "acquired": " acquired ",
-    "met": " met with ",
-    "joined": " joined ",
-    "left_org": " left ",
+    # v35: the five aspect-extended intrinsically-past families shrink to
+    # the longest form-common literal (' acquir' ⊂ acquired/acquiring;
+    # ' me' ⊂ met/meeting; ' join' ⊂ joined/joining; ' le' ⊂
+    # left/leaving; ' partner' ⊂ partnered/partnering)
+    "acquired": " acquir",
+    "met": " me",
+    "joined": " join",
+    "left_org": " le",
     "manages": " manag",
     "maintains": " maintain",
-    "partnered": " partnered with ",
+    "partnered": " partner",
 }
 
 # ONE any-literal scan (RE2 alternation of every template literal) gates the

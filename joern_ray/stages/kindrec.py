@@ -95,7 +95,7 @@ def untyped_mentions_batch(batch: pa.Table) -> pa.Table:
         return UNTYPED.empty_table()
     local = pc.indices_nonzero(mask)
     idx = cand.take(local)
-    neg, inq, _past, _asp = _attrs(sub.take(local))
+    neg, inq, _past, _asp, _since = _attrs(sub.take(local))
     return pa.Table.from_arrays(
         [sents.column("conv_id").take(idx).cast(pa.string()),
          sents.column("turn_idx").take(idx).cast(pa.int32()),

@@ -23,7 +23,19 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v34"  # v34: PLURAL RECIPROCAL — "They met." expands
+CORPUS_VERSION = "v35"  # v35: ASPECT over the five intrinsically-past
+#                         SINGULAR families (met-with / joined / left /
+#                         acquired / partnered): 'is/was meeting with',
+#                         'has/had joined', 'is leaving', ... at ~7%
+#                         progressive + ~7% perfect each, composing with
+#                         the v33 temporal adjunct on perfect groups
+#                         (these templates gain SINCE_OPT).  Kernels:
+#                         joining/leaving/acquiring/partnering join
+#                         PROG_RE, joined/left/acquired/partnered join
+#                         PERF_RE, and the irregular participle 'left'
+#                         joins the PRES_PERFECT_RE carve-out ('has
+#                         left' is non-past).
+#                         v34: PLURAL RECIPROCAL — "They met." expands
 #                         to every ORDERED PAIR of distinct anchor-set
 #                         members (k members => k*(k-1) met triples,
 #                         slot_idx = subject's lexicographic rank,
@@ -703,11 +715,17 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             obj_surface, obj_canon = _pick_org(rng)
             while obj_canon == subj_canon:
                 obj_surface, obj_canon = _pick_org(rng)
-            text = f"{s_surface} acquired {obj_surface}{end}"
+            # v35: the intrinsically-past org families alternate aspect
+            verb = _aspect_past_verb(rng, "acquired", "acquiring")
+            text = (f"{s_surface} {verb} {obj_surface}"
+                    f"{_since_suffix(rng, verb)}{end}")
             conv_ev.extend([(s_surface, "org", subj_canon),
                         (obj_surface, "org", obj_canon)])
         elif pred in ("met", "manages"):
-            verb = ("met with" if pred == "met"
+            # v35: 'met with' gains the singular aspect alternation
+            # ('is/was meeting with', 'has/had met with')
+            verb = (_aspect_past_verb(rng, "met", "meeting") + " with"
+                    if pred == "met"
                     else _aspect_verb(rng, "manages", "managed",
                                       "managing"))
             subj = _pick_person(rng)
@@ -722,10 +740,14 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             conv_ev.extend([(subj, "person", subj_canon),
                         (obj_surface, "person", obj_canon)])
         elif pred in ("joined", "left_org"):
-            verb = "joined" if pred == "joined" else "left"
+            # v35 aspect alternation ('is joining' / 'has left' ...)
+            verb = (_aspect_past_verb(rng, "joined", "joining")
+                    if pred == "joined"
+                    else _aspect_past_verb(rng, "left", "leaving"))
             subj = _pick_person(rng)
             obj_surface, obj_canon = _pick_org(rng)
-            text = f"{subj} {verb} {obj_surface}{end}"
+            text = (f"{subj} {verb} {obj_surface}"
+                    f"{_since_suffix(rng, verb)}{end}")
             subj_canon = subj.lower()
             person_slot = subj
             conv_ev.extend([(subj, "person", subj_canon),
@@ -746,7 +768,9 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             obj_surface, obj_canon = _pick_org(rng)
             while obj_canon == subj_canon:
                 obj_surface, obj_canon = _pick_org(rng)
-            text = f"{s_surface} partnered with {obj_surface}{end}"
+            verb = _aspect_past_verb(rng, "partnered", "partnering")
+            text = (f"{s_surface} {verb} with {obj_surface}"
+                    f"{_since_suffix(rng, verb)}{end}")
             conv_ev.extend([(s_surface, "org", subj_canon),
                         (obj_surface, "org", obj_canon)])
         return text, [(sk, subj_canon, pred, ok, obj_canon)], person_slot

@@ -25,6 +25,7 @@ def _triples(rows):
         "in_question": [False] * n,
         "is_past": [False] * n,
         "aspect": ["simple"] * n,
+        "since_year": pa.array([None] * n, pa.int32()),
         "slot_idx": pa.array([0] * n, pa.int32()),
         "clause": ["main"] * n,
     }).cast(S.TRIPLES_SURFACE))
@@ -108,6 +109,7 @@ def test_pagerank_excludes_nonlink_conv_nodes(ray_session):
         "in_question": [False] * n,
         "is_past": [False] * n,
         "aspect": ["simple"] * n,
+        "since_year": pa.array([None] * n, pa.int32()),
         "slot_idx": pa.array([0] * n, pa.int32()),
         "clause": ["main"] * n,
     }).cast(S.TRIPLES_SURFACE))

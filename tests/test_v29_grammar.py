@@ -202,9 +202,11 @@ def test_v29_disjointness_regressions():
         _turns(["Alice and Bob work at Acme Corp."]))
     assert {d["clause"] for d in out} == {"main"}
     # an aspect form of a family NOT extended stays unmatched (contract
-    # totality: templates simply never produce it)
+    # totality: templates simply never produce it).  'is joining' was
+    # this test's example until v35 extended that family; reported_bug
+    # remains simple-only.
     out = oracle.extract_conversation(
-        _turns(["Alice is joining Acme Corp."]))
+        _turns(["Alice is reporting a bug in auth.core."]))
     assert out == []
 
 

@@ -162,7 +162,10 @@ def test_v30_org_state_rides_aspect_forms():
 
 
 def test_v30_synth_corpus_carries_new_cells():
-    rows, _gts = synth.generate_corpus(500)
+    # 1500 convs: the rarest cell (coord_uses × progressive, ~7% of a
+    # ~1% turn class) needs a larger draw after the v35 aspect branches
+    # shifted the per-conversation RNG stream
+    rows, _gts = synth.generate_corpus(1500)
     o = oracle.extract_all(rows.to_pylist())
     cells = {(d["pred"], d.get("clause"), d.get("aspect"),
               d.get("slot_idx")) for d in o}
