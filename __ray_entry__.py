@@ -129,15 +129,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_triples_attributed(sf_dir):
         """Resolved triples WITH relation attributes (sent_idx / negated /
-        in_question / is_past / aspect / since_year — the v24 tense, v27
-        aspect and v33 temporal-adjunct attributes) — the
-        DependencyJsonGenerator attributed-relation analog
-        (``DependencyJsonGenerator.scala:278-292``)."""
+        in_question / is_past / aspect / since_year / hedged — the v24
+        tense, v27 aspect, v33 temporal-adjunct and v36 hedge
+        attributes) — the DependencyJsonGenerator attributed-relation
+        analog (``DependencyJsonGenerator.scala:278-292``)."""
         return X.extract_triples(_transcripts(sf_dir)).map_batches(
             lambda t: t.select(["conv_id", "turn_idx", "sent_idx", "subj",
                                 "pred", "obj", "negated", "in_question",
                                 "is_past", "aspect", "since_year",
-                                "slot_idx", "clause"]),
+                                "hedged", "slot_idx", "clause"]),
             batch_format="pyarrow")
 
     def kg_triples_definite(sf_dir):
@@ -492,7 +492,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_attributed": (
             "SELECT conv_id, turn_idx, sent_idx, subj, pred, obj, "
             "negated, in_question, is_past, aspect, since_year, "
-            "slot_idx, clause "
+            "hedged, slot_idx, clause "
             f"FROM ({G.resolved_triples_sql(tr)})"),
         "kg_triples_definite": (
             "SELECT conv_id, turn_idx, subj, pred, obj, clause "

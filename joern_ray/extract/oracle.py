@@ -51,7 +51,7 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                             subj_kind="conv", obj_kind="tool",
                             sent_idx=0, negated=False, in_question=False,
                             is_past=False, aspect=R.ASPECT_SIMPLE,
-                            since_year=None))
+                            since_year=None, hedged=False))
             continue
         text = row.get("text") or ""
         # shared segmentation contract (rules.split_sentences):
@@ -71,7 +71,9 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                                  if _re.search(R.PERF_RE, sent)
                                  else R.ASPECT_SIMPLE),
                          since_year=(int(since_m.group("year"))
-                                     if since_m else None))
+                                     if since_m else None),
+                         # v36 hedge attribute (NEGATION_MARK discipline)
+                         hedged=R.HEDGE_MARK in sent)
             matched = False
             for pred, rx, obj_kind in R.COMPILED_PRONOUN_TEMPLATES:
                 m = rx.match(sent)

@@ -76,7 +76,9 @@ def _attr_cols() -> str:
             # 'since <year>', NULL when absent (the shared SINCE_RE)
             f"CASE WHEN regexp_matches(sent, '{since}') "
             f"THEN CAST(regexp_extract(sent, '{since}', 1) AS INTEGER) "
-            f"END AS since_year")
+            f"END AS since_year, "
+            # v36 hedge attribute (the NEGATION_MARK substring discipline)
+            f"contains(sent, '{R.HEDGE_MARK}') AS hedged")
 
 
 def events_sql(rel: str) -> str:
@@ -244,7 +246,7 @@ def events_sql(rel: str) -> str:
         ln, an, on = nums["list"], nums["last"], nums["obj"]
         inner = f"""(
           SELECT conv_id, turn_idx, sent_idx, negated, in_question,
-                 is_past, aspect, since_year,
+                 is_past, aspect, since_year, hedged,
                  unnest(ml) AS member,
                  CAST(unnest(range(len(ml))) AS INTEGER) AS slot, obj0
           FROM (SELECT conv_id, turn_idx, {_attr_cols()},
@@ -257,7 +259,7 @@ def events_sql(rel: str) -> str:
         parts.append(f"""
         SELECT conv_id, turn_idx, 'triple', member, '{pred}', obj0,
                '{mk}', '{ok}', sent_idx, negated, in_question, is_past,
-               aspect, since_year, slot, '{clause}',
+               aspect, since_year, hedged, slot, '{clause}',
                CAST(NULL AS VARCHAR)
         FROM {inner} WHERE member NOT IN ({pron_in})""")
         parts.append(f"""
@@ -277,7 +279,7 @@ def events_sql(rel: str) -> str:
         SELECT conv_id, turn_idx, 'pronoun', CAST(NULL AS VARCHAR),
                '{pred}', obj0, '{mk}', '{ok}',
                sent_idx, negated, in_question, is_past, aspect,
-               since_year, slot, '{clause}', CAST(NULL AS VARCHAR)
+               since_year, hedged, slot, '{clause}', CAST(NULL AS VARCHAR)
         FROM {inner} WHERE member IN ({pron_in})""")
             parts.append(f"""
         SELECT conv_id, turn_idx, 'pronoun', CAST(NULL AS VARCHAR),
@@ -339,7 +341,7 @@ def events_sql(rel: str) -> str:
     parts.append(f"""
         SELECT conv_id, turn_idx, 'triple', conv_id, '{R.INVOKED_PRED}',
                tool, 'conv', 'tool', 0, FALSE, FALSE, FALSE,
-               '{R.ASPECT_SIMPLE}', CAST(NULL AS INTEGER),
+               '{R.ASPECT_SIMPLE}', CAST(NULL AS INTEGER), FALSE,
                {R.DEFAULT_SLOT_IDX}, '{R.DEFAULT_CLAUSE}',
                CAST(NULL AS VARCHAR)
         FROM {rel} WHERE role = 'tool' AND tool IS NOT NULL""")
@@ -439,7 +441,7 @@ def resolved_triples_sql(rel: str) -> str:
                 WHEN etype = 'desc_obj' THEN mtr.prev_m
                 ELSE obj END AS obj,
            subj_kind, obj_kind, sent_idx, negated, in_question, is_past,
-           aspect, since_year, slot_idx, clause
+           aspect, since_year, hedged, slot_idx, clause
     FROM st JOIN tr
       ON st.conv_id = tr.conv_id AND st.turn_idx = tr.turn_idx
     LEFT JOIN mtr
@@ -455,7 +457,7 @@ def resolved_triples_sql(rel: str) -> str:
     -- no anchor turn ⇒ the JOIN drops the event (unresolvable rule)
     SELECT pl.conv_id, pl.turn_idx, ps.person AS subj, pl.pred,
            pl.obj, pl.subj_kind, pl.obj_kind, pl.sent_idx, pl.negated,
-           pl.in_question, pl.is_past, pl.aspect, pl.since_year,
+           pl.in_question, pl.is_past, pl.aspect, pl.since_year, pl.hedged,
            CAST(row_number() OVER (
              PARTITION BY pl.conv_id, pl.turn_idx, pl.sent_idx,
                           pl.pred, pl.obj
@@ -476,7 +478,7 @@ def resolved_triples_sql(rel: str) -> str:
     SELECT pl.conv_id, pl.turn_idx, a.person AS subj, pl.pred,
            b.person AS obj, pl.subj_kind, pl.obj_kind, pl.sent_idx,
            pl.negated, pl.in_question, pl.is_past, pl.aspect,
-           pl.since_year,
+           pl.since_year, pl.hedged,
            CAST(dense_rank() OVER (
              PARTITION BY pl.conv_id, pl.turn_idx, pl.sent_idx, pl.pred
              ORDER BY a.person) - 1 AS INTEGER) AS slot_idx,

@@ -276,6 +276,11 @@ SINCE_RE = r" since (?P<year>[12][0-9]{3})[.?]$"
 # since-accepting template regex is extended identically)
 SINCE_OPT = r"(?: since [12][0-9]{3})?"
 
+# the optional hedge-adverb prefix (v36 — see HEDGE_MARK below): sits
+# between the subject and the (optional) negation in every accepting
+# template ('Alice reportedly no longer works at X.')
+HEDGE_OPT = r"(?:reportedly )?"
+
 TEMPLATES = [
     # v27: the four alternating families admit progressive (is/was V-ing)
     # and perfect (has/had V-ed) verb groups alongside the v24 simple
@@ -285,8 +290,11 @@ TEMPLATES = [
     # sentence-final temporal adjunct (SINCE_OPT) — the obj groups stay
     # non-greedy and cannot swallow ' since <year>' because their
     # character classes admit no digits
+    # v36: the four alternating families accept the optional hedge
+    # adverb (HEDGE_OPT) before the negation/verb group
     ("works_at",
-     r"^(?P<subj>[A-Z][a-z]+) (?:no longer )?(?:work(?:s|ed)|is working|"
+     r"^(?P<subj>[A-Z][a-z]+) " + HEDGE_OPT
+     + r"(?:no longer )?(?:work(?:s|ed)|is working|"
      r"was working|has worked|had worked) at (?P<obj>[A-Z][A-Za-z ]+?)"
      + SINCE_OPT + r"[.?]$",
      "person", "org"),
@@ -294,7 +302,8 @@ TEMPLATES = [
      r"^(?P<subj>[A-Z][a-z]+) reported a bug in (?P<obj>[a-z_]+(?:\.[a-z_]+)*)[.?]$",
      "person", "module"),
     ("uses",
-     r"^(?P<subj>[A-Z][a-z]+) (?:no longer )?(?:use(?:s|d)|is using|"
+     r"^(?P<subj>[A-Z][a-z]+) " + HEDGE_OPT
+     + r"(?:no longer )?(?:use(?:s|d)|is using|"
      r"was using|has used|had used) (?P<obj>[a-z0-9_]+) daily"
      + SINCE_OPT + r"[.?]$",
      "person", "tool"),
@@ -323,12 +332,14 @@ TEMPLATES = [
      + SINCE_OPT + r"[.?]$",
      "person", "org"),
     ("manages",
-     r"^(?P<subj>[A-Z][a-z]+) (?:manage(?:s|d)|is managing|was managing|"
+     r"^(?P<subj>[A-Z][a-z]+) " + HEDGE_OPT
+     + r"(?:manage(?:s|d)|is managing|was managing|"
      r"has managed|had managed) (?P<obj>[A-Z][a-z]+)"
      + SINCE_OPT + r"[.?]$",
      "person", "person"),
     ("maintains",
-     r"^(?P<subj>[A-Z][a-z]+) (?:maintain(?:s|ed)|is maintaining|"
+     r"^(?P<subj>[A-Z][a-z]+) " + HEDGE_OPT
+     + r"(?:maintain(?:s|ed)|is maintaining|"
      r"was maintaining|has maintained|had maintained) "
      r"(?P<obj>[a-z_]+(?:\.[a-z_]+)*)"
      + SINCE_OPT + r"[.?]$",
@@ -909,14 +920,17 @@ def named_group_numbers(rx: str) -> dict[str, int]:
 # recently mentioned person (see resolution rule below).
 PRONOUN_TEMPLATES = [
     # v33: the pronoun variants of the since-accepting families carry the
-    # same optional temporal adjunct (SINCE_OPT)
+    # same optional temporal adjunct (SINCE_OPT); v36 adds the optional
+    # hedge adverb (HEDGE_OPT), mirroring the explicit-subject templates
     ("works_at",
-     r"^(?:She|He) (?:no longer )?(?:work(?:s|ed)|is working|was working|"
+     r"^(?:She|He) " + HEDGE_OPT
+     + r"(?:no longer )?(?:work(?:s|ed)|is working|was working|"
      r"has worked|had worked) at (?P<obj>[A-Z][A-Za-z ]+?)"
      + SINCE_OPT + r"[.?]$",
      "org"),
     ("uses",
-     r"^(?:She|He) (?:no longer )?(?:use(?:s|d)|is using|was using|"
+     r"^(?:She|He) " + HEDGE_OPT
+     + r"(?:no longer )?(?:use(?:s|d)|is using|was using|"
      r"has used|had used) (?P<obj>[a-z0-9_]+) daily"
      + SINCE_OPT + r"[.?]$",
      "tool"),
@@ -1002,12 +1016,14 @@ PLURAL_PRONOUN_TEMPLATES = [
     # since_year value is a PAYLOAD attribute, so it must survive the
     # plural set expansion unchanged on every fanned-out row
     ("works_at",
-     r"^They (?:no longer )?(?:work(?:ed)?|are working|were working|"
+     r"^They " + HEDGE_OPT
+     + r"(?:no longer )?(?:work(?:ed)?|are working|were working|"
      r"have worked|had worked) at (?P<obj>[A-Z][A-Za-z ]+?)"
      + SINCE_OPT + r"[.?]$",
      "org"),
     ("uses",
-     r"^They (?:no longer )?(?:use(?:d)?|are using|were using|"
+     r"^They " + HEDGE_OPT
+     + r"(?:no longer )?(?:use(?:d)?|are using|were using|"
      r"have used|had used) (?P<obj>[a-z0-9_]+) daily"
      + SINCE_OPT + r"[.?]$",
      "tool"),
@@ -1062,6 +1078,27 @@ QUOTED_CLAUSE = "quoted"
 # Attribute predicates over a matched sentence (shared contract):
 NEGATION_MARK = "no longer "      # substring test on the matched sentence
 QUESTION_MARK = "?"               # sentence suffix test
+# Hedge / modality attribute (v36) — the SIXTH relation attribute
+# (negated / in_question / is_past / aspect / since_year / hedged; the
+# fork's structural-attribute family per
+# ``DependencyJsonGenerator.scala:278-292``).  A 'reportedly' adverb
+# marks the relation as second-hand/unconfirmed ("Alice reportedly
+# works at Acme Corp.") — the provenance-weakening signal the quoted
+# clause carries structurally, here as a lexical modifier.  Shared
+# contract (sentence-level substring test, exactly the NEGATION_MARK
+# discipline — every emission of one sentence carries the same value):
+#
+#   hedged(sent) = contains(sent, 'reportedly ')
+#
+# The templates that ACCEPT the adverb are the four alternating
+# singular families (works_at / uses / manages / maintains) and their
+# singular+plural pronoun variants — '(?:reportedly )?' before the
+# (optional) negation ('Alice reportedly no longer works at X.').
+# Other families simply never produce the token, so the contract stays
+# total; the kernel is lexical, so dirty input with a stray
+# 'reportedly' still classifies consistently in all four
+# implementations.
+HEDGE_MARK = "reportedly "
 
 # Pronoun resolution rule (shared contract):
 #   The referent of a pronoun in turn t is determined by the LATEST turn with

@@ -54,6 +54,7 @@ EVENTS = pa.schema([
     ("aspect", EVENTS_DICT),         # v27: simple | progressive | perfect
     ("since_year", pa.int32()),      # v33: sentence-final 'since <year>'
                                      # temporal adjunct; NULL when absent
+    ("hedged", pa.bool_()),          # v36: 'reportedly' hedge adverb
     ("slot_idx", pa.int32()),        # subject position in a coordinated list
     ("clause", EVENTS_DICT),         # main | appositive | relative | quoted
     # definite-description events ONLY (v12): the module key the descriptor
@@ -78,6 +79,7 @@ TRIPLES_SURFACE = pa.schema([
     ("is_past", pa.bool_()),
     ("aspect", pa.string()),
     ("since_year", pa.int32()),
+    ("hedged", pa.bool_()),
     ("slot_idx", pa.int32()),
     ("clause", pa.string()),
 ])

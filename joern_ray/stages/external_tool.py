@@ -57,7 +57,7 @@ for line in sys.stdin:
     if row.get("role") == "tool" and row.get("tool"):
         evs.append([row["conv_id"], R.INVOKED_PRED, row["tool"],
                     "conv", "tool", 0, False, False, False, "simple",
-                    None, 0, R.DEFAULT_CLAUSE, None])
+                    None, False, 0, R.DEFAULT_CLAUSE, None])
     else:
         text = row.get("text") or ""
         sents = R.split_sentences(text)
@@ -71,7 +71,8 @@ for line in sys.stdin:
                      (R.ASPECT_PROG if re.search(R.PROG_RE, sent)
                       else R.ASPECT_PERF if re.search(R.PERF_RE, sent)
                       else R.ASPECT_SIMPLE),
-                     int(since_m.group("year")) if since_m else None]
+                     int(since_m.group("year")) if since_m else None,
+                     R.HEDGE_MARK in sent]
             matched = False
             for pred, rx, ok in R.COMPILED_PRONOUN_TEMPLATES:
                 m = rx.match(sent)
@@ -292,9 +293,10 @@ class ExternalToolExtractor:
             "is_past": pa.array(cols[8], pa.bool_()),
             "aspect": pa.array(cols[9], pa.string()),
             "since_year": pa.array(cols[10], pa.int32()),
-            "slot_idx": pa.array(cols[11], pa.int32()),
-            "clause": pa.array(cols[12], pa.string()),
-            "desc_key": pa.array(cols[13], pa.string()),
+            "hedged": pa.array(cols[11], pa.bool_()),
+            "slot_idx": pa.array(cols[12], pa.int32()),
+            "clause": pa.array(cols[13], pa.string()),
+            "desc_key": pa.array(cols[14], pa.string()),
         }).cast(S.EVENTS)
 
     def __del__(self):

@@ -85,7 +85,7 @@ def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
                   sent_idx=0, negated=False, in_question=False,
                   is_past=False, aspect=R.ASPECT_SIMPLE,
                   slot_idx=0, clause=R.DEFAULT_CLAUSE,
-                  desc_key=None, since=None) -> pa.Table:
+                  desc_key=None, since=None, hedged=False) -> pa.Table:
     """One template's matches as an EVENTS table.  subj=None rows are
     pronoun events (schema invariant — there is no etype column); the
     categorical pred/kind columns are dictionary-encoded so the
@@ -120,6 +120,7 @@ def _events_table(n: int, conv, turn_idx, subj, pred, obj, sk, ok,
          dcol(aspect),
          (pa.nulls(n, pa.int32()) if since is None
           else col(since, pa.int32())),
+         col(hedged, pa.bool_()),
          col(slot_idx, pa.int32()), dcol(clause), dcol(desc_key)],
         schema=S.EVENTS)
 
@@ -210,8 +211,8 @@ def _explode_sentences(batch: pa.Table) -> pa.Table:
 
 
 def _attrs(sent) -> tuple:
-    """(negated, in_question, is_past, aspect, since_year) attribute
-    kernels over matched sentences.  is_past is the v24 lexical tense
+    """(negated, in_question, is_past, aspect, since_year, hedged)
+    attribute kernels over matched sentences.  is_past is the v24 lexical tense
     contract (rules.py): a word-bounded past-form verb token, minus the
     present-passive ('is maintained by') and present-perfect ('has
     worked', v27) carve-outs.  aspect is the v27 contract: progressive
@@ -249,7 +250,9 @@ def _attrs(sent) -> tuple:
                     pc.match_substring_regex(sent, R.PERF_RE),
                     pa.scalar(R.ASPECT_PERF, pa.string()),
                     pa.scalar(R.ASPECT_SIMPLE, pa.string()))),
-            since_all)
+            since_all,
+            # v36 hedge attribute: the NEGATION_MARK substring discipline
+            pc.match_substring(sent, R.HEDGE_MARK))
 
 
 def extract_events(batch: pa.Table,
@@ -288,7 +291,7 @@ def extract_events(batch: pa.Table,
     # attribute kernels ONCE over the whole sentence column; every
     # emission below takes its subset (previously recomputed per
     # emission — ~2x per multi-template with the pronoun branch)
-    neg_all, inq_all, past_all, asp_all, snc_all = _attrs(text)
+    neg_all, inq_all, past_all, asp_all, snc_all, hed_all = _attrs(text)
 
     # pronoun templates first (their sentences also match the person-subject
     # shape; the oracle applies the same precedence, per sentence)
@@ -312,14 +315,15 @@ def extract_events(batch: pa.Table,
         local = pc.indices_nonzero(mask)
         idx = pron_idx.take(local)
         pron_matched_np[idx.to_numpy(zero_copy_only=False)] = True
-        neg, inq, past, asp, snc = (
+        neg, inq, past, asp, snc, hed = (
             neg_all.take(idx), inq_all.take(idx),
-            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx),
+            hed_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             pa.array([None] * len(idx), pa.string()), pred,
             pc.struct_field(ex, "obj").take(local), "person", ok,
-            sidx.take(idx), neg, inq, past, asp, since=snc))
+            sidx.take(idx), neg, inq, past, asp, since=snc, hedged=hed))
 
     # PLURAL-pronoun templates (v32): "They ..." — one event (subj NULL,
     # clause 'plural'); Stage B expands it over the anchor turn's
@@ -338,15 +342,16 @@ def extract_events(batch: pa.Table,
         local = pc.indices_nonzero(mask)
         idx = plu_idx.take(local)
         pron_matched_np[idx.to_numpy(zero_copy_only=False)] = True
-        neg, inq, past, asp, snc = (
+        neg, inq, past, asp, snc, hed = (
             neg_all.take(idx), inq_all.take(idx),
-            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx),
+            hed_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             pa.array([None] * len(idx), pa.string()), pred,
             pc.struct_field(ex, "obj").take(local), "person", ok,
             sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
-            R.PLURAL_CLAUSE, since=snc))
+            R.PLURAL_CLAUSE, since=snc, hedged=hed))
 
     # PLURAL-RECIPROCAL templates (v34): "They met." — BOTH slots null
     # (the subj∧obj-null event class); Stage B expands it over every
@@ -360,15 +365,16 @@ def extract_events(batch: pa.Table,
         local = pc.indices_nonzero(mask)
         idx = plu_idx.take(local)
         pron_matched_np[idx.to_numpy(zero_copy_only=False)] = True
-        neg, inq, past, asp, snc = (
+        neg, inq, past, asp, snc, hed = (
             neg_all.take(idx), inq_all.take(idx),
-            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx),
+            hed_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             pa.array([None] * len(idx), pa.string()), pred,
             pa.array([None] * len(idx), pa.string()), "person", "person",
             sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
-            R.PLURAL_RECIP_CLAUSE, since=snc))
+            R.PLURAL_RECIP_CLAUSE, since=snc, hedged=hed))
 
     cand_idx = pc.indices_nonzero(pc.fill_null(
         pc.match_substring_regex(text, _ANY_LITERAL_RE), False))
@@ -401,14 +407,15 @@ def extract_events(batch: pa.Table,
             continue
         local = pc.indices_nonzero(mask)
         idx = idx0.take(local)
-        neg, inq, past, asp, snc = (
+        neg, inq, past, asp, snc, hed = (
             neg_all.take(idx), inq_all.take(idx),
-            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx),
+            hed_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             subj.take(local), pred,
             pa.array([None] * len(idx), pa.string()), "person", ok,
-            sidx.take(idx), neg, inq, past, asp, since=snc))
+            sidx.take(idx), neg, inq, past, asp, since=snc, hedged=hed))
 
     # OBJECT pronouns inside quoted speech (v18): same event class as
     # the plain object-pronoun rows (subj + NULL obj, no desc_key) —
@@ -430,15 +437,16 @@ def extract_events(batch: pa.Table,
             continue
         local = pc.indices_nonzero(mask)
         idx = idx0.take(local)
-        neg, inq, past, asp, snc = (
+        neg, inq, past, asp, snc, hed = (
             neg_all.take(idx), inq_all.take(idx),
-            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx),
+            hed_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             subj.take(local), pred,
             pa.array([None] * len(idx), pa.string()), "person", ok,
             sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
-            R.QUOTED_CLAUSE, since=snc))
+            R.QUOTED_CLAUSE, since=snc, hedged=hed))
 
     for pred, rx, sk, ok in R.TEMPLATES + list(extra_templates or []):
         lit = _TEMPLATE_LITERALS.get(pred)
@@ -465,14 +473,15 @@ def extract_events(batch: pa.Table,
             continue
         local = pc.indices_nonzero(mask)
         idx = idx0.take(local)
-        neg, inq, past, asp, snc = (
+        neg, inq, past, asp, snc, hed = (
             neg_all.take(idx), inq_all.take(idx),
-            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx),
+            hed_all.take(idx))
         outs.append(_events_table(
             len(idx), conv.take(idx), tidx.take(idx),
             subj.take(local), pred,
             pc.struct_field(ex, "obj").take(local), sk, ok,
-            sidx.take(idx), neg, inq, past, asp, since=snc))
+            sidx.take(idx), neg, inq, past, asp, since=snc, hedged=hed))
 
     # multi-relation templates (coordination / appositive / relative /
     # quoted): ONE RE2 extract per template, N emissions per match — the
@@ -523,15 +532,16 @@ def extract_events(batch: pa.Table,
             if pc.any(mask).as_py():
                 local = pc.indices_nonzero(mask)
                 idx = idx0.take(local)
-                neg, inq, past, asp, snc = (
+                neg, inq, past, asp, snc, hed = (
             neg_all.take(idx), inq_all.take(idx),
-            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx),
+            hed_all.take(idx))
                 outs.append(_events_table(
                     len(idx), conv.take(idx), tidx.take(idx),
                     subj.take(local), pred,
                     obj.take(local), sk, ok,
                     sidx.take(idx), neg, inq, past, asp, slot, clause,
-                    since=snc))
+                    since=snc, hedged=hed))
             # a pronoun in a person subject slot ("She and Bob work at X")
             # becomes a PRONOUN event (subj NULL) carrying the emission's
             # slot/clause — resolved in Stage B like any pronoun turn
@@ -542,15 +552,16 @@ def extract_events(batch: pa.Table,
                 if pc.any(pmask).as_py():
                     local = pc.indices_nonzero(pmask)
                     idx = idx0.take(local)
-                    neg, inq, past, asp, snc = (
+                    neg, inq, past, asp, snc, hed = (
             neg_all.take(idx), inq_all.take(idx),
-            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx),
+            hed_all.take(idx))
                     outs.append(_events_table(
                         len(idx), conv.take(idx), tidx.take(idx),
                         pa.array([None] * len(idx), pa.string()), pred,
                         obj.take(local), sk, ok,
                         sidx.take(idx), neg, inq, past, asp, slot, clause,
-                    since=snc))
+                    since=snc, hedged=hed))
             # a pronoun in a person OBJECT slot ("She and Bob met." —
             # emission met(Bob, She)) becomes an OBJECT-PRONOUN event
             # (explicit subj, NULL obj): Stage B fills the object and the
@@ -561,15 +572,16 @@ def extract_events(batch: pa.Table,
                 if pc.any(omask).as_py():
                     local = pc.indices_nonzero(omask)
                     idx = idx0.take(local)
-                    neg, inq, past, asp, snc = (
+                    neg, inq, past, asp, snc, hed = (
             neg_all.take(idx), inq_all.take(idx),
-            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx),
+            hed_all.take(idx))
                     outs.append(_events_table(
                         len(idx), conv.take(idx), tidx.take(idx),
                         subj.take(local), pred,
                         pa.array([None] * len(idx), pa.string()), sk, ok,
                         sidx.take(idx), neg, inq, past, asp, slot, clause,
-                    since=snc))
+                    since=snc, hedged=hed))
 
     # LIST templates (open-ended coordination, v12): RE2 captures the list
     # head as ONE group; the split into member slots is a vectorized
@@ -626,11 +638,10 @@ def extract_events(batch: pa.Table,
             [slot_head, lens.astype(np.int64)]).astype("int32"), pa.int32())
         m_idx = idx.take(m_sent)   # sentence-row index per member
         m_obj = obj.take(m_sent)
-        m_neg, m_inq, m_past, m_asp, m_snc = (neg_all.take(m_idx),
-                                              inq_all.take(m_idx),
-                                              past_all.take(m_idx),
-                                              asp_all.take(m_idx),
-                                              snc_all.take(m_idx))
+        m_neg, m_inq, m_past, m_asp, m_snc, m_hed = (
+            neg_all.take(m_idx), inq_all.take(m_idx),
+            past_all.take(m_idx), asp_all.take(m_idx),
+            snc_all.take(m_idx), hed_all.take(m_idx))
         is_pron = pc.fill_null(
             pc.is_in(members, value_set=_PRONOUN_SET), False)
         npron = pc.indices_nonzero(pc.invert(is_pron))
@@ -642,7 +653,7 @@ def extract_events(batch: pa.Table,
                 sidx.take(m_idx.take(npron)), m_neg.take(npron),
                 m_inq.take(npron), m_past.take(npron),
                 m_asp.take(npron), m_slot.take(npron), clause,
-                since=m_snc.take(npron)))
+                since=m_snc.take(npron), hedged=m_hed.take(npron)))
         if mk == "person":
             ppron = pc.indices_nonzero(is_pron)
             if len(ppron):
@@ -654,7 +665,7 @@ def extract_events(batch: pa.Table,
                     sidx.take(m_idx.take(ppron)), m_neg.take(ppron),
                     m_inq.take(ppron), m_past.take(ppron),
                     m_asp.take(ppron), m_slot.take(ppron), clause,
-                    since=m_snc.take(ppron)))
+                    since=m_snc.take(ppron), hedged=m_hed.take(ppron)))
 
     # definite-description templates (cross-sentence anaphora, v12): emit a
     # DESCRIPTOR event — subj NULL + desc_key (the module) — resolved in
@@ -673,16 +684,17 @@ def extract_events(batch: pa.Table,
                 continue
             local = pc.indices_nonzero(mask)
             idx = idx0.take(local)
-            neg, inq, past, asp, snc = (
+            neg, inq, past, asp, snc, hed = (
             neg_all.take(idx), inq_all.take(idx),
-            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx),
+            hed_all.take(idx))
             outs.append(_events_table(
                 len(idx), conv.take(idx), tidx.take(idx),
                 pa.array([None] * len(idx), pa.string()), pred,
                 pc.struct_field(ex, "obj").take(local), "person", ok,
                 sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
                 clause,
-                pc.struct_field(ex, "key").take(local), since=snc))
+                pc.struct_field(ex, "key").take(local), since=snc, hedged=hed))
 
     # ORG-keyed descriptor family (v28): same event class as the
     # maintainer/manager descriptors (subj NULL + desc_key); the key is
@@ -703,9 +715,10 @@ def extract_events(batch: pa.Table,
                 continue
             local = pc.indices_nonzero(mask)
             idx = idx0.take(local)
-            neg, inq, past, asp, snc = (
+            neg, inq, past, asp, snc, hed = (
             neg_all.take(idx), inq_all.take(idx),
-            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx),
+            hed_all.take(idx))
             outs.append(_events_table(
                 len(idx), conv.take(idx), tidx.take(idx),
                 pa.array([None] * len(idx), pa.string()), pred,
@@ -713,7 +726,7 @@ def extract_events(batch: pa.Table,
                 sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
                 clause,
                 pc.utf8_lower(pc.struct_field(ex, "key").take(local)),
-                since=snc))
+                since=snc, hedged=hed))
 
     # OBJECT-side definite descriptions (v15): emit an event with the
     # explicit subject, NULL obj and desc_key (the module) — the
@@ -736,16 +749,17 @@ def extract_events(batch: pa.Table,
                 continue
             local = pc.indices_nonzero(mask)
             idx = idx0.take(local)
-            neg, inq, past, asp, snc = (
+            neg, inq, past, asp, snc, hed = (
             neg_all.take(idx), inq_all.take(idx),
-            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx),
+            hed_all.take(idx))
             outs.append(_events_table(
                 len(idx), conv.take(idx), tidx.take(idx),
                 subj.take(local), pred,
                 pa.array([None] * len(idx), pa.string()), "person",
                 "person", sidx.take(idx), neg, inq, past, asp,
                 R.DEFAULT_SLOT_IDX, clause,
-                pc.struct_field(ex, "key").take(local), since=snc))
+                pc.struct_field(ex, "key").take(local), since=snc, hedged=hed))
 
     # untyped-mention events (kind-recovery overlay input, rules.MENTIONED_RE,
     # obj_kind='unknown') ride the SAME extraction map and events store —
@@ -766,15 +780,16 @@ def extract_events(batch: pa.Table,
             if pc.any(mask).as_py():
                 local = pc.indices_nonzero(mask)
                 idx = idx0.take(local)
-                neg, inq, past, asp, snc = (
+                neg, inq, past, asp, snc, hed = (
             neg_all.take(idx), inq_all.take(idx),
-            past_all.take(idx), asp_all.take(idx), snc_all.take(idx))
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx),
+            hed_all.take(idx))
                 outs.append(_events_table(
                     len(idx), conv.take(idx), tidx.take(idx),
                     subj.take(local), R.MENTIONED_PRED,
                     pc.struct_field(ex, "obj").take(local),
                     "person", R.UNKNOWN_KIND,
-                    sidx.take(idx), neg, inq, past, asp, since=snc))
+                    sidx.take(idx), neg, inq, past, asp, since=snc, hedged=hed))
 
     if not outs:
         return S.EVENTS.empty_table()
@@ -991,6 +1006,7 @@ def _resolve_bucket(group: pa.Table,
              sub.column("is_past").cast(pa.bool_()),
              sub.column("aspect").cast(pa.string()),
              sub.column("since_year").cast(pa.int32()),
+             sub.column("hedged").cast(pa.bool_()),
              sub.column("slot_idx").cast(pa.int32()),
              sub.column("clause").cast(pa.string())],
             schema=S.TRIPLES_SURFACE)
@@ -1078,6 +1094,7 @@ def _resolve_bucket(group: pa.Table,
                      sub.column("is_past").cast(pa.bool_()),
                      sub.column("aspect").cast(pa.string()),
                      sub.column("since_year").cast(pa.int32()),
+                     sub.column("hedged").cast(pa.bool_()),
                      pa.array(intra.astype("int32"), pa.int32()),
                      sub.column("clause").cast(pa.string())],
                     schema=S.TRIPLES_SURFACE)
@@ -1175,8 +1192,8 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
     # sentence differing only in slot_idx
     df = df.sort_values(
         ["conv_id", "turn_idx", "person", "pred", "obj", "sent_idx",
-         "is_past", "aspect", "since_year", "slot_idx", "clause",
-         "desc_key"],
+         "is_past", "aspect", "since_year", "hedged", "slot_idx",
+         "clause", "desc_key"],
         kind="mergesort", ignore_index=True)
     within = df.groupby(df["conv_id"].to_numpy(), sort=False).cumcount()
     if (within >= cap).any():
@@ -1186,8 +1203,8 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
     def _payload(sel: pd.DataFrame) -> pd.DataFrame:
         return sel[["conv_id", "turn_idx", "pred", "obj", "obj_kind",
                     "sent_idx", "negated", "in_question", "is_past",
-                    "aspect", "since_year", "slot_idx", "clause",
-                    "person"]] \
+                    "aspect", "since_year", "hedged", "slot_idx",
+                    "clause", "person"]] \
             .rename(columns={"person": "own_person"})
 
     def _table(out: pd.DataFrame, subj_np, obj_np) -> pa.Table:
@@ -1207,6 +1224,7 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
              pa.array(out["aspect"].to_numpy(object), pa.string()),
              pa.array(out["since_year"].astype("Int32").to_numpy(
                  na_value=None, dtype=object), pa.int32()),
+             pa.array(out["hedged"].to_numpy(bool), pa.bool_()),
              pa.array(out["slot_idx"].to_numpy(), pa.int32()),
              pa.array(out["clause"].to_numpy(object), pa.string())],
             schema=S.TRIPLES_SURFACE)
@@ -1504,6 +1522,7 @@ def _resolve_subset_plain(t: pa.Table) -> pa.Table:
         "is_past": t.column("is_past"),
         "aspect": nulls,
         "since_year": pa.nulls(t.num_rows, pa.int32()),
+        "hedged": t.column("hedged"),
         "slot_idx": pa.nulls(t.num_rows, pa.int32()),
         "clause": nulls,
         "desc_key": obj_s,
@@ -1536,6 +1555,7 @@ def _resolve_subset_plain(t: pa.Table) -> pa.Table:
             "is_past": t.column("is_past").take(org_idx),
             "aspect": onull,
             "since_year": pa.nulls(n_o, pa.int32()),
+            "hedged": t.column("hedged").take(org_idx),
             "slot_idx": pa.nulls(n_o, pa.int32()),
             "clause": onull,
             "desc_key": okey,
@@ -1559,6 +1579,8 @@ def _resolve_subset_plain(t: pa.Table) -> pa.Table:
         # (state rows ship null — bitmap-only, the slot_idx discipline)
         "since_year": pc.if_else(needs_res, t.column("since_year"),
                                  pa.nulls(t.num_rows, pa.int32())),
+        # v36: the hedge bit is a payload attribute carried like negated
+        "hedged": t.column("hedged"),
         # pronoun slots inside multi-relation constructs carry their own
         # slot/clause (e.g. "Bob and She use x daily" → slot_idx 1); only
         # PRONOUN rows need them — state rows ship null (bitmap-only), so

@@ -95,7 +95,7 @@ def untyped_mentions_batch(batch: pa.Table) -> pa.Table:
         return UNTYPED.empty_table()
     local = pc.indices_nonzero(mask)
     idx = cand.take(local)
-    neg, inq, _past, _asp, _since = _attrs(sub.take(local))
+    neg, inq, *_rest = _attrs(sub.take(local))
     return pa.Table.from_arrays(
         [sents.column("conv_id").take(idx).cast(pa.string()),
          sents.column("turn_idx").take(idx).cast(pa.int32()),
@@ -500,6 +500,7 @@ def recovered_to_surface(rec: pa.Table) -> pa.Table:
          pa.array([True] * n, pa.bool_()),
          pa.array([R.ASPECT_SIMPLE] * n, pa.string()),
          pa.nulls(n, pa.int32()),
+         pa.array([False] * n, pa.bool_()),     # hedged (v36): never
          pa.array([0] * n, pa.int32()),
          pa.array([R.DEFAULT_CLAUSE] * n, pa.string())],
         schema=S.TRIPLES_SURFACE)
@@ -577,6 +578,7 @@ def _narrow_from_evidence(ev_t: pa.Table) -> pa.Table:
         "obj_kind": ev_t.column("kind").cast(pa.string()),
         "sent_idx": inull, "negated": bnull, "in_question": bnull,
         "is_past": bnull, "aspect": snull, "since_year": inull,
+        "hedged": bnull,
         "slot_idx": inull, "clause": snull, "desc_key": snull})
 
 
@@ -598,6 +600,7 @@ def _narrow_from_unknowns(unk_t: pa.Table) -> pa.Table:
         "is_past": pa.nulls(n, pa.bool_()),
         "aspect": snull,
         "since_year": pa.nulls(n, pa.int32()),
+        "hedged": pa.nulls(n, pa.bool_()),
         "slot_idx": pa.nulls(n, pa.int32()),
         "clause": snull, "desc_key": snull})
 
@@ -665,6 +668,7 @@ def _fused_shard(g: pa.Table, cap: int | None) -> pa.Table:
              j.column("in_question").cast(pa.bool_()),
              pa.nulls(n, pa.bool_()), pa.nulls(n, pa.string()),
              pa.nulls(n, pa.int32()),                 # since_year (v33)
+             pa.nulls(n, pa.bool_()),                 # hedged (v36)
              pa.nulls(n, pa.int32()), pa.nulls(n, pa.string()),
              pa.array(np.ones(n, dtype=np.int8), pa.int8())],
             schema=out_schema))

@@ -23,7 +23,16 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v35"  # v35: ASPECT over the five intrinsically-past
+CORPUS_VERSION = "v36"  # v36: HEDGE attribute — the SIXTH relation
+#                         attribute: 'reportedly' before the verb group
+#                         of the four alternating singular families +
+#                         singular/plural pronoun variants (~5%),
+#                         composing with negation ('reportedly no longer
+#                         works'), aspect and the temporal adjunct.
+#                         hedged = contains(sent, 'reportedly ') — the
+#                         NEGATION_MARK substring discipline, shared by
+#                         all four implementations.
+#                         v35: ASPECT over the five intrinsically-past
 #                         SINGULAR families (met-with / joined / left /
 #                         acquired / partnered): 'is/was meeting with',
 #                         'has/had joined', 'is leaving', ... at ~7%
@@ -279,6 +288,14 @@ def _since_suffix(rng, verb: str) -> str:
     if verb.startswith(("has ", "had ", "have ")) and rng.random() < 0.5:
         return f" since {2005 + int(rng.integers(0, 20))}"
     return ""
+
+
+def _hedge(rng) -> str:
+    """v36: ~5% of sentences of the hedge-accepting families carry the
+    'reportedly' adverb before the (optional) negation/verb group —
+    rules.HEDGE_OPT; the hedged attribute kernel is the NEGATION_MARK
+    substring discipline."""
+    return "reportedly " if rng.random() < 0.05 else ""
 
 
 def _aspect_past_verb(rng, past: str, part_ing: str) -> str:
@@ -685,7 +702,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             # match it, so the contract stays total either way)
             verb = (_tense(rng, "works", "worked") if neg
                     else _aspect_verb(rng, "works", "worked", "working"))
-            text = (f"{subj} {neg}{verb} at {obj_surface}"
+            text = (f"{subj} {_hedge(rng)}{neg}{verb} at {obj_surface}"
                     f"{_since_suffix(rng, verb)}{end}")
             subj_canon = subj.lower()
             person_slot = subj
@@ -704,7 +721,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             obj_surface = obj_canon = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
             verb = (_tense(rng, "uses", "used") if neg
                     else _aspect_verb(rng, "uses", "used", "using"))
-            text = (f"{subj} {neg}{verb} {obj_surface} daily"
+            text = (f"{subj} {_hedge(rng)}{neg}{verb} {obj_surface} daily"
                     f"{_since_suffix(rng, verb)}{end}")
             subj_canon = subj.lower()
             person_slot = subj
@@ -733,7 +750,10 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             while obj_surface == subj:
                 obj_surface = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             obj_canon = obj_surface.lower()
-            text = (f"{subj} {verb} {obj_surface}"
+            # v36: only manages accepts the hedge adverb (met's template
+            # was not extended)
+            hedge = _hedge(rng) if pred == "manages" else ""
+            text = (f"{subj} {hedge}{verb} {obj_surface}"
                     f"{_since_suffix(rng, verb)}{end}")
             subj_canon = subj.lower()
             person_slot = obj_surface  # object is the later person slot
@@ -757,7 +777,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             obj_surface = obj_canon = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
             verb = _aspect_verb(rng, "maintains", "maintained",
                                 "maintaining")
-            text = (f"{subj} {verb} {obj_surface}"
+            text = (f"{subj} {_hedge(rng)}{verb} {obj_surface}"
                     f"{_since_suffix(rng, verb)}{end}")
             subj_canon = subj.lower()
             person_slot = subj
@@ -1034,15 +1054,15 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 verb = (_tense(rng, "works", "worked") if neg
                         else _aspect_verb(rng, "works", "worked",
                                           "working"))
-                text = (f"{pronoun} {neg}{verb} at {obj_surface}"
-                        f"{_since_suffix(rng, verb)}.")
+                text = (f"{pronoun} {_hedge(rng)}{neg}{verb} "
+                        f"at {obj_surface}{_since_suffix(rng, verb)}.")
                 pred = "works_at"
             else:
                 obj_surface = obj_canon = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
                 verb = (_tense(rng, "uses", "used") if neg
                         else _aspect_verb(rng, "uses", "used", "using"))
-                text = (f"{pronoun} {neg}{verb} {obj_surface} daily"
-                        f"{_since_suffix(rng, verb)}.")
+                text = (f"{pronoun} {_hedge(rng)}{neg}{verb} "
+                        f"{obj_surface} daily{_since_suffix(rng, verb)}.")
                 pred = "uses"
             add_row(t, role, text)
             add_gt(t, "person", last_person.lower(), pred, obj_kind, obj_canon)
@@ -1094,7 +1114,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                              else _aspect_verb_pl(rng, "use", "used",
                                                   "using"))
                     add_row(t, role2,
-                            f"They {neg}{verb2} {tool} daily"
+                            f"They {_hedge(rng)}{neg}{verb2} {tool} daily"
                             f"{_since_suffix(rng, verb2)}.")
                     for mem in members:
                         add_gt(t, "person", mem.lower(), "uses",
@@ -1105,7 +1125,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                              else _aspect_verb_pl(rng, "work", "worked",
                                                   "working"))
                     add_row(t, role2,
-                            f"They {neg}{verb2} at {o2s}"
+                            f"They {_hedge(rng)}{neg}{verb2} at {o2s}"
                             f"{_since_suffix(rng, verb2)}.")
                     for mem in members:
                         add_gt(t, "person", mem.lower(), "works_at",

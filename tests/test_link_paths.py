@@ -66,13 +66,13 @@ def test_canonical_cogroup_duplicate_turns(ray_session):
 
     rows = [
         ("c1", 0, "Alice", "works_at", "Acme", "person", "org",
-         0, False, False, False, "simple", None, 0, "main"),
+         0, False, False, False, "simple", None, False, 0, "main"),
         ("c1", 0, "Bob", "met", "Carol", "person", "person",
-         1, False, False, True, "simple", None, 0, "main"),
+         1, False, False, True, "simple", None, False, 0, "main"),
         ("c1", 0, "c1", "invoked", "search", "conv", "tool",
-         0, False, False, False, "simple", None, 0, "main"),
+         0, False, False, False, "simple", None, False, 0, "main"),
         ("c2", 3, "Dave", "uses", "editor", "person", "tool",
-         0, True, False, False, "progressive", 2019, 1, "quoted"),
+         0, True, False, False, "progressive", 2019, True, 1, "quoted"),
     ]
     t = pa.Table.from_pydict(
         {f.name: [r[i] for r in rows]

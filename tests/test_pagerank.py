@@ -26,6 +26,7 @@ def _triples(rows):
         "is_past": [False] * n,
         "aspect": ["simple"] * n,
         "since_year": pa.array([None] * n, pa.int32()),
+        "hedged": [False] * n,
         "slot_idx": pa.array([0] * n, pa.int32()),
         "clause": ["main"] * n,
     }).cast(S.TRIPLES_SURFACE))
@@ -110,6 +111,7 @@ def test_pagerank_excludes_nonlink_conv_nodes(ray_session):
         "is_past": [False] * n,
         "aspect": ["simple"] * n,
         "since_year": pa.array([None] * n, pa.int32()),
+        "hedged": [False] * n,
         "slot_idx": pa.array([0] * n, pa.int32()),
         "clause": ["main"] * n,
     }).cast(S.TRIPLES_SURFACE))

@@ -190,6 +190,7 @@ def test_resolve_bucket_fast_equals_slow(rows):
         "is_past": [False] * len(rows),
         "aspect": ["simple"] * len(rows),
         "since_year": pa.array([None] * len(rows), pa.int32()),
+        "hedged": [False] * len(rows),
         "slot_idx": pa.array([0] * len(rows), pa.int32()),
         "clause": ["main"] * len(rows),
         "desc_key": pa.array([None] * len(rows), pa.string()),
