@@ -381,15 +381,19 @@ MULTI_TEMPLATES = [
     # uses the are/were/have auxiliaries the v29 reciprocal already put
     # into PROG_RE / PAST_RE / PRES_PERFECT_RE — extending coordination
     # is a pure template change, no kernel edits
+    # v37: the multi-slot families accept the optional hedge adverb
+    # (HEDGE_OPT, the v36 position — between subject(s) and verb group);
+    # the kernel is unchanged, so every emission of a hedged sentence
+    # carries hedged=true (sentence-level, like negated)
     ("coord_works_at",
-     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) '
-     r'(?:work(?:ed)?|are working|were working|have worked|had worked)'
+     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) ' + HEDGE_OPT
+     + r'(?:work(?:ed)?|are working|were working|have worked|had worked)'
      r' at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
      [("works_at", "subj", "person", "obj", "org", 0, "main"),
       ("works_at", "subj2", "person", "obj", "org", 1, "main")]),
     ("coord_uses",
-     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) '
-     r'(?:use(?:d)?|are using|were using|have used|had used) '
+     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) ' + HEDGE_OPT
+     + r'(?:use(?:d)?|are using|were using|have used|had used) '
      r'(?P<obj>[a-z0-9_]+) daily[.?]$',
      [("uses", "subj", "person", "obj", "tool", 0, "main"),
       ("uses", "subj2", "person", "obj", "tool", 1, "main")]),
@@ -408,9 +412,11 @@ MULTI_TEMPLATES = [
     # aspect alternation ('X said "Alice is using vim daily."') — the
     # sentence-level aspect kernel sees the inner group lexically, so no
     # kernel change was needed, only this regex.
+    # v37: a hedge INSIDE the quote ('X said "Alice reportedly uses vim
+    # daily."') marks the quoted claim; clause stays 'quoted'
     ("quoted_uses",
-     r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) '
-     r'(?:use(?:s|d)|is using|was using|has used|had used) '
+     r'^(?P<speaker>[A-Z][a-z]+) said "(?P<subj>[A-Z][a-z]+) ' + HEDGE_OPT
+     + r'(?:use(?:s|d)|is using|was using|has used|had used) '
      r'(?P<obj>[a-z0-9_]+) daily\."$',
      [("uses", "subj", "person", "obj", "tool", 0, "quoted")]),
     # passive voice: the agent (grammatical subject of the relation) appears
@@ -424,9 +430,13 @@ MULTI_TEMPLATES = [
     # present, 'was being' past, 'has been' present via the v31
     # PRES_PERFECT carve-out, 'had been' past).  Longer alternants come
     # first so the leftmost-alternative submatch stays unambiguous.
+    # v37: the hedge precedes the PASSIVE auxiliary chain ('auth.core
+    # reportedly is maintained by Alice.') — the zero-kernel-edit
+    # position: the v24/v31 tense carve-outs still see their unbroken
+    # 'is ... maintained' / 'has been' token sequences
     ("passive_maintains",
-     r'^(?P<obj>[a-z_]+(?:\.[a-z_]+)*) '
-     r'(?:is being|was being|has been|had been|is|was) maintained by '
+     r'^(?P<obj>[a-z_]+(?:\.[a-z_]+)*) ' + HEDGE_OPT
+     + r'(?:is being|was being|has been|had been|is|was) maintained by '
      r'(?P<subj>[A-Z][a-z]+)[.?]$',
      [("maintains", "subj", "person", "obj", "module", 0, "passive")]),
     # possessive construct: "<B>'s manager is <A>" ⇒ manages(A, B); the
@@ -449,8 +459,8 @@ MULTI_TEMPLATES = [
     # comma — the lists are disjoint by anchor, not by precedence.
     ("coord3_works_at",
      r'^(?P<subj>[A-Z][a-z]+), (?P<subj2>[A-Z][a-z]+) and '
-     r'(?P<subj3>[A-Z][a-z]+) '
-     r'(?:work(?:ed)?|are working|were working|have worked|had worked)'
+     r'(?P<subj3>[A-Z][a-z]+) ' + HEDGE_OPT
+     + r'(?:work(?:ed)?|are working|were working|have worked|had worked)'
      r' at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
      [("works_at", "subj", "person", "obj", "org", 0, "main"),
       ("works_at", "subj2", "person", "obj", "org", 1, "main"),
@@ -508,7 +518,8 @@ MULTI_TEMPLATES = [
     # (PROG_RE/PERF_RE) classifies the sentence; simple stays the bare
     # past ('introduced', an intrinsically-past verb in this grammar).
     ("ditrans_introduced",
-     r'^(?P<subj>[A-Z][a-z]+) (?:introduced|is introducing|'
+     r'^(?P<subj>[A-Z][a-z]+) ' + HEDGE_OPT
+     + r'(?:introduced|is introducing|'
      r'was introducing|has introduced|had introduced) '
      r'(?P<obj>[A-Z][a-z]+) to (?P<obj2>[A-Z][a-z]+)[.?]$',
      [("introduced", "subj", "person", "obj", "person", 0, "ditransitive"),
@@ -531,8 +542,8 @@ MULTI_TEMPLATES = [
     # PRES_PERFECT_RE carry them (no singular construct can produce
     # those tokens, so the kernels stay collision-free).
     ("recip_met",
-     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) '
-     r'(?:met|are meeting|were meeting|have met|had met)[.?]$',
+     r'^(?P<subj>[A-Z][a-z]+) and (?P<subj2>[A-Z][a-z]+) ' + HEDGE_OPT
+     + r'(?:met|are meeting|were meeting|have met|had met)[.?]$',
      [("met", "subj", "person", "subj2", "person", 0, "reciprocal"),
       ("met", "subj2", "person", "subj", "person", 1, "reciprocal")]),
     # v22: DITRANSITIVE nested in QUOTED speech ('X said "Alice
@@ -640,7 +651,8 @@ LIST_SEP = ", "
 LIST_TEMPLATES = [
     ("coordN_works_at",
      r'^(?P<list>[A-Z][a-z]+(?:, [A-Z][a-z]+){2,}) and (?P<last>[A-Z][a-z]+)'
-     r' (?:work(?:ed)?|are working|were working|have worked|had worked)'
+     r' ' + HEDGE_OPT
+     + r'(?:work(?:ed)?|are working|were working|have worked|had worked)'
      r' at (?P<obj>[A-Z][A-Za-z ]+?)[.?]$',
      "works_at", "person", "org", "main"),
 ]
@@ -1004,8 +1016,11 @@ PLURAL_CLAUSE = "plural"
 # ---------------------------------------------------------------------------
 PLURAL_RECIP_CLAUSE = "plural_recip"
 PLURAL_RECIP_TEMPLATES = [
+    # v37: the hedge adverb composes with the plural reciprocal — every
+    # fanned-out ordered pair carries the sentence's hedged bit
     ("met",
-     r"^They (?:met|are meeting|were meeting|have met|had met)[.?]$"),
+     r"^They " + HEDGE_OPT
+     + r"(?:met|are meeting|were meeting|have met|had met)[.?]$"),
 ]
 COMPILED_PLURAL_RECIP_TEMPLATES = [
     (pred, re.compile(rx)) for pred, rx in PLURAL_RECIP_TEMPLATES

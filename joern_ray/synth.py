@@ -23,7 +23,13 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v36"  # v36: HEDGE attribute — the SIXTH relation
+CORPUS_VERSION = "v37"  # v37: HEDGE over the MULTI-SLOT families —
+#                         coordination (2/3/N-way), reciprocal,
+#                         ditransitive, quoted speech, the passive
+#                         (adverb BEFORE the auxiliary chain — the
+#                         zero-kernel-edit position) and the plural
+#                         reciprocal; ~5% per accepting construct.
+#                         v36: HEDGE attribute — the SIXTH relation
 #                         attribute: 'reportedly' before the verb group
 #                         of the four alternating singular families +
 #                         singular/plural pronoun variants (~5%),
@@ -478,7 +484,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             obj_surface, obj_canon = _pick_org(rng)
             verb = _aspect_verb_pl(rng, "work", "worked", "working")
-            text = f"{a} and {b} {verb} at {obj_surface}{end}"
+            text = f"{a} and {b} {_hedge(rng)}{verb} at {obj_surface}{end}"
             gts = [("person", a.lower(), "works_at", "org", obj_canon),
                    ("person", b.lower(), "works_at", "org", obj_canon)]
             return text, gts, max(a, b)
@@ -489,7 +495,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
             verb = _aspect_verb_pl(rng, "use", "used", "using")
-            text = f"{a} and {b} {verb} {tool} daily{end}"
+            text = f"{a} and {b} {_hedge(rng)}{verb} {tool} daily{end}"
             gts = [("person", a.lower(), "uses", "tool", tool),
                    ("person", b.lower(), "uses", "tool", tool)]
             return text, gts, max(a, b)
@@ -517,7 +523,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             a = _pick_person(rng)
             mod = R.MODULES[int(rng.integers(0, len(R.MODULES)))]
             cop = _passive_cop(rng)
-            text = f"{mod} {cop} maintained by {a}{end}"
+            text = f"{mod} {_hedge(rng)}{cop} maintained by {a}{end}"
             gts = [("person", a.lower(), "maintains", "module", mod)]
             return text, gts, a   # subj person commits (obj not a person)
         if kind == "coord_orgs":
@@ -541,8 +547,8 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                     names.append(q)
             obj_surface, obj_canon = _pick_org(rng)
             verb = _aspect_verb_pl(rng, "work", "worked", "working")
-            text = (f"{', '.join(names[:-1])} and {names[-1]} {verb} at "
-                    f"{obj_surface}{end}")
+            text = (f"{', '.join(names[:-1])} and {names[-1]} "
+                    f"{_hedge(rng)}{verb} at {obj_surface}{end}")
             gts = [("person", nm.lower(), "works_at", "org", obj_canon)
                    for nm in names]
             return text, gts, max(names)
@@ -556,7 +562,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                 c = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             obj_surface, obj_canon = _pick_org(rng)
             verb = _aspect_verb_pl(rng, "work", "worked", "working")
-            text = f"{a}, {b} and {c} {verb} at {obj_surface}{end}"
+            text = f"{a}, {b} and {c} {_hedge(rng)}{verb} at {obj_surface}{end}"
             gts = [("person", a.lower(), "works_at", "org", obj_canon),
                    ("person", b.lower(), "works_at", "org", obj_canon),
                    ("person", c.lower(), "works_at", "org", obj_canon)]
@@ -599,7 +605,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             while c in (a, b):
                 c = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             verb = _aspect_past_verb(rng, "introduced", "introducing")
-            text = f"{a} {verb} {b} to {c}{end}"
+            text = f"{a} {_hedge(rng)}{verb} {b} to {c}{end}"
             gts = [("person", a.lower(), "introduced", "person", b.lower()),
                    ("person", a.lower(), "introduced", "person", c.lower())]
             return text, gts, max(b, c)
@@ -648,7 +654,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
             while b == a:
                 b = R.PERSONS[int(rng.integers(0, len(R.PERSONS)))]
             verb = _aspect_past_verb_pl(rng, "met", "meeting")
-            text = f"{a} and {b} {verb}{end}"
+            text = f"{a} and {b} {_hedge(rng)}{verb}{end}"
             gts = [("person", a.lower(), "met", "person", b.lower()),
                    ("person", b.lower(), "met", "person", a.lower())]
             return text, gts, max(a, b)
@@ -676,7 +682,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
         d = _pick_person(rng)
         tool = R.TOOLS[_skew_index(rng, len(R.TOOLS))]
         verb = _aspect_verb(rng, "uses", "used", "using")
-        text = f'{speaker} said "{d} {verb} {tool} daily."'
+        text = f'{speaker} said "{d} {_hedge(rng)}{verb} {tool} daily."'
         gts = [("person", d.lower(), "uses", "tool", tool)]
         return text, gts, d
 
@@ -1102,7 +1108,7 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                     # fan-out; resolved rows feed no state, so a
                     # following plural turn still sees the same set)
                     verb2 = _aspect_past_verb_pl(rng, "met", "meeting")
-                    add_row(t, role2, f"They {verb2}.")
+                    add_row(t, role2, f"They {_hedge(rng)}{verb2}.")
                     for a in members:
                         for b in members:
                             if b != a:
