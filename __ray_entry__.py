@@ -187,6 +187,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "obj", "slot_idx", "aspect"]),
             batch_format="pyarrow")
 
+    def kg_triples_org_pronoun(sf_dir):
+        """Org-pronoun anaphora (v38): "It acquired X." resolves the
+        subject to the committed org surface of the latest
+        strictly-earlier turn (object shadows subject; turn max;
+        resolved rows feed no state so "It" chains co-refer) — the
+        engine's first NON-PERSON referent stream, riding the generic
+        descriptor machinery under the reserved rules.ORG_REF_KEY."""
+        import pyarrow.compute as pc
+        return X.extract_triples(_transcripts(sf_dir)).map_batches(
+            lambda t: t.filter(pc.equal(t.column("clause"),
+                                        "org_pronoun"))
+                       .select(["conv_id", "turn_idx", "subj", "pred",
+                                "obj", "subj_kind", "aspect",
+                                "since_year"]),
+            batch_format="pyarrow")
+
     def kg_list_coordination(sf_dir):
         """Open-ended coordination lists (v12): members at slot_idx >= 3
         exist ONLY in 4+-way lists (the list-capture split path)."""
@@ -314,6 +330,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed row; takes the slot of conv_line_dedup
         # (driver-confirmed r3 AND r4 with unchanged code, demoted below)
         "kg_triples_plural_recip": kg_triples_plural_recip,
+        # r5 fifth-wave rotation: the v38 org-pronoun construct (the
+        # first non-person referent stream) gains an oracle-backed row;
+        # takes the slot of rel_running_order_total (driver-confirmed
+        # r1-r3 AND r4 with unchanged code, demoted below)
+        "kg_triples_org_pronoun": kg_triples_org_pronoun,
         # r4 window rotation: text_top_tokens (corpus heavy-hitters, new
         # this round, never driver-confirmed) takes the slot of
         # kg_dominators (driver-confirmed r2 AND r3, code unchanged)
@@ -342,7 +363,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_counts": FND.entity_mention_counts,
         "kg_conv_tools": FND.conv_tools,
         # relational layer (SURVEY.md §2.4/2.5/2.7/2.8)
-        "rel_running_order_total": REL.running_order_total,
         "rel_order_gaps": REL.order_gaps,
         # text analysis + dedup (training-data ops)
         "text_quality": T.text_quality,
@@ -407,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dtype-strict gate (scripts/check_correctness.py) ----
         "kg_turns": kg_turns,
         "rel_price_quantiles": REL.price_quantiles_by_segment,
+        # r5 fifth-wave demotion (slot given to kg_triples_org_pronoun)
+        "rel_running_order_total": REL.running_order_total,
         "conv_line_dedup": (lambda sf_dir: T.line_dedup(_transcripts(sf_dir))),
         "dedup_exact": T.dedup_exact,
         "events_sliding_counts": EV.sliding_window_counts,
@@ -511,6 +533,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, subj, pred, obj, slot_idx, aspect "
             f"FROM ({G.resolved_triples_sql(tr)}) "
             "WHERE clause = 'plural_recip'"),
+        "kg_triples_org_pronoun": (
+            "SELECT conv_id, turn_idx, subj, pred, obj, subj_kind, "
+            "aspect, since_year "
+            f"FROM ({G.resolved_triples_sql(tr)}) "
+            "WHERE clause = 'org_pronoun'"),
         "kg_findings": FND.findings_sql(tr),
         "kg_snippets": FND.snippets_sql(tr),
         "kg_mention_counts": G.mention_counts_sql(tr),

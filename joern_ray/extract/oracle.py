@@ -156,6 +156,39 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                 if m is None or subj > m:
                     cur_maint[key] = subj
 
+            def _commit_org(subj, sk, obj, ok):
+                """v38 org REFERENT state: every fully-explicit row with
+                an org-kind slot commits its org SURFACE under the
+                reserved ORG_REF_KEY (object shadows subject; turn max)."""
+                org = (obj if ok == "org"
+                       else subj if sk == "org" else None)
+                if org is None:
+                    return
+                m = cur_maint.get(R.ORG_REF_KEY)
+                if m is None or org > m:
+                    cur_maint[R.ORG_REF_KEY] = org
+
+            # ORG-pronoun templates (v38): "It acquired X." resolves to
+            # the committed org surface of the latest strictly-earlier
+            # turn; the resolved row (incl. its explicit org object)
+            # feeds NO state of any family
+            for pred, rx, ok in R.COMPILED_ORG_PRONOUN_TEMPLATES:
+                m = rx.match(sent)
+                if m:
+                    matched = True
+                    ref = last_maint.get(R.ORG_REF_KEY)
+                    if ref is not None:
+                        out.append(dict(conv_id=conv_id, turn_idx=t,
+                                        subj=ref, pred=pred,
+                                        obj=m.group("obj"),
+                                        subj_kind="org",
+                                        obj_kind=ok, **attrs,
+                                        slot_idx=R.DEFAULT_SLOT_IDX,
+                                        clause=R.ORG_PRON_CLAUSE))
+                    break
+            if matched:
+                continue
+
             # object-pronoun templates ("Alice met with her."): the
             # explicit subject anchors the relation AND feeds referent
             # state; the object resolves to the committed referent
@@ -219,6 +252,7 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                 _commit(obj if ok == "person"
                         else subj if sk == "person" else None)
                 _commit_maint(subj, pred, obj, ok)
+                _commit_org(subj, sk, obj, ok)
                 break
             # multi-relation templates (disjoint from single templates by
             # anchors): every emitted slot feeds referent state per-row
@@ -262,6 +296,7 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                     _commit(obj if ok == "person"
                             else subj if sk == "person" else None)
                     _commit_maint(subj, pred, obj, ok)
+                    _commit_org(subj, sk, obj, ok)
                 break
             # LIST templates (open-ended coordination, v12): split the
             # captured head on the shared separator; one emission per
@@ -289,6 +324,7 @@ def extract_conversation(turns: list[dict]) -> list[dict]:
                     _commit(obj if ok == "person"
                             else mem if mk == "person" else None)
                     _commit_maint(mem, pred, obj, ok)
+                    _commit_org(mem, mk, obj, ok)
                 break
             # definite-description templates (v12): the descriptor resolves
             # against the committed module-keyed maintainer state; the

@@ -94,7 +94,10 @@ def events_sql(rel: str) -> str:
     pron_any = " OR ".join(
         [f"regexp_matches(sent, '{_plain(rx)}')"
          for _, rx, _ in (R.PRONOUN_TEMPLATES
-                          + R.PLURAL_PRONOUN_TEMPLATES)]
+                          + R.PLURAL_PRONOUN_TEMPLATES
+                          # v38 org-pronoun matches join the suppression
+                          # alternation (the engine's pron_matched mask)
+                          + R.ORG_PRONOUN_TEMPLATES)]
         # v34 plural-reciprocal matches join the suppression alternation
         + [f"regexp_matches(sent, '{_plain(rx)}')"
            for _, rx in R.PLURAL_RECIP_TEMPLATES])
@@ -320,6 +323,19 @@ def events_sql(rel: str) -> str:
                lower(regexp_extract(sent, '{rxs}', {nums["key"]}))
         FROM {sents}
         WHERE regexp_matches(sent, '{rxs}') AND NOT ({pron_any})""")
+    # ORG-pronoun templates (v38): etype 'desc' with subj_kind 'org' and
+    # desc_key = the reserved ORG_REF_KEY — resolved in the SAME
+    # module-state window against the org referent state (mm CTE's v38
+    # arm); the resolved subject's kind rides the event row
+    for pred, rx, ok in R.ORG_PRONOUN_TEMPLATES:
+        rxs = _plain(rx)
+        parts.append(f"""
+        SELECT conv_id, turn_idx, 'desc', CAST(NULL AS VARCHAR), '{pred}',
+               regexp_extract(sent, '{rxs}', 1),
+               'org', '{ok}', {_attr_cols()},
+               {R.DEFAULT_SLOT_IDX}, '{R.ORG_PRON_CLAUSE}',
+               chr(2) || 'org'
+        FROM {sents} WHERE regexp_matches(sent, '{rxs}')""")
     # OBJECT-side definite descriptions (v15): explicit subject captured,
     # obj NULL until the module-state window fills it; pronoun subjects
     # skip (the plain-template rule)
@@ -409,6 +425,16 @@ def resolved_triples_sql(rel: str) -> str:
         FROM ev
         WHERE etype = 'triple' AND pred = '{R.ORG_STATE_PRED}'
           AND obj_kind = 'org'
+          AND subj IS NOT NULL AND obj IS NOT NULL
+        UNION ALL
+        -- v38 org REFERENT state: every fully-explicit row with an
+        -- org-kind slot commits its org SURFACE under the reserved key
+        -- (object shadows subject; the max() above gives the turn max)
+        SELECT conv_id, chr(2) || 'org', turn_idx,
+               CASE WHEN obj_kind = 'org' THEN obj ELSE subj END
+        FROM ev
+        WHERE etype = 'triple'
+          AND (obj_kind = 'org' OR subj_kind = 'org')
           AND subj IS NOT NULL AND obj IS NOT NULL)
       GROUP BY 1, 2, 3),
     mdom AS (

@@ -74,11 +74,17 @@ POSS_PRONOUNS = ("Her", "His")
 # slot falls back to SINGULAR resolution, the max-person rule, a
 # documented simplification; synth never generates that shape).
 PLURAL_PRONOUN = "They"
+# the ORG pronoun (v38): "It" opens the org-pronoun template family
+# (see ORG_PRONOUN_TEMPLATES below) and joins SUBJ_PRONOUNS so that an
+# 'It' captured by any other template's subject slot is a pronoun
+# surface, never a name (the dirty-input fallback is documented at the
+# template family)
+ORG_PRONOUN = "It"
 # the shared subject-surface pronoun test (one source of truth for all
 # FOUR implementations — engine kernel, Python oracle, subprocess
 # worker, SQL mirror): a captured person-slot surface equal to any of
 # these is a pronoun, never a name
-SUBJ_PRONOUNS = PRONOUNS + POSS_PRONOUNS + (PLURAL_PRONOUN,)
+SUBJ_PRONOUNS = PRONOUNS + POSS_PRONOUNS + (PLURAL_PRONOUN, ORG_PRONOUN)
 # OBJECT-slot pronoun surface test (v25): object slots can additionally
 # capture the LOWERCASE mid-sentence forms ("Bob, her manager, ..."), which
 # subject slots never can (every subject group requires a leading capital).
@@ -986,6 +992,57 @@ PRONOUN_TEMPLATES = [
 # PAST_RE / PRES_PERFECT_RE, so the attribute kernels need no edits).
 # ---------------------------------------------------------------------------
 PLURAL_CLAUSE = "plural"
+
+# ---------------------------------------------------------------------------
+# ORG-PRONOUN templates (v38): "It acquired Globex Inc." — the engine's
+# first NON-PERSON pronoun class.  Shared contract (all four
+# implementations):
+#
+#   * state: every FULLY-EXPLICIT event row (subj AND obj both present
+#     at event time) carrying an org-kind slot commits its org SURFACE
+#     at its turn — the OBJECT slot shadows the subject slot (a
+#     both-org row like acquired commits the object), lexicographic
+#     max within a turn (the person-state tie-break).  Pronoun-,
+#     plural- or descriptor-RESOLVED rows feed no org state — including
+#     the org-pronoun row's own explicit object — so chained "It"
+#     turns co-refer (the resolved-row discipline);
+#   * resolution: the referent is the committed org surface of the
+#     LATEST strictly-earlier turn; none ⇒ no emission.  The resolved
+#     row's SUBJECT is the referent surface, subj_kind='org', clause
+#     'org_pronoun';
+#   * machinery: the state rides the generic descriptor-state map
+#     under the reserved key ORG_REF_KEY ('\x02org' — its control
+#     character cannot appear in any template capture, so the key
+#     space stays disjoint from module/manager/org-engineer keys),
+#     and the event is a descriptor-class row (subj NULL ∧ desc_key =
+#     ORG_REF_KEY); Stage B resolves it on the existing forward-fill
+#     path with zero new exchange machinery;
+#   * "It" joins SUBJ_PRONOUNS, so an 'It' captured by any org- or
+#     person-subject template slot is a pronoun surface — suppressed
+#     from explicit emission and from referent state (dirty-input
+#     fallback: an 'It' in a PERSON slot resolves through the person
+#     rule, documented; the grammar never generates that shape).
+#
+# Entry: (pred, regex, obj_kind) — the verb groups carry their v35
+# aspect alternations and the v33 adjunct.
+# ---------------------------------------------------------------------------
+ORG_PRON_CLAUSE = "org_pronoun"
+ORG_REF_KEY = "\x02org"
+ORG_PRONOUN_TEMPLATES = [
+    ("acquired",
+     r"^It (?:acquired|is acquiring|was acquiring|has acquired|"
+     r"had acquired) (?P<obj>[A-Z][A-Za-z ]+?)"
+     + SINCE_OPT + r"[.?]$",
+     "org"),
+    ("partnered",
+     r"^It (?:partnered|is partnering|was partnering|has partnered|"
+     r"had partnered) with (?P<obj>[A-Z][A-Za-z ]+?)"
+     + SINCE_OPT + r"[.?]$",
+     "org"),
+]
+COMPILED_ORG_PRONOUN_TEMPLATES = [
+    (pred, re.compile(rx), ok) for pred, rx, ok in ORG_PRONOUN_TEMPLATES
+]
 
 # ---------------------------------------------------------------------------
 # PLURAL-RECIPROCAL templates (v34): "They met." — BOTH slots of the

@@ -106,6 +106,20 @@ for line in sys.stdin:
                     break
             if matched:
                 continue
+            # ORG-pronoun templates (v38): a descriptor-class event
+            # (subj null, desc_key = the reserved ORG_REF_KEY) with
+            # subj_kind 'org' — Stage B resolves it against the org
+            # referent state
+            for pred, rx, ok in R.COMPILED_ORG_PRONOUN_TEMPLATES:
+                m = rx.match(sent)
+                if m:
+                    evs.append([None, pred, m.group("obj"), "org", ok,
+                                *attrs, 0, R.ORG_PRON_CLAUSE,
+                                R.ORG_REF_KEY])
+                    matched = True
+                    break
+            if matched:
+                continue
             for pred, rx, ok in R.COMPILED_PRONOUN_OBJECT_TEMPLATES:
                 m = rx.match(sent)
                 if m is None:

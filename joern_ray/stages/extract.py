@@ -376,6 +376,35 @@ def extract_events(batch: pa.Table,
             sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
             R.PLURAL_RECIP_CLAUSE, since=snc, hedged=hed))
 
+    # ORG-pronoun templates (v38): "It acquired X." — a descriptor-class
+    # event (subj NULL, desc_key = the reserved ORG_REF_KEY) with
+    # subj_kind='org'; Stage B resolves it on the generic descriptor
+    # forward-fill path against the org referent state committed by
+    # fully-explicit org-bearing rows (see _resolve_subset_plain).
+    it_idx = pc.indices_nonzero(pc.fill_null(
+        pc.starts_with(text, R.ORG_PRONOUN + " "), False))
+    it_text = (text.take(it_idx).combine_chunks()
+               if len(it_idx) else pa.array([], pa.string()))
+    for pred, rx, ok in ([] if not len(it_idx)
+                         else R.ORG_PRONOUN_TEMPLATES):
+        ex = pc.extract_regex(it_text, rx)
+        mask = pc.is_valid(ex)
+        if not pc.any(mask).as_py():
+            continue
+        local = pc.indices_nonzero(mask)
+        idx = it_idx.take(local)
+        pron_matched_np[idx.to_numpy(zero_copy_only=False)] = True
+        neg, inq, past, asp, snc, hed = (
+            neg_all.take(idx), inq_all.take(idx),
+            past_all.take(idx), asp_all.take(idx), snc_all.take(idx),
+            hed_all.take(idx))
+        outs.append(_events_table(
+            len(idx), conv.take(idx), tidx.take(idx),
+            pa.array([None] * len(idx), pa.string()), pred,
+            pc.struct_field(ex, "obj").take(local), "org", ok,
+            sidx.take(idx), neg, inq, past, asp, R.DEFAULT_SLOT_IDX,
+            R.ORG_PRON_CLAUSE, R.ORG_REF_KEY, since=snc, hedged=hed))
+
     cand_idx = pc.indices_nonzero(pc.fill_null(
         pc.match_substring_regex(text, _ANY_LITERAL_RE), False))
     n_cand = len(cand_idx)
@@ -910,6 +939,14 @@ def _resolve_group(group: pa.Table) -> pa.Table:
             m = cur_maint.get(key)
             if m is None or r["subj"] > m:
                 cur_maint[key] = r["subj"]
+        # v38 org REFERENT state: every fully-explicit row with an
+        # org-kind slot commits its org SURFACE (object shadows subject)
+        org = (r["obj"] if r["obj_kind"] == "org"
+               else r["subj"] if r["subj_kind"] == "org" else None)
+        if org is not None:
+            m = cur_maint.get(R.ORG_REF_KEY)
+            if m is None or org > m:
+                cur_maint[R.ORG_REF_KEY] = org
     if not keep:
         return S.TRIPLES_SURFACE.empty_table()
     return pa.Table.from_pylist(keep, schema=S.TRIPLES_SURFACE)
@@ -992,13 +1029,21 @@ def _resolve_bucket(group: pa.Table,
             subj_out = pc.if_else(opron, own, ref_arr)
             obj_out = pc.if_else(opron, ref_arr,
                                  sub.column("obj").cast(pa.string()))
+        clause_out = sub.column("clause").cast(pa.string())
+        if isinstance(clause_out, pa.ChunkedArray):
+            clause_out = clause_out.combine_chunks()
+        # v38: org-pronoun rows resolve to an ORG subject; the narrow
+        # schema drops subj_kind, so rebuild it clause-conditionally
+        sk_out = pc.if_else(
+            pc.equal(clause_out, R.ORG_PRON_CLAUSE),
+            pa.scalar("org", pa.string()), pa.scalar("person", pa.string()))
         return pa.Table.from_arrays(
             [sub.column("conv_id").cast(pa.string()),
              sub.column("turn_idx").cast(pa.int32()),
              subj_out,
              sub.column("pred").cast(pa.string()),
              obj_out,
-             pa.array(["person"] * n, pa.string()),
+             sk_out,
              sub.column("obj_kind").cast(pa.string()),
              sub.column("sent_idx").cast(pa.int32()),
              sub.column("negated").cast(pa.bool_()),
@@ -1008,7 +1053,7 @@ def _resolve_bucket(group: pa.Table,
              sub.column("since_year").cast(pa.int32()),
              sub.column("hedged").cast(pa.bool_()),
              sub.column("slot_idx").cast(pa.int32()),
-             sub.column("clause").cast(pa.string())],
+             clause_out],
             schema=S.TRIPLES_SURFACE)
 
     def _latest_earlier(skeys, svals_codes, uniq, qkeys):
@@ -1209,13 +1254,17 @@ def _resolve_bucket_slow(g: pa.Table, cap: int) -> pa.Table:
 
     def _table(out: pd.DataFrame, subj_np, obj_np) -> pa.Table:
         n = len(out)
+        # v38: org-pronoun rows resolve to an ORG subject
+        sk_np = np.where(
+            out["clause"].to_numpy(object) == R.ORG_PRON_CLAUSE,
+            "org", "person")
         return pa.Table.from_arrays(
             [pa.array(out["conv_id"].to_numpy(object), pa.string()),
              pa.array(out["turn_idx"].to_numpy(), pa.int32()),
              pa.array(subj_np, pa.string()),
              pa.array(out["pred"].to_numpy(object), pa.string()),
              pa.array(obj_np, pa.string()),
-             pa.array(["person"] * n, pa.string()),
+             pa.array(sk_np, pa.string()),
              pa.array(out["obj_kind"].to_numpy(object), pa.string()),
              pa.array(out["sent_idx"].to_numpy(), pa.int32()),
              pa.array(out["negated"].to_numpy(bool), pa.bool_()),
@@ -1562,6 +1611,41 @@ def _resolve_subset_plain(t: pa.Table) -> pa.Table:
         })
     else:
         ost_rows = None
+    # v38 org REFERENT state: every fully-explicit row with an org-kind
+    # slot commits its org SURFACE under the reserved ORG_REF_KEY (the
+    # object slot shadows the subject slot; resolved/pronoun/plural rows
+    # have a NULL slot and never qualify)
+    org_val = pc.if_else(
+        pc.equal(ok_s, "org"), obj_s,
+        pc.if_else(pc.equal(sk_s, "org"), subj_s,
+                   pa.nulls(t.num_rows, pa.string())))
+    is_org_ref = pc.and_(
+        pc.and_(pc.is_valid(subj_s), pc.is_valid(obj_s)),
+        pc.is_valid(org_val))
+    ref_idx = pc.indices_nonzero(pc.fill_null(is_org_ref, False))
+    if len(ref_idx):
+        n_r = len(ref_idx)
+        rnull = pa.nulls(n_r, pa.string())
+        orf_rows = pa.table({
+            "conv_id": t.column("conv_id").take(ref_idx),
+            "turn_idx": t.column("turn_idx").take(ref_idx),
+            "person": org_val.take(ref_idx),
+            "pred": rnull,
+            "obj": rnull,
+            "obj_kind": rnull,
+            "sent_idx": t.column("sent_idx").take(ref_idx),
+            "negated": t.column("negated").take(ref_idx),
+            "in_question": t.column("in_question").take(ref_idx),
+            "is_past": t.column("is_past").take(ref_idx),
+            "aspect": rnull,
+            "since_year": pa.nulls(n_r, pa.int32()),
+            "hedged": t.column("hedged").take(ref_idx),
+            "slot_idx": pa.nulls(n_r, pa.int32()),
+            "clause": rnull,
+            "desc_key": pa.array([R.ORG_REF_KEY] * n_r, pa.string()),
+        })
+    else:
+        orf_rows = None
     narrow = pa.table({
         "conv_id": t.column("conv_id"),
         "turn_idx": t.column("turn_idx"),
@@ -1594,6 +1678,8 @@ def _resolve_subset_plain(t: pa.Table) -> pa.Table:
     parts = [narrow, mst_rows]
     if ost_rows is not None:
         parts.append(ost_rows)
+    if orf_rows is not None:
+        parts.append(orf_rows)
     return pa.concat_tables(parts)
 
 

@@ -23,7 +23,15 @@ from . import schema as S
 from .functions import rules as R
 
 SEED = 42
-CORPUS_VERSION = "v37"  # v37: HEDGE over the MULTI-SLOT families —
+CORPUS_VERSION = "v38"  # v38: ORG-PRONOUN anaphora — "It acquired
+#                         Globex Inc." resolves to the committed org
+#                         surface of the latest strictly-earlier turn
+#                         (object shadows subject; turn max; resolved
+#                         rows feed no state so "It" chains co-refer);
+#                         rides the generic descriptor machinery under
+#                         the reserved key rules.ORG_REF_KEY; generated
+#                         as atomic works_at-anchor + "It" pairs (~2%).
+#                         v37: HEDGE over the MULTI-SLOT families —
 #                         coordination (2/3/N-way), reciprocal,
 #                         ditransitive, quoted speech, the passive
 #                         (adverb BEFORE the auxiliary chain — the
@@ -1138,6 +1146,44 @@ def gen_conversation(conv_idx: int) -> tuple[list[dict], list[dict]]:
                                "org", o2c)
                 t += 1
             last_person = max(members)
+            continue
+        elif r < 0.165 and t + 1 < n:
+            # v38 ORG-PRONOUN pair: a single-sentence works_at turn
+            # commits a KNOWN org (its object is the turn's only org
+            # slot), then an adjacent "It ..." turn resolves to exactly
+            # that surface.  ~30% of pairs chain a SECOND "It" turn —
+            # resolved rows feed no org state, so the referent carries
+            # over (the co-reference contract).
+            anchor_p = _pick_person(rng)
+            org_surface, org_canon = _pick_org(rng)
+            add_row(t, role, f"{anchor_p} works at {org_surface}.")
+            add_gt(t, "person", anchor_p.lower(), "works_at",
+                   "org", org_canon)
+            last_person = anchor_p
+            t += 1
+            n_it = 2 if rng.random() < 0.3 else 1
+            for _ in range(n_it):
+                if t >= n:
+                    break
+                role2 = "user" if t % 2 == 0 else "assistant"
+                obj2_surface, obj2_canon = _pick_org(rng)
+                while obj2_canon == org_canon:
+                    obj2_surface, obj2_canon = _pick_org(rng)
+                if rng.random() < 0.5:
+                    verb2 = _aspect_past_verb(rng, "acquired",
+                                              "acquiring")
+                    pred2 = "acquired"
+                    tail = ""
+                else:
+                    verb2 = _aspect_past_verb(rng, "partnered",
+                                              "partnering")
+                    pred2 = "partnered"
+                    tail = " with"
+                add_row(t, role2,
+                        f"It {verb2}{tail} {obj2_surface}"
+                        f"{_since_suffix(rng, verb2)}.")
+                add_gt(t, "org", org_canon, pred2, "org", obj2_canon)
+                t += 1
             continue
         elif r < 0.40:
             text, gts2, slot = gen_sentence(rng)

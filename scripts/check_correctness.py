@@ -53,10 +53,14 @@ def main() -> int:
                  logging_level="ERROR")
     import __ray_entry__ as E
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{SF}/{t}.parquet')")
+    def _fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                      f"read_parquet('{SF}/{t}.parquet')")
+        return c
+
+    con = _fresh_con()
 
     qs = E.queries()
     oracles = E.oracle_sql()
@@ -100,6 +104,15 @@ def main() -> int:
                 import gc
                 gc.collect()
                 time.sleep(2.0)
+                want = con.execute(oracles[name]).fetchdf()
+            except duckdb.OutOfMemoryException:
+                # the shared connection's allocator fragments over 100+
+                # oracle runs and can fail a big query that passes in
+                # isolation — retry once on a FRESH connection
+                import gc
+                con.close()
+                gc.collect()
+                con = _fresh_con()
                 want = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             print(f"[FAIL-sql ] {name}: {type(ex).__name__}: {ex}")

@@ -57,12 +57,12 @@ def test_giant_conversation_is_bounded_and_survives(ray_session):
     out = _rows(X.extract_triples(ds, max_resolve_events_per_conv=8))
     # works_at always extracted (passthrough); resolved pronouns only
     # for the pronoun rows that fit under the cap after the state rows —
-    # since v28 an explicit works_at ships TWO narrow state rows (person
-    # referent + org-keyed descriptor state), so cap 8 = 2 state + 6
-    # pronouns
+    # since v38 an explicit works_at ships THREE narrow state rows
+    # (person referent + v28 org-keyed descriptor state + v38 org
+    # REFERENT state), so cap 8 = 3 state + 5 pronouns
     assert sum(1 for r in out if r[3] == "works_at") == 1
     n_resolved = sum(1 for r in out if r[3] == "uses")
-    assert n_resolved == 6
+    assert n_resolved == 5
 
 
 def test_simhash_tokenless_batch(ray_session):
